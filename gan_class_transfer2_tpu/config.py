@@ -1,0 +1,174 @@
+"""Experiment configuration.
+
+The reference keeps ~20 module-level constants (reference train.py:5-45) plus a
+graveyard of commented-out alternatives (optimizers train.py:67-78, noise
+schedules train.py:88-92, losses train.py:265-280, regularizer train.py:80).
+Here every knob — including each commented alternative — is a first-class field
+of one frozen dataclass, serializable to/from JSON and exposed on the CLI.
+
+TPU-specific additions (mesh shape, compute dtype, conv implementation, remat,
+EMA, checkpointing) have no reference counterpart and are documented as such.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # ------------------------------------------------------------------ data
+    # reference train.py:5-15 — one glob per class; `classes` list at :299-301.
+    dataset_pattern: str = "data/train/*.png"
+    example_image_path: Optional[str] = None
+    classes: Tuple[str, ...] = ()  # empty -> (dataset_pattern,)
+    shuffle_buffer: int = 1000  # reference train.py:318
+    cache: bool = False  # reference train.py:317 (commented disk cache)
+
+    # ----------------------------------------------------------------- model
+    size: int = 256  # reference train.py:17
+    pixel_size: int = 128  # reference train.py:18
+    max_size: int = 512  # reference train.py:19
+    block_depth: int = 0  # reference train.py:20
+    octaves: int = 6  # reference train.py:21 (bottleneck 4x4)
+    # reference train.py:26-27: `residual` / `concat` flags on Residual.
+    skip_mode: str = "concat"  # concat | residual | none
+    # reference train.py:199,203,211-214 — vestigial per-timestep output head
+    # (Dense(3*steps) + gather on t) kept as an option.
+    per_step_output: bool = False
+
+    # ------------------------------------------------------------- diffusion
+    steps: int = 200  # diffusion T, reference train.py:24
+    # reference train.py:85-93: active quadratic plus 4 commented alternatives.
+    schedule: str = "quadratic"  # quadratic|exponential|geometric|cosine2|quartic
+    # reference train.py:29-32 parameterization quadruple.
+    parameterization: str = "x"  # x | epsilon | scaled_epsilon | ode
+    prediction_weighting: bool = False  # reference train.py:31
+    test_step: int = 25  # reference train.py:95
+    bits_per_pixel: int = 3  # VQ codebook bits, reference train.py:308
+
+    # ------------------------------------------------------------------ loss
+    # reference train.py:272 (mse, active), :254-260 (dct), :267-270 (l1),
+    # :274-280 (multiscale, unreachable).
+    loss: str = "mse"  # mse | l1 | dct | mse_multiscale
+
+    # ------------------------------------------------------------- optimizer
+    # reference train.py:67-78: Adam active, SGD/momentum/sign-SGD/RMSprop
+    # preserved as options.
+    optimizer: str = "adam"  # adam | sgd | momentum | sign_sgd | rmsprop
+    learning_rate: float = 2e-5  # reference train.py:75
+    warm_up: int = 2_000  # reference train.py:36
+    lr_schedule: str = "warmup"  # warmup | inverse_time_decay | constant
+    inverse_time_decay_steps: int = 10_000  # reference train.py:69
+    adam_eps: float = 1e-7  # TF Adam default epsilon (reference semantics)
+    momentum: float = 0.5  # reference train.py:67
+    nesterov: bool = True  # reference train.py:67
+    weight_decay: float = 0.0  # reference train.py:80 (commented l2(1e-6))
+    ema_decay: float = 0.0  # TPU addition (north star: EMA sampling)
+    grad_clip_norm: float = 0.0  # TPU addition
+
+    # ------------------------------------------------------------- precision
+    # reference train.py:34,43-45,82-83: fp16 + loss scaling, off by default.
+    # TPU-native equivalent is bf16 compute with fp32 params/loss; no loss
+    # scaling needed, but static scaling kept for fp16 semantic parity.
+    compute_dtype: str = "float32"  # float32 | bfloat16 | float16
+    loss_scale: float = 0.0  # 0 = off
+
+    # -------------------------------------------------------------- training
+    batch_size: int = 1  # reference train.py:23 (global batch)
+    steps_per_epoch: int = 1000  # reference train.py:517
+    epochs: int = 1000  # reference train.py:517
+    seed: int = 0
+
+    # ----------------------------------------------------- TPU / performance
+    conv_impl: str = "auto"  # lax | shuffle | auto (see ops/conv.py)
+    fused_diffusion: bool = True  # Pallas fused forward-diffusion kernel
+    remat: bool = False  # jax.checkpoint over octaves
+    donate_state: bool = True
+
+    # ------------------------------------------------------------- parallelism
+    # Mesh axis sizes; 0 = use all remaining devices on that axis.
+    mesh_data: int = 0
+    mesh_model: int = 1
+
+    # -------------------------------------------------------------------- io
+    log_dir: str = "logs"  # reference train.py:499-503 layout logs/<day>/<time>
+    checkpoint_dir: Optional[str] = "checkpoints"
+    checkpoint_every: int = 1000
+    log_images_every: int = 1  # epochs between log_sample calls
+
+    # ------------------------------------------------------------ derived ---
+    def class_patterns(self) -> Tuple[str, ...]:
+        return self.classes if self.classes else (self.dataset_pattern,)
+
+    def octave_filters(self, i: int) -> int:
+        """Channel width at octave i (reference train.py:181)."""
+        return min(self.pixel_size * 2**i, self.max_size)
+
+    def octave_up_filters(self, i: int) -> int:
+        """UpShuffle output width at octave i (reference train.py:188)."""
+        return min(self.pixel_size * 2**i // 2, self.max_size)
+
+    def middle_filters(self) -> int:
+        return min(self.pixel_size * 2**self.octaves, self.max_size)
+
+    def out_channels(self) -> int:
+        return 3 * self.steps if self.per_step_output else 3
+
+    def validate(self) -> "Config":
+        if self.size % (2**self.octaves) != 0:
+            raise ValueError(
+                f"size={self.size} not divisible by 2**octaves={2**self.octaves}"
+            )
+        if self.skip_mode not in ("concat", "residual", "none"):
+            raise ValueError(f"unknown skip_mode {self.skip_mode!r}")
+        if self.parameterization not in ("x", "epsilon", "scaled_epsilon", "ode"):
+            raise ValueError(f"unknown parameterization {self.parameterization!r}")
+        if self.schedule not in (
+            "quadratic", "exponential", "geometric", "cosine2", "quartic"
+        ):
+            raise ValueError(f"unknown schedule {self.schedule!r}")
+        if self.loss not in ("mse", "l1", "dct", "mse_multiscale"):
+            raise ValueError(f"unknown loss {self.loss!r}")
+        return self
+
+    # --------------------------------------------------------- serialization
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        raw = json.loads(text)
+        raw = {k: v for k, v in raw.items() if k in _FIELD_NAMES}
+        for k in ("classes",):
+            if k in raw and isinstance(raw[k], list):
+                raw[k] = tuple(raw[k])
+        return cls(**raw).validate()
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+_FIELD_NAMES = {f.name for f in dataclasses.fields(Config)}
+
+
+def tiny_test_config(**overrides) -> Config:
+    """A minimal config for fast CPU tests (BASELINE.json config-1 scale)."""
+    base = dict(
+        size=16,
+        pixel_size=4,
+        max_size=8,
+        octaves=2,
+        steps=10,
+        batch_size=2,
+        warm_up=2,
+        test_step=2,
+        steps_per_epoch=2,
+        epochs=1,
+        fused_diffusion=False,
+        compute_dtype="float32",
+    )
+    base.update(overrides)
+    return Config(**base).validate()

@@ -1,0 +1,86 @@
+"""Noise and learning-rate schedules — pure numerics, no model deps.
+
+Reference semantics:
+  * ``alpha_dash`` — reference train.py:85-93. Active schedule is quadratic
+    ``(1 - t/(T+1))**2 * 0.25``; the four commented alternatives
+    (exponential :88, geometric :90, cosine² :91, quartic :92) are selectable
+    by name. All are continuous in ``t`` (the ODE branches evaluate them at
+    fractional and ``t - 1`` arguments, reference train.py:240-241, 328).
+  * ``WarmUp`` LR — reference train.py:50-65: linear ramp
+    ``base * (step+1) / (warm+1)`` while ``step < warm``, else constant.
+  * InverseTimeDecay — reference train.py:69 (commented SGD config).
+
+Everything is traceable JAX (works under jit on scalars or arrays).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+
+def alpha_dash(t, steps: int, schedule: str = "quadratic"):
+    """Cumulative signal fraction ᾱ(t) for diffusion timestep ``t``.
+
+    ``t`` may be a python scalar, traced scalar, or array (per-sample t).
+    Continuous in t. At the reference defaults max ᾱ = ᾱ(1) ≈ 0.2475 and
+    ᾱ(T)=ᾱ(200) ≈ 6.1e-6 (see SURVEY.md §2.1 row 6).
+    """
+    s = t / (steps + 1)
+    if schedule == "quadratic":  # reference train.py:93 (active)
+        return (1 - s) ** 2 * 0.25
+    if schedule == "exponential":  # reference train.py:88
+        return 1 - 2 ** (s - 1)
+    if schedule == "geometric":  # reference train.py:90
+        return (256.0 * 256.0) ** (-1.0 * s)
+    if schedule == "cosine2":  # reference train.py:91
+        return jnp.cos(math.pi / 2 * s) ** 2
+    if schedule == "quartic":  # reference train.py:92
+        return (1 - s) ** 4
+    raise ValueError(f"unknown schedule {schedule!r}")
+
+
+def warmup_schedule(base: float, warmup_steps: int):
+    """Linear-warmup LR schedule (reference train.py:50-65).
+
+    Returns an optax-style ``schedule(count) -> lr``. Exact reference math:
+    ``base * (step + 1) / (warmup_steps + 1)`` below ``warmup_steps``.
+    """
+
+    def schedule(count):
+        count = jnp.asarray(count)
+        ramp = base * (count.astype(jnp.float32) + 1.0) / (warmup_steps + 1.0)
+        return jnp.where(count < warmup_steps, ramp, base)
+
+    return schedule
+
+
+def inverse_time_decay_schedule(base: float, decay_steps: int, decay_rate: float = 1.0):
+    """InverseTimeDecay (reference train.py:68-70, commented alternative)."""
+
+    def schedule(count):
+        count = jnp.asarray(count).astype(jnp.float32)
+        return base / (1.0 + decay_rate * count / decay_steps)
+
+    return schedule
+
+
+def constant_schedule(base: float):
+    def schedule(count):
+        return jnp.full((), base, dtype=jnp.float32)
+
+    return schedule
+
+
+def make_lr_schedule(cfg):
+    """Build the LR schedule named by ``cfg.lr_schedule``."""
+    if cfg.lr_schedule == "warmup":
+        return warmup_schedule(cfg.learning_rate, cfg.warm_up)
+    if cfg.lr_schedule == "inverse_time_decay":
+        return inverse_time_decay_schedule(
+            cfg.learning_rate, cfg.inverse_time_decay_steps
+        )
+    if cfg.lr_schedule == "constant":
+        return constant_schedule(cfg.learning_rate)
+    raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")

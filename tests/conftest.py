@@ -1,0 +1,25 @@
+"""Test harness setup.
+
+Runs the whole suite on a virtual 8-device CPU mesh (the standard JAX
+no-cluster pattern) so multi-chip sharding paths are exercised without TPU
+hardware. Must set the env vars before the first `import jax` anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Keep single-core CI deterministic and quiet.
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

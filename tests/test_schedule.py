@@ -1,0 +1,83 @@
+"""Unit tests for noise and LR schedules against hand-computed reference values
+(formulas at reference train.py:50-65, 85-93; derived values in SURVEY.md §2.1)."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_class_transfer2_tpu.core.schedule import (
+    alpha_dash,
+    inverse_time_decay_schedule,
+    make_lr_schedule,
+    warmup_schedule,
+)
+from gan_class_transfer2_tpu.config import Config
+
+
+STEPS = 200
+
+
+def ref_quadratic(t, steps=STEPS):
+    return (1 - t / (steps + 1)) ** 2 * 0.25
+
+
+def test_quadratic_known_values():
+    # SURVEY §2.1 row 6: max ᾱ ≈ 0.2475 at t=1; ᾱ(200) ≈ 6e-6.
+    np.testing.assert_allclose(
+        alpha_dash(1.0, STEPS, "quadratic"), ref_quadratic(1.0), rtol=1e-6
+    )
+    assert abs(float(alpha_dash(1.0, STEPS, "quadratic")) - 0.24751) < 1e-4
+    assert abs(float(alpha_dash(200.0, STEPS, "quadratic")) - 6.15e-6) < 1e-7
+    # continuous in t (fractional arguments used by ODE branches)
+    v = float(alpha_dash(99.5, STEPS, "quadratic"))
+    np.testing.assert_allclose(v, ref_quadratic(99.5), rtol=1e-6)
+
+
+def test_quadratic_vectorized():
+    t = jnp.arange(1, STEPS + 1, dtype=jnp.float32)
+    got = np.asarray(alpha_dash(t, STEPS, "quadratic"))
+    want = ref_quadratic(np.arange(1, STEPS + 1, dtype=np.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "name,fn",
+    [
+        ("exponential", lambda s: 1 - 2 ** (s - 1)),
+        ("geometric", lambda s: (256 * 256) ** (-s)),
+        ("cosine2", lambda s: math.cos(math.pi / 2 * s) ** 2),
+        ("quartic", lambda s: (1 - s) ** 4),
+    ],
+)
+def test_alternative_schedules(name, fn):
+    for t in (1.0, 50.0, 199.0):
+        s = t / (STEPS + 1)
+        np.testing.assert_allclose(
+            float(alpha_dash(t, STEPS, name)), fn(s), rtol=1e-5
+        )
+
+
+def test_warmup_exact_reference_math():
+    # base * (step+1)/(warm+1) below warm, else base (reference train.py:57-65)
+    sched = warmup_schedule(2e-5, 2000)
+    np.testing.assert_allclose(float(sched(0)), 2e-5 * 1 / 2001, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(1999)), 2e-5 * 2000 / 2001, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(2000)), 2e-5, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(10**6)), 2e-5, rtol=1e-6)
+
+
+def test_inverse_time_decay():
+    sched = inverse_time_decay_schedule(2.0, 10_000, 1)
+    np.testing.assert_allclose(float(sched(0)), 2.0, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(10_000)), 1.0, rtol=1e-6)
+
+
+def test_make_lr_schedule_dispatch():
+    cfg = Config(lr_schedule="warmup")
+    assert float(make_lr_schedule(cfg)(cfg.warm_up)) == pytest.approx(
+        cfg.learning_rate
+    )
+    cfg = Config(lr_schedule="constant")
+    assert float(make_lr_schedule(cfg)(0)) == pytest.approx(cfg.learning_rate)
