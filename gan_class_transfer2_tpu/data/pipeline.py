@@ -1,0 +1,215 @@
+"""Host-side input pipeline with on-device staging.
+
+Reproduces the reference tf.data semantics (reference train.py:285-321):
+file glob → read → [optional disk cache] → shuffle(1000) → repeat →
+decode → random-crop(size²) → grayscale broadcast → random flip →
+``uint8/128 − 1`` normalize → batch → prefetch — but framework-free:
+PIL/numpy decode on worker threads, a bounded prefetch queue, and batches
+transferred to device (with an optional `jax.sharding.Sharding` so each batch
+lands pre-sharded across the mesh, one host→HBM transfer per device shard).
+
+Per-element semantics preserved exactly:
+  * decode forced to 3 channels; single-channel images broadcast
+    (reference train.py:287, 290)
+  * random crop only when the image is larger than ``size``
+    (tf.image.random_crop, train.py:288-289)
+  * random horizontal flip (train.py:291)
+  * ``cast(x)/128 − 1`` → range [−1, 0.9921875] (train.py:292)
+  * shuffle buffer of 1000 with reshuffling, infinite repeat (train.py:318)
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+def list_files(pattern: str) -> list[str]:
+    files = sorted(globlib.glob(pattern))
+    if not files:
+        raise FileNotFoundError(f"no files match {pattern!r}")
+    return files
+
+
+def decode_image(data_or_path, size: int, rng: np.random.Generator, crop: bool = True) -> np.ndarray:
+    """Decode + augment one image to float32 (size, size, 3) in [-1, 1)."""
+    img = Image.open(data_or_path)
+    img = img.convert("RGB")  # 3 channels (reference decode_jpeg(file, 3))
+    arr = np.asarray(img, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    if crop and (h > size or w > size):
+        if h < size or w < size:
+            raise ValueError(f"image {arr.shape} smaller than crop {size}")
+        i = rng.integers(0, h - size + 1)
+        j = rng.integers(0, w - size + 1)
+        arr = arr[i : i + size, j : j + size]
+    arr = np.broadcast_to(arr, (size, size, 3))
+    if rng.integers(0, 2):  # random horizontal flip
+        arr = arr[:, ::-1]
+    return arr.astype(np.float32) / 128.0 - 1.0
+
+
+class ImageDataset:
+    """Infinite shuffled augmented batch iterator over a file glob.
+
+    Mirrors the reference dataset graph (train.py:313-321). ``num_workers``
+    decode threads feed a bounded prefetch queue (tf.data AUTOTUNE analogue).
+    """
+
+    def __init__(
+        self,
+        pattern: str,
+        size: int,
+        batch_size: int,
+        seed: int = 0,
+        shuffle_buffer: int = 1000,
+        num_workers: int = 2,
+        prefetch: int = 2,
+        cache: bool = False,
+    ):
+        self.files = list_files(pattern)
+        self.size = size
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle_buffer = shuffle_buffer
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self._cache: Optional[dict] = {} if cache else None
+        self._queue: Optional[queue.Queue] = None
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+
+    # -------------------------------------------------------------- internals
+    def _file_stream(self, rng) -> Iterator[str]:
+        """shuffle(buffer).repeat() over the file list."""
+        buf: list[str] = []
+        while True:
+            order = rng.permutation(len(self.files))
+            for idx in order:
+                buf.append(self.files[idx])
+                if len(buf) >= self.shuffle_buffer:
+                    k = rng.integers(0, len(buf))
+                    buf[k], buf[-1] = buf[-1], buf[k]
+                    yield buf.pop()
+            while buf:
+                k = rng.integers(0, len(buf))
+                buf[k], buf[-1] = buf[-1], buf[k]
+                yield buf.pop()
+
+    def _read(self, path: str) -> bytes:
+        if self._cache is not None:
+            if path not in self._cache:
+                with open(path, "rb") as f:
+                    self._cache[path] = f.read()
+            return self._cache[path]
+        with open(path, "rb") as f:
+            return f.read()
+
+    def _worker(self, worker_id: int):
+        import io
+
+        rng = np.random.default_rng(self.seed + worker_id)
+        stream = self._file_stream(np.random.default_rng(self.seed * 7919 + worker_id))
+        batch = np.empty((self.batch_size, self.size, self.size, 3), np.float32)
+        while not self._stop.is_set():
+            b = 0
+            while b < self.batch_size:
+                path = next(stream)
+                try:
+                    data = self._read(path)
+                    batch[b] = decode_image(io.BytesIO(data), self.size, rng)
+                    b += 1
+                except Exception:
+                    continue  # skip undecodable files (TF decoder tolerance)
+            item = batch.copy()
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(item, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        if self._queue is None:
+            self._queue = queue.Queue(maxsize=self.prefetch)
+            for i in range(self.num_workers):
+                t = threading.Thread(target=self._worker, args=(i,), daemon=True)
+                t.start()
+                self._threads.append(t)
+        while True:
+            yield self._queue.get()
+
+    def close(self):
+        self._stop.set()
+
+
+class ArrayDataset:
+    """In-memory dataset (tests, benchmarks, MNIST/CIFAR-style arrays).
+
+    ``images``: (N, H, W, C) uint8 or float32-in-[-1,1)."""
+
+    def __init__(self, images: np.ndarray, batch_size: int, seed: int = 0, flip: bool = True):
+        if images.dtype == np.uint8:
+            images = images.astype(np.float32) / 128.0 - 1.0
+        self.images = images
+        self.batch_size = batch_size
+        self.seed = seed
+        self.flip = flip
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        rng = np.random.default_rng(self.seed)
+        n = len(self.images)
+        while True:
+            idx = rng.integers(0, n, self.batch_size)
+            batch = self.images[idx]
+            if self.flip:
+                mask = rng.integers(0, 2, self.batch_size).astype(bool)
+                batch = batch.copy()
+                batch[mask] = batch[mask, :, ::-1]
+            yield batch
+
+
+def device_iterator(dataset, sharding=None):
+    """Move host batches to device, optionally pre-sharded across a mesh.
+
+    Overlaps the host→device transfer of batch N+1 with compute on batch N by
+    keeping one batch in flight (double buffering)."""
+    import jax
+
+    it = iter(dataset)
+
+    def put(x):
+        if sharding is not None:
+            return jax.device_put(x, sharding)
+        return jax.device_put(x)
+
+    pending = put(next(it))
+    for batch in it:
+        nxt = put(batch)
+        yield pending
+        pending = nxt
+
+
+def make_datasets(cfg, **kw) -> list:
+    """One dataset per class pattern (reference train.py:299-321)."""
+    return [
+        ImageDataset(
+            pattern,
+            cfg.size,
+            cfg.batch_size,
+            seed=cfg.seed,
+            shuffle_buffer=cfg.shuffle_buffer,
+            cache=cfg.cache,
+            **kw,
+        )
+        for pattern in cfg.class_patterns()
+    ]

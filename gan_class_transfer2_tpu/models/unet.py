@@ -1,0 +1,202 @@
+"""The Denoiser U-Net — functional pytree params + pure apply.
+
+Reproduces the reference topology exactly (reference train.py:175-215):
+a recursively nested stack of ``octaves`` levels, each
+``DownShuffle(f_i) → Block(f_i) → inner → Block(f_i) → UpShuffle(u_i)``
+wrapped in a skip connection, with ``f_i = min(pixel_size·2^i, max_size)``,
+``u_i = min(pixel_size·2^i // 2, max_size)``; outer
+``Block(pixel_size) → nest → Block(pixel_size) → Dense(out)``.
+
+Skip modes (reference train.py:97-121):
+  * ``concat``   (active default) — channel-concat of branch output with the
+                 level input, branch cast to the input dtype (train.py:113-119)
+  * ``residual`` — ``input + Dense_nobias(branch(input))`` (train.py:110-112)
+  * ``none``     — passthrough.
+
+The timestep input is accepted and **ignored** — the reference model is
+unconditional on t (vestige of a per-step-output head, train.py:206-215).
+The vestigial design itself is available via ``per_step_output=True``
+(Dense(3·steps) head + per-sample gather on t−1, train.py:199, 211-214).
+
+TPU-first details: NHWC layout throughout, params stored fp32 and cast to
+``cfg.compute_dtype`` at apply time (Keras mixed-precision semantics,
+train.py:43-45), optional per-octave rematerialisation (``cfg.remat``), and
+the k4/s2 convs lower through ops/conv.py's pixel-shuffle fast path on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import conv as conv_ops
+from ..ops import init as init_ops
+
+Params = Dict[str, Any]
+
+
+def _init_block(key, in_ch: int, filters: int, depth: int):
+    """Block(filters): ``depth`` × 3×3/s1 SAME ReLU convs (train.py:123-143).
+    depth=0 → identity (empty list)."""
+    layers = []
+    c = in_ch
+    for _ in range(depth):
+        key, k1 = jax.random.split(key)
+        layers.append(
+            {
+                "kernel": init_ops.conv_kernel(k1, 3, 3, c, filters),
+                "bias": init_ops.zeros((filters,)),
+            }
+        )
+        c = filters
+    return layers, c
+
+
+def _apply_block(layers, x, impl):
+    for layer in layers:
+        x = conv_ops.conv2d(x, layer["kernel"], layer["bias"], stride=1, relu=True)
+    return x
+
+
+def init_unet(key, cfg, in_channels: int = 3, out_channels: int | None = None) -> Params:
+    """Build the parameter pytree. Returns fp32 params."""
+    out_channels = cfg.out_channels() if out_channels is None else out_channels
+    params: Params = {}
+    c = in_channels
+
+    key, sub = jax.random.split(key)
+    params["pre_block"], c = _init_block(sub, c, cfg.pixel_size, cfg.block_depth)
+
+    octaves = []
+    skip_channels = []
+    for i in range(cfg.octaves):
+        f = cfg.octave_filters(i)
+        u = cfg.octave_up_filters(i)
+        skip_channels.append(c)
+        key, kd = jax.random.split(key)
+        level = {
+            "down": {
+                "kernel": init_ops.conv_kernel(kd, 4, 4, c, f),
+                "bias": init_ops.zeros((f,)),
+            }
+        }
+        key, sub = jax.random.split(key)
+        level["block_in"], c = _init_block(sub, f, f, cfg.block_depth)
+        octaves.append(level)
+
+    key, sub = jax.random.split(key)
+    params["middle"], c = _init_block(sub, c, cfg.middle_filters(), cfg.block_depth)
+
+    for i in reversed(range(cfg.octaves)):
+        f = cfg.octave_filters(i)
+        u = cfg.octave_up_filters(i)
+        level = octaves[i]
+        key, sub = jax.random.split(key)
+        level["block_out"], c = _init_block(sub, c, f, cfg.block_depth)
+        key, ku = jax.random.split(key)
+        level["up"] = {
+            "kernel": init_ops.conv_kernel(ku, 4, 4, c, u, transpose=True),
+            "bias": init_ops.zeros((u,)),
+        }
+        c = u
+        if cfg.skip_mode == "concat":
+            c = c + skip_channels[i]
+        elif cfg.skip_mode == "residual":
+            key, kr = jax.random.split(key)
+            # Dense(input_channels, use_bias=False) on the branch output
+            # (reference train.py:104-112).
+            level["skip_dense"] = init_ops.dense_kernel(kr, c, skip_channels[i])
+            c = skip_channels[i]
+    params["octaves"] = octaves
+
+    key, sub = jax.random.split(key)
+    params["post_block"], c = _init_block(sub, c, cfg.pixel_size, cfg.block_depth)
+
+    key, kh = jax.random.split(key)
+    params["head"] = {
+        "kernel": init_ops.dense_kernel(kh, c, out_channels),
+        "bias": init_ops.zeros((out_channels,)),
+    }
+    return params
+
+
+def _octave_apply(cfg, octaves, i, x, impl):
+    """Apply octave level i (recursively) to x; returns the level output."""
+    level = octaves[i]
+    h = conv_ops.down_conv(x, level["down"]["kernel"], level["down"]["bias"], impl)
+    h = _apply_block(level["block_in"], h, impl)
+    if i + 1 < cfg.octaves:
+        inner = lambda y: _octave_apply(cfg, octaves, i + 1, y, impl)
+        if cfg.remat:
+            inner = jax.checkpoint(inner)
+        h = inner(h)
+    else:
+        h = _apply_block_middle(cfg, octaves, h, impl)
+    h = _apply_block(level["block_out"], h, impl)
+    h = conv_ops.up_conv(h, level["up"]["kernel"], level["up"]["bias"], impl)
+    if cfg.skip_mode == "concat":
+        # Branch cast to the input dtype (reference train.py:113-119).
+        return jnp.concatenate([h.astype(x.dtype), x], axis=-1)
+    if cfg.skip_mode == "residual":
+        return x + conv_ops.dense(h, level["skip_dense"]).astype(x.dtype)
+    return h
+
+
+def _apply_block_middle(cfg, octaves, h, impl):
+    # The middle Block params live on the params dict, threaded via closure
+    # set in unet_apply; placeholder overridden there.
+    raise NotImplementedError
+
+
+def unet_apply(cfg, params: Params, x, t=None):
+    """Forward pass. ``x``: (B, H, W, C) in [-1, 1). ``t``: (B,) int timesteps,
+    accepted for interface parity and ignored unless ``per_step_output``."""
+    impl = cfg.conv_impl
+    dtype = jnp.dtype(cfg.compute_dtype)
+    x = x.astype(dtype)
+
+    h = _apply_block(params["pre_block"], x, impl)
+
+    def rec(i, h):
+        level = params["octaves"][i]
+        inp = h
+        h = conv_ops.down_conv(h, level["down"]["kernel"], level["down"]["bias"], impl)
+        h = _apply_block(level["block_in"], h, impl)
+        if i + 1 < cfg.octaves:
+            inner = lambda y: rec(i + 1, y)
+            if cfg.remat:
+                inner = jax.checkpoint(inner)
+            h = inner(h)
+        else:
+            h = _apply_block(params["middle"], h, impl)
+        h = _apply_block(level["block_out"], h, impl)
+        h = conv_ops.up_conv(h, level["up"]["kernel"], level["up"]["bias"], impl)
+        if cfg.skip_mode == "concat":
+            return jnp.concatenate([h.astype(inp.dtype), inp], axis=-1)
+        if cfg.skip_mode == "residual":
+            return inp + conv_ops.dense(h, level["skip_dense"]).astype(inp.dtype)
+        return h
+
+    if cfg.octaves > 0:
+        h = rec(0, h)
+    else:
+        h = _apply_block(params["middle"], h, impl)
+
+    h = _apply_block(params["post_block"], h, impl)
+    pred = conv_ops.dense(h, params["head"]["kernel"], params["head"]["bias"])
+
+    if cfg.per_step_output:
+        # Vestigial per-timestep head (reference train.py:199, 211-214):
+        # reshape (B,H,W,steps,3) and gather t−1 per sample.
+        b, hh, ww, _ = pred.shape
+        pred = pred.reshape(b, hh, ww, cfg.steps, 3)
+        t_idx = jnp.reshape(t, (b, 1, 1, 1, 1)).astype(jnp.int32) - 1
+        pred = jnp.take_along_axis(pred, jnp.broadcast_to(t_idx, (b, hh, ww, 1, 3)), axis=3)
+        pred = pred[..., 0, :]
+    return pred
+
+
+def param_count(params) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,139 @@
+"""Inversion, noise-space edits, and reverse-diffusion sampling.
+
+The reference runs these as 401 separate eager denoiser dispatches per epoch
+(reference train.py:323-496, SURVEY §3.4). Here each loop is a single
+``lax.scan`` inside one jitted program — the denoiser weights stay resident,
+the loop is compiled once, and intermediate snapshots are written into a
+fixed-size buffer with ``lax.cond``-free masked updates.
+
+Pipeline (mirrors log_sample):
+  (a) ``preview``       — single-step denoise at ``test_step``   (train.py:325-361)
+  (b) ``invert``        — t = 1…T ascending DDIM-style encoder   (train.py:364-413)
+  (c) ``edit_noise``    — pixelate / shift / VQ-quantise ε̂       (train.py:415-437)
+  (d) ``sample``        — t = T…1 reverse diffusion + snapshots  (train.py:439-496)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import diffusion
+from ..models import unet
+from ..ops import image as image_ops
+
+
+def preview(cfg, params, example_image, noise):
+    """Single-step denoise preview. Returns (denoised, rmse).
+
+    ``example_image``: (1,H,W,3) clean image; ``noise``: same shape.
+    (reference train.py:325-361)
+    """
+    factor = diffusion.preview_image_factor(cfg)
+    noised = example_image * factor**0.5 + noise * (1 - factor) ** 0.5
+    prediction = unet.unet_apply(
+        cfg, params, noised, jnp.full((noised.shape[0],), cfg.test_step, jnp.int32)
+    ).astype(jnp.float32)
+    denoised = diffusion.preview_denoise(cfg, noised, prediction)
+    rmse = jnp.mean((example_image - denoised) ** 2) ** 0.5
+    return denoised, rmse
+
+
+def _denoise_call(cfg, params, fake, t):
+    t_vec = jnp.full((fake.shape[0],), t, jnp.int32)
+    return unet.unet_apply(
+        cfg, params, fake.astype(jnp.dtype(cfg.compute_dtype)), t_vec
+    ).astype(jnp.float32)
+
+
+def invert(cfg, params, image):
+    """DDIM-style encoder: iterate t = 1…T, alternately re-noising and
+    re-estimating (x̂, ε̂) (reference train.py:364-413). Returns (x̂, ε̂).
+
+    Initialisation quirk preserved: ε̂ starts as the image itself
+    ("might be close enough", train.py:367)."""
+
+    def body(carry, t):
+        x_theta, epsilon_theta = carry
+        t = t.astype(jnp.float32)
+        fake = diffusion.renoise(cfg, x_theta, epsilon_theta, t)
+        prediction = _denoise_call(cfg, params, fake, t)
+        x_theta, epsilon_theta = diffusion.step_update(
+            cfg, prediction, fake, epsilon_theta, t
+        )
+        return (x_theta, epsilon_theta), None
+
+    ts = jnp.arange(1, cfg.steps + 1)  # ascending (reference train.py:369)
+    (x_theta, epsilon_theta), _ = lax.scan(body, (image, image), ts)
+    return x_theta, epsilon_theta
+
+
+def edit_noise(cfg, epsilon_theta, dictionary, extra_noise):
+    """Noise-space edits + batch assembly (reference train.py:415-437).
+
+    Returns the (2 + 4·B)-image batch: [2 pure-noise draws, ε̂, pixelated,
+    shifted, VQ-quantised]."""
+    pixelated = image_ops.upsample_nearest(image_ops.avg_pool(epsilon_theta, 4), 4)
+    shifted = image_ops.roll2d(epsilon_theta, 1, 1)
+    quantised = image_ops.vq_quantise(epsilon_theta, dictionary)
+    fake = jnp.concatenate([epsilon_theta, pixelated, shifted, quantised], 0)
+    return jnp.concatenate([extra_noise, fake], 0)
+
+
+class SampleResult(NamedTuple):
+    images: jnp.ndarray  # final x̂ batch
+    snapshots: jnp.ndarray  # (4, B, H, W, C) at t = T, 3T/4, T/2, T/4
+
+
+def sample(cfg, params, init_batch) -> SampleResult:
+    """Reverse diffusion t = T…1 with intermediate snapshots
+    (reference train.py:439-496). ``init_batch`` seeds both x̂ and ε̂
+    (train.py:436-437)."""
+    T = cfg.steps
+    snap_ts = jnp.asarray([T, 3 * T // 4, 2 * T // 4, T // 4])
+
+    def body(carry, t):
+        x_theta, epsilon_theta, snaps = carry
+        tf_ = t.astype(jnp.float32)
+        fake = diffusion.renoise(cfg, x_theta, epsilon_theta, tf_)
+        prediction = _denoise_call(cfg, params, fake, tf_)
+        x_theta, epsilon_theta = diffusion.step_update(
+            cfg, prediction, fake, epsilon_theta, tf_
+        )
+        # Snapshot x̂ at the four reference timesteps (train.py:488-495).
+        hit = snap_ts == t
+        snaps = jnp.where(hit[:, None, None, None, None], x_theta[None], snaps)
+        return (x_theta, epsilon_theta, snaps), None
+
+    snaps0 = jnp.zeros((4,) + init_batch.shape, jnp.float32)
+    ts = jnp.arange(T, 0, -1)
+    (x_theta, _, snaps), _ = lax.scan(body, (init_batch, init_batch, snaps0), ts)
+    return SampleResult(x_theta, snaps)
+
+
+def make_eval_fn(cfg):
+    """Build the full jitted eval program: preview + invert + edits + sample.
+
+    Returns ``eval_fn(params, example_image, noise_bank, dictionary)`` →
+    dict of arrays matching the reference's TensorBoard artifacts
+    (tags: denoised, example loss, step_1/0.75/0.5/0.25, fake)."""
+
+    def eval_fn(params, example_image, noise_bank, dictionary):
+        denoised, rmse = preview(cfg, params, example_image, noise_bank[:1])
+        x_theta, epsilon_theta = invert(cfg, params, example_image)
+        batch = edit_noise(cfg, epsilon_theta, dictionary, noise_bank)
+        result = sample(cfg, params, batch)
+        return {
+            "denoised": denoised,
+            "example_loss": rmse,
+            "fake": result.images,
+            "step_1": result.snapshots[0],
+            "step_0.75": result.snapshots[1],
+            "step_0.5": result.snapshots[2],
+            "step_0.25": result.snapshots[3],
+        }
+
+    return jax.jit(eval_fn)

@@ -1,0 +1,91 @@
+"""Conv primitive tests: TF-semantics parity via pre-generated goldens
+(tests/golden/conv_golden.npz, produced offline by tf.nn ops) and
+lax-vs-shuffle implementation equivalence."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_class_transfer2_tpu.ops import conv
+
+GOLDEN = np.load(
+    os.path.join(os.path.dirname(__file__), "golden", "conv_golden.npz")
+)
+
+
+def test_conv2d_matches_tf_same_stride2():
+    y = conv.conv2d(
+        jnp.asarray(GOLDEN["x"]),
+        jnp.asarray(GOLDEN["k_conv"]),
+        jnp.asarray(GOLDEN["b_conv"]),
+        stride=2,
+    )
+    np.testing.assert_allclose(np.asarray(y), GOLDEN["y_conv"], atol=1e-4)
+
+
+def test_conv2d_matches_tf_same_stride1_k3():
+    y = conv.conv2d(
+        jnp.asarray(GOLDEN["x"]),
+        jnp.asarray(GOLDEN["k3"]),
+        jnp.asarray(GOLDEN["b3"]),
+        stride=1,
+    )
+    np.testing.assert_allclose(np.asarray(y), GOLDEN["y_conv3"], atol=1e-4)
+
+
+def test_conv2d_matches_tf_odd_input():
+    y = conv.conv2d(
+        jnp.asarray(GOLDEN["x7"]), jnp.asarray(GOLDEN["k_conv"]), stride=2
+    )
+    np.testing.assert_allclose(np.asarray(y), GOLDEN["y_conv7"], atol=1e-4)
+
+
+def test_conv2d_transpose_matches_tf():
+    # TF stores convT kernels (kh, kw, out, in); ours are dataflow HWIO.
+    k = jnp.asarray(GOLDEN["k_convt_tf"]).transpose(0, 1, 3, 2)
+    y = conv.conv2d_transpose(
+        jnp.asarray(GOLDEN["x"]), k, jnp.asarray(GOLDEN["b_convt"]), stride=2
+    )
+    np.testing.assert_allclose(np.asarray(y), GOLDEN["y_convt"], atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 3), (1, 4, 4, 7)])
+def test_transpose_shuffle_equals_lax(shape, rng):
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(4, 4, shape[-1], 6)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(6,)), jnp.float32)
+    y_ref = conv.conv2d_transpose(x, k, b, stride=2, relu=True)
+    y_fast = conv.conv2d_transpose_shuffle(x, k, b, relu=True)
+    assert y_fast.shape == y_ref.shape == (shape[0], shape[1] * 2, shape[2] * 2, 6)
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 8, 3), (1, 4, 4, 7)])
+def test_down_shuffle_equals_lax(shape, rng):
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(4, 4, shape[-1], 6)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(6,)), jnp.float32)
+    y_ref = conv.conv2d(x, k, b, stride=2, relu=True)
+    y_fast = conv.conv2d_down_shuffle(x, k, b, relu=True)
+    assert y_fast.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref), atol=1e-4)
+
+
+def test_space_depth_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 3)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(conv.depth_to_space(conv.space_to_depth(x, 2), 2)),
+        np.asarray(x),
+    )
+
+
+def test_dense(rng):
+    x = jnp.asarray(rng.normal(size=(2, 4, 4, 7)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(7, 3)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(3,)), jnp.float32)
+    y = conv.dense(x, k, b)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(x) @ np.asarray(k) + np.asarray(b), atol=1e-5
+    )

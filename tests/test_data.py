@@ -1,0 +1,99 @@
+"""Data-pipeline tests: decode/augment semantics (reference train.py:285-321)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from gan_class_transfer2_tpu.config import tiny_test_config
+from gan_class_transfer2_tpu.data import pipeline
+
+
+@pytest.fixture
+def image_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        arr = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img_{i}.png")
+    # one grayscale image (channel-broadcast path, reference train.py:290)
+    gray = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    Image.fromarray(gray, mode="L").save(tmp_path / "gray.png")
+    return tmp_path
+
+
+def test_decode_normalization_range(image_dir):
+    rng = np.random.default_rng(0)
+    img = pipeline.decode_image(str(image_dir / "img_0.png"), 16, rng)
+    assert img.shape == (16, 16, 3)
+    assert img.dtype == np.float32
+    assert img.min() >= -1.0 and img.max() <= 127 / 128  # uint8/128 - 1
+
+
+def test_decode_grayscale_broadcast(image_dir):
+    rng = np.random.default_rng(0)
+    img = pipeline.decode_image(str(image_dir / "gray.png"), 16, rng)
+    assert img.shape == (16, 16, 3)
+    np.testing.assert_array_equal(img[..., 0], img[..., 1])
+
+
+def test_decode_no_crop_when_exact_size(image_dir):
+    rng = np.random.default_rng(0)
+    arr = np.asarray(Image.open(image_dir / "img_0.png").convert("RGB"))
+    img = pipeline.decode_image(str(image_dir / "img_0.png"), 24, rng)
+    # only flip is possible; check content matches original or its mirror
+    a = (arr.astype(np.float32) / 128) - 1
+    assert np.allclose(img, a) or np.allclose(img, a[:, ::-1])
+
+
+def test_image_dataset_batches(image_dir):
+    ds = pipeline.ImageDataset(
+        str(image_dir / "*.png"), size=16, batch_size=3, num_workers=1, seed=0
+    )
+    it = iter(ds)
+    b1 = next(it)
+    b2 = next(it)
+    ds.close()
+    assert b1.shape == (3, 16, 16, 3)
+    assert b1.dtype == np.float32
+    assert not np.array_equal(b1, b2)
+
+
+def test_list_files_missing_raises():
+    with pytest.raises(FileNotFoundError):
+        pipeline.list_files("/nonexistent/*.png")
+
+
+def test_array_dataset_iterates():
+    images = np.random.default_rng(0).integers(
+        0, 256, size=(10, 8, 8, 3), dtype=np.uint8
+    )
+    ds = pipeline.ArrayDataset(images, batch_size=4, seed=0)
+    b = next(iter(ds))
+    assert b.shape == (4, 8, 8, 3)
+    assert b.max() <= 127 / 128 and b.min() >= -1.0
+
+
+def test_device_iterator():
+    images = np.random.default_rng(0).integers(
+        0, 256, size=(10, 8, 8, 3), dtype=np.uint8
+    )
+    ds = pipeline.ArrayDataset(images, batch_size=2, seed=0)
+    it = pipeline.device_iterator(ds)
+    b = next(it)
+    import jax
+
+    assert isinstance(b, jax.Array)
+    assert b.shape == (2, 8, 8, 3)
+
+
+def test_make_datasets_per_class(image_dir, tmp_path):
+    cfg = tiny_test_config(
+        classes=(str(image_dir / "img_*.png"), str(image_dir / "gray*.png")),
+        batch_size=1,
+    )
+    dsets = pipeline.make_datasets(cfg, num_workers=1)
+    assert len(dsets) == 2
+    for ds in dsets:
+        ds.close()

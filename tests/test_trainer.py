@@ -1,0 +1,114 @@
+"""Training-step tests: loss decreases on a fixed batch, optimizer variants
+run, warmup LR engages, EMA tracks, loss variants compute
+(reference Trainer train.py:217-280; optimizer train.py:67-83)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_class_transfer2_tpu.config import tiny_test_config
+from gan_class_transfer2_tpu.train import trainer
+
+
+def _batch(cfg, seed=0):
+    r = np.random.default_rng(seed)
+    return jnp.asarray(
+        r.uniform(-1, 1, size=(cfg.batch_size, cfg.size, cfg.size, 3)), jnp.float32
+    )
+
+
+def test_loss_decreases_overfit():
+    cfg = tiny_test_config(learning_rate=1e-3, warm_up=0)
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    step = trainer.make_train_step(cfg)
+    batch = _batch(cfg)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(30):
+        state, loss = step(state, batch, rng)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_state_step_increments():
+    cfg = tiny_test_config()
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    step = trainer.make_train_step(cfg)
+    state, _ = step(state, _batch(cfg), jax.random.PRNGKey(1))
+    assert int(state.step) == 1
+
+
+@pytest.mark.parametrize("opt", ["sgd", "momentum", "sign_sgd", "rmsprop"])
+def test_optimizer_variants(opt):
+    cfg = tiny_test_config(optimizer=opt, learning_rate=1e-4)
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    step = trainer.make_train_step(cfg)
+    state, loss = step(state, _batch(cfg), jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+
+@pytest.mark.parametrize("loss_name", ["l1", "dct", "mse_multiscale"])
+def test_loss_variants(loss_name):
+    cfg = tiny_test_config(loss=loss_name)
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    step = trainer.make_train_step(cfg)
+    _, loss = step(state, _batch(cfg), jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+
+@pytest.mark.parametrize("param", ["epsilon", "scaled_epsilon", "ode"])
+def test_parameterization_variants(param):
+    cfg = tiny_test_config(parameterization=param)
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    step = trainer.make_train_step(cfg)
+    _, loss = step(state, _batch(cfg), jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+
+def test_ema_tracks_params():
+    cfg = tiny_test_config(ema_decay=0.5, learning_rate=1e-3, warm_up=0)
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    step = trainer.make_train_step(cfg)
+    assert state.ema_params is not None
+    for i in range(3):
+        state, _ = step(state, _batch(cfg, i), jax.random.PRNGKey(1))
+    head_p = np.asarray(state.params["head"]["kernel"])
+    head_e = np.asarray(state.ema_params["head"]["kernel"])
+    assert not np.allclose(head_p, head_e)  # EMA lags
+    assert np.abs(head_e - head_p).max() < 1e-2  # but tracks
+
+
+def test_weight_decay_runs():
+    cfg = tiny_test_config(weight_decay=1e-6)
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    step = trainer.make_train_step(cfg)
+    _, loss = step(state, _batch(cfg), jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+
+def test_loss_scale_matches_unscaled():
+    cfg = tiny_test_config()
+    cfg_scaled = tiny_test_config(loss_scale=128.0)
+    s0 = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    s1 = trainer.init_state(cfg_scaled, jax.random.PRNGKey(0))
+    step0 = trainer.make_train_step(cfg)
+    step1 = trainer.make_train_step(cfg_scaled)
+    b = _batch(cfg)
+    s0, l0 = step0(s0, b, jax.random.PRNGKey(1))
+    s1, l1 = step1(s1, b, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(s0.params["head"]["kernel"]),
+        np.asarray(s1.params["head"]["kernel"]),
+        atol=1e-5,
+    )
+
+
+def test_bfloat16_training_runs():
+    cfg = tiny_test_config(compute_dtype="bfloat16")
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    step = trainer.make_train_step(cfg)
+    state, loss = step(state, _batch(cfg), jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert state.params["head"]["kernel"].dtype == jnp.float32
