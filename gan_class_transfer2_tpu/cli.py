@@ -1,0 +1,129 @@
+"""Command-line interface.
+
+The reference has no CLI — its config surface is module constants
+(reference train.py:5-45). BASELINE.json names "train.py CLI flags" as public
+surface, so every Config field is exposed as ``--flag``:
+
+    python -m gan_class_transfer2_tpu.cli train --dataset-pattern 'data/*.png' \
+        --size 256 --batch-size 8 --compute-dtype bfloat16
+
+    python -m gan_class_transfer2_tpu.cli sample --checkpoint-dir ckpt --out samples/
+
+    python -m gan_class_transfer2_tpu.cli bench --size 64 --batch-size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from typing import Optional, Tuple
+
+from .config import Config
+
+
+def _add_config_args(p: argparse.ArgumentParser):
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(
+                name,
+                type=lambda s: s.lower() in ("1", "true", "yes"),
+                default=None,
+                metavar="BOOL",
+            )
+        elif isinstance(f.default, int) and not isinstance(f.default, bool):
+            p.add_argument(name, type=int, default=None)
+        elif isinstance(f.default, float):
+            p.add_argument(name, type=float, default=None)
+        elif f.name == "classes":
+            p.add_argument(name, type=str, nargs="*", default=None)
+        else:
+            p.add_argument(name, type=str, default=None)
+
+
+def config_from_args(args) -> Config:
+    overrides = {}
+    for f in dataclasses.fields(Config):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            overrides[f.name] = tuple(v) if f.name == "classes" else v
+    if getattr(args, "config", None):
+        with open(args.config) as fh:
+            base = Config.from_json(fh.read())
+        return base.replace(**overrides).validate()
+    return Config(**overrides).validate()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="gan_class_transfer2_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    for cmd in ("train", "sample", "bench"):
+        p = sub.add_parser(cmd)
+        p.add_argument("--config", type=str, default=None, help="config JSON")
+        _add_config_args(p)
+        if cmd == "sample":
+            p.add_argument("--out", type=str, default="samples")
+            p.add_argument("--num", type=int, default=6)
+        if cmd == "bench":
+            p.add_argument("--bench-steps", type=int, default=30)
+
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+
+    if args.command == "train":
+        from .train.loop import Runner
+
+        runner = Runner(cfg)
+        try:
+            runner.fit()
+        finally:
+            runner.close()
+        return 0
+
+    if args.command == "sample":
+        return _sample(cfg, args)
+
+    if args.command == "bench":
+        from .utils.benchmark import run_benchmark
+
+        result = run_benchmark(cfg, steps=args.bench_steps)
+        print(result.to_json())
+        return 0
+
+    return 1
+
+
+def _sample(cfg: Config, args) -> int:
+    import os
+
+    import jax
+    import numpy as np
+    from PIL import Image
+
+    from .sample import sampler
+    from .train import trainer as trainer_lib
+    from .utils import checkpoint as ckpt_lib
+
+    state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
+    if cfg.checkpoint_dir and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None:
+        state = ckpt_lib.restore(cfg.checkpoint_dir, state)
+    params = state.ema_params if state.ema_params is not None else state.params
+
+    rng = np.random.default_rng(cfg.seed)
+    batch = jax.numpy.asarray(
+        rng.normal(size=(args.num, cfg.size, cfg.size, 3)).astype(np.float32)
+    )
+    result = jax.jit(lambda p, b: sampler.sample(cfg, p, b))(params, batch)
+    images = np.asarray(result.images)
+    os.makedirs(args.out, exist_ok=True)
+    for i, img in enumerate(images):
+        arr = np.clip((img * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(args.out, f"sample_{i}.png"))
+    print(f"wrote {len(images)} samples to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

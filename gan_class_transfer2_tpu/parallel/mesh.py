@@ -1,0 +1,127 @@
+"""Device mesh, sharding rules, and the multi-chip training step.
+
+The reference is single-process single-GPU with no collectives anywhere
+(reference train.py:40; SURVEY §2.3). This layer provides the TPU-native
+scaling path required by BASELINE.json: a 2-D ``jax.sharding.Mesh``
+(axes ``data`` × ``model``), batch sharded over ``data`` (DP), conv/dense
+output channels optionally sharded over ``model`` (TP), with XLA emitting the
+gradient ``psum`` / activation collectives over ICI from the sharding
+annotations — no hand-written NCCL/MPI analogue.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train import trainer as trainer_lib
+
+
+def make_mesh(cfg=None, devices=None, data: int = 0, model: int = 1) -> Mesh:
+    """Build a (data, model) mesh. ``data=0`` → all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if cfg is not None:
+        data = cfg.mesh_data
+        model = cfg.mesh_model
+    model = max(model, 1)
+    if data <= 0:
+        data = max(len(devices) // model, 1)
+    n = data * model
+    if n > len(devices):
+        raise ValueError(
+            f"mesh {data}x{model} needs {n} devices, have {len(devices)}"
+        )
+    arr = np.asarray(devices[:n]).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def _leaf_spec(leaf, model_size: int) -> P:
+    """Tensor-parallel rule: shard the output-channel (last) axis of conv
+    kernels over 'model' when it divides evenly; everything else replicated.
+
+    At the reference's 41.7 M params TP is optional (SURVEY §2.3) — rule
+    degrades to full replication when mesh_model == 1."""
+    if model_size <= 1 or not hasattr(leaf, "ndim"):
+        return P()
+    if leaf.ndim == 4 and leaf.shape[-1] % model_size == 0 and leaf.shape[-1] >= 2 * model_size:
+        return P(None, None, None, "model")
+    return P()
+
+
+def state_shardings(state: Any, mesh: Mesh):
+    """Sharding tree matching a TrainState (params + optimizer state + EMA)."""
+    model_size = mesh.shape["model"]
+    return jax.tree_util.tree_map(
+        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, model_size)), state
+    )
+
+
+def init_sharded_state(cfg, mesh: Mesh, rng) -> trainer_lib.TrainState:
+    """Initialise TrainState directly with the mesh shardings (weights are
+    created on-device, already placed — no host round-trip)."""
+    abstract = jax.eval_shape(lambda r: trainer_lib.init_state(cfg, r), rng)
+    shardings = state_shardings(abstract, mesh)
+    return jax.jit(
+        lambda r: trainer_lib.init_state(cfg, r), out_shardings=shardings
+    )(rng)
+
+
+def make_parallel_train_step(cfg, mesh: Mesh, example_state=None):
+    """jit-compile the training step over the mesh.
+
+    Batch: P('data'); state: TP rule above; rng replicated. XLA inserts the
+    DP gradient all-reduce and any TP collectives automatically."""
+    optimizer = trainer_lib.make_optimizer(cfg)
+
+    def step(state, batch, rng):
+        return trainer_lib.train_step(cfg, optimizer, state, batch, rng)
+
+    if example_state is None:
+        example_state = jax.eval_shape(
+            lambda r: trainer_lib.init_state(cfg, r), jax.random.PRNGKey(0)
+        )
+    st_sh = state_shardings(example_state, mesh)
+    b_sh = batch_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(st_sh, b_sh, rep),
+        out_shardings=(st_sh, rep),
+        donate_argnums=(0,) if cfg.donate_state else (),
+    )
+
+
+def make_parallel_eval_fn(cfg, mesh: Mesh):
+    """Eval/sampler program jitted over the mesh. The sampler batch is tiny
+    (2 + 4·B images, reference train.py:432-434), so inputs are replicated;
+    TP-sharded params still parallelise the convs."""
+    rep = NamedSharding(mesh, P())
+    return jax.jit(sampler_eval(cfg), in_shardings=(None, rep, rep, rep))
+
+
+def sampler_eval(cfg):
+    from ..sample import sampler
+
+    def eval_fn(params, example_image, noise_bank, dictionary):
+        denoised, rmse = sampler.preview(cfg, params, example_image, noise_bank[:1])
+        x_theta, epsilon_theta = sampler.invert(cfg, params, example_image)
+        batch = sampler.edit_noise(cfg, epsilon_theta, dictionary, noise_bank)
+        result = sampler.sample(cfg, params, batch)
+        return {
+            "denoised": denoised,
+            "example_loss": rmse,
+            "fake": result.images,
+            "step_1": result.snapshots[0],
+            "step_0.75": result.snapshots[1],
+            "step_0.5": result.snapshots[2],
+            "step_0.25": result.snapshots[3],
+        }
+
+    return eval_fn

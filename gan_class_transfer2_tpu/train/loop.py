@@ -1,0 +1,129 @@
+"""Run driver — the framework equivalent of the reference's ``__main__``
+block (reference train.py:498-523): build writer → warm-up/compile → fit with
+the per-epoch sampling callback — plus the capabilities the reference lacks:
+checkpoint/resume, multi-chip meshes, profiling hooks, throughput metrics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data import pipeline
+from ..parallel import mesh as mesh_lib
+from ..utils import checkpoint as ckpt_lib
+from ..utils import tensorboard as tb
+from . import trainer as trainer_lib
+
+
+class Runner:
+    """Owns mesh, state, data, logging, and the epoch loop."""
+
+    def __init__(self, cfg: Config, dataset=None, log_dir: Optional[str] = None):
+        self.cfg = cfg.validate()
+        self.mesh = mesh_lib.make_mesh(cfg)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        self.rng, init_rng = jax.random.split(self.rng)
+        self.state = mesh_lib.init_sharded_state(cfg, self.mesh, init_rng)
+        # resume if a checkpoint exists (new capability vs reference)
+        if cfg.checkpoint_dir and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None:
+            self.state = ckpt_lib.restore(cfg.checkpoint_dir, self.state)
+        self.train_step = mesh_lib.make_parallel_train_step(cfg, self.mesh)
+        self.eval_fn = mesh_lib.make_parallel_eval_fn(cfg, self.mesh)
+
+        self.dataset = dataset if dataset is not None else pipeline.make_datasets(cfg)[0]
+        self.data_iter = pipeline.device_iterator(
+            self.dataset, mesh_lib.batch_sharding(self.mesh)
+        )
+
+        self.log_dir = log_dir or tb.reference_log_dir(cfg.log_dir)
+        self.writer = tb.SummaryWriter(self.log_dir)
+
+        # eval fixtures (reference train.py:305-311)
+        fr = np.random.default_rng(cfg.seed + 1)
+        self.noise_bank = jnp.asarray(
+            fr.normal(size=(2, cfg.size, cfg.size, 3)), jnp.float32
+        )
+        self.dictionary = jnp.asarray(
+            fr.normal(size=(cfg.size, cfg.size, 2**cfg.bits_per_pixel, 3)),
+            jnp.float32,
+        )
+        if cfg.example_image_path:
+            r = np.random.default_rng(0)
+            img = pipeline.decode_image(cfg.example_image_path, cfg.size, r, crop=True)
+            self.example_image = jnp.asarray(img)[None]
+        else:
+            self.example_image = jnp.asarray(
+                fr.uniform(-1, 1, (1, cfg.size, cfg.size, 3)), jnp.float32
+            )
+
+    # ------------------------------------------------------------------ eval
+    def log_sample(self, epoch: int):
+        """Per-epoch eval: preview + inversion + edits + sampling, logged with
+        the reference's TensorBoard tags (reference train.py:323-496)."""
+        params = (
+            self.state.ema_params
+            if self.state.ema_params is not None
+            else self.state.params
+        )
+        out = self.eval_fn(
+            params, self.example_image, self.noise_bank, self.dictionary
+        )
+        out = jax.device_get(out)
+        self.writer.image("denoised", out["denoised"] * 0.5 + 0.5, epoch)
+        self.writer.scalar("example loss", float(out["example_loss"]), epoch)
+        for tag in ("step_1", "step_0.25", "step_0.5", "step_0.75"):
+            self.writer.image(tag, out[tag] * 0.5 + 0.5, epoch, max_outputs=10)
+        self.writer.image("fake", out["fake"] * 0.5 + 0.5, epoch, max_outputs=10)
+
+    # ----------------------------------------------------------------- train
+    def fit(
+        self,
+        epochs: Optional[int] = None,
+        steps_per_epoch: Optional[int] = None,
+        on_epoch_begin: Optional[Callable[[int], None]] = None,
+        log_samples: bool = True,
+    ):
+        cfg = self.cfg
+        epochs = cfg.epochs if epochs is None else epochs
+        steps_per_epoch = (
+            cfg.steps_per_epoch if steps_per_epoch is None else steps_per_epoch
+        )
+        step_rng = jax.random.fold_in(self.rng, 17)
+        for epoch in range(epochs):
+            if on_epoch_begin is not None:
+                on_epoch_begin(epoch)
+            if log_samples and epoch % cfg.log_images_every == 0:
+                self.log_sample(epoch)
+            t0 = time.perf_counter()
+            loss_sum = 0.0
+            for _ in range(steps_per_epoch):
+                batch = next(self.data_iter)
+                self.state, loss = self.train_step(self.state, batch, step_rng)
+                loss_sum += float(loss)
+                if (
+                    cfg.checkpoint_dir
+                    and int(self.state.step) % cfg.checkpoint_every == 0
+                ):
+                    ckpt_lib.save(cfg.checkpoint_dir, self.state, cfg)
+            dt = time.perf_counter() - t0
+            ips = steps_per_epoch * cfg.batch_size / dt
+            self.writer.scalar("loss", loss_sum / steps_per_epoch, epoch)
+            self.writer.scalar("images_per_sec", ips, epoch)
+            print(
+                f"epoch {epoch}: loss={loss_sum / steps_per_epoch:.5f} "
+                f"{ips:.1f} images/s",
+                flush=True,
+            )
+        return self.state
+
+    def close(self):
+        self.writer.close()
+        if hasattr(self.dataset, "close"):
+            self.dataset.close()

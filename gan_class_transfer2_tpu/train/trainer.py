@@ -82,7 +82,11 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
 def init_state(cfg, rng) -> TrainState:
     params = unet.init_unet(rng, cfg)
     opt_state = make_optimizer(cfg).init(params)
-    ema = params if cfg.ema_decay > 0 else None
+    # EMA must be a distinct buffer: state donation would otherwise present
+    # the same buffer twice to XLA (params and ema alias at init).
+    ema = (
+        jax.tree_util.tree_map(jnp.copy, params) if cfg.ema_decay > 0 else None
+    )
     return TrainState(jnp.zeros((), jnp.int32), params, opt_state, ema)
 
 

@@ -1,0 +1,89 @@
+"""Throughput benchmark harness.
+
+The reference publishes no numbers (BASELINE.md) — the workload spec is the
+256², ~41.7 M-param U-Net diffusion step. This harness measures training
+images/sec/chip for any Config, with compile time excluded and proper device
+synchronisation (block_until_ready).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class BenchResult:
+    metric: str
+    value: float
+    unit: str
+    vs_baseline: float
+    extra: dict
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "metric": self.metric,
+                "value": round(self.value, 3),
+                "unit": self.unit,
+                "vs_baseline": round(self.vs_baseline, 3),
+                **self.extra,
+            }
+        )
+
+
+def run_benchmark(cfg, steps: int = 30, warmup: int = 3, baseline_ips: float | None = None) -> BenchResult:
+    """Time the jitted train step on synthetic data resident in HBM."""
+    from ..parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.make_mesh(cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+    state = mesh_lib.init_sharded_state(cfg, mesh, rng)
+    step_fn = mesh_lib.make_parallel_train_step(cfg, mesh)
+
+    r = np.random.default_rng(0)
+    batch = jax.device_put(
+        jnp.asarray(
+            r.uniform(-1, 1, (cfg.batch_size, cfg.size, cfg.size, 3)).astype(
+                np.float32
+            )
+        ),
+        mesh_lib.batch_sharding(mesh),
+    )
+
+    for _ in range(warmup):
+        state, loss = step_fn(state, batch, rng)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, loss = step_fn(state, batch, rng)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    n_chips = mesh.size
+    ips = steps * cfg.batch_size / dt
+    ips_per_chip = ips / n_chips
+    step_ms = dt / steps * 1000
+    result = BenchResult(
+        metric="train_images_per_sec_per_chip",
+        value=ips_per_chip,
+        unit="images/sec/chip",
+        vs_baseline=(ips_per_chip / baseline_ips) if baseline_ips else 0.0,
+        extra={
+            "images_per_sec": round(ips, 3),
+            "step_ms": round(step_ms, 3),
+            "batch_size": cfg.batch_size,
+            "size": cfg.size,
+            "compute_dtype": cfg.compute_dtype,
+            "conv_impl": cfg.conv_impl,
+            "n_chips": n_chips,
+            "backend": jax.default_backend(),
+        },
+    )
+    return result

@@ -1,0 +1,63 @@
+"""Checkpoint / resume.
+
+The reference has **no checkpointing at all** (SURVEY §5 — a crash loses the
+run). This is a required new capability per BASELINE.json ("checkpoint
+format" is public surface). Format: orbax PyTree checkpoints under
+``<dir>/step_<N>`` plus the config JSON, so a run is resumable from the
+directory alone.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Optional, Tuple
+
+import jax
+
+from ..config import Config
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None):
+    """Save TrainState (+ config) at ``<ckpt_dir>/step_<N>``."""
+    step = int(state.step) if step is None else int(step)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:09d}")
+    _checkpointer().save(path, jax.device_get(state))
+    with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    return path
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [
+        int(m.group(1))
+        for name in os.listdir(ckpt_dir)
+        if (m := re.fullmatch(r"step_(\d+)", name))
+    ]
+    return max(steps) if steps else None
+
+
+def restore(ckpt_dir: str, like, step: Optional[int] = None):
+    """Restore a TrainState. ``like`` is a template state (same treedef) —
+    e.g. from ``trainer.init_state`` or ``jax.eval_shape`` thereof."""
+    step = latest_step(ckpt_dir) if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:09d}")
+    restored = _checkpointer().restore(path, item=jax.device_get(like))
+    return jax.tree_util.tree_map(lambda _, r: r, like, restored)
+
+
+def load_config(ckpt_dir: str) -> Config:
+    with open(os.path.join(ckpt_dir, "config.json")) as f:
+        return Config.from_json(f.read())

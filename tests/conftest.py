@@ -2,19 +2,23 @@
 
 Runs the whole suite on a virtual 8-device CPU mesh (the standard JAX
 no-cluster pattern) so multi-chip sharding paths are exercised without TPU
-hardware. Must set the env vars before the first `import jax` anywhere.
+hardware. NOTE: in this environment the env var JAX_PLATFORMS is pre-set to
+the TPU plugin and is NOT overridable via os.environ — we must force the
+platform through jax.config before any backend initialisation.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# Keep single-core CI deterministic and quiet.
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

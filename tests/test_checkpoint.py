@@ -1,0 +1,56 @@
+"""Checkpoint/resume tests (new capability vs reference — SURVEY §5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_class_transfer2_tpu.config import tiny_test_config
+from gan_class_transfer2_tpu.train import trainer
+from gan_class_transfer2_tpu.utils import checkpoint as ckpt
+
+
+def test_save_restore_roundtrip(tmp_path):
+    cfg = tiny_test_config()
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    step = trainer.make_train_step(cfg.replace(donate_state=False))
+    batch = jnp.zeros((cfg.batch_size, cfg.size, cfg.size, 3))
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+
+    d = str(tmp_path / "ckpt")
+    ckpt.save(d, state, cfg)
+    assert ckpt.latest_step(d) == 1
+
+    template = trainer.init_state(cfg, jax.random.PRNGKey(42))
+    restored = ckpt.restore(d, template)
+    assert int(restored.step) == 1
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["head"]["kernel"]),
+        np.asarray(state.params["head"]["kernel"]),
+    )
+    # optimizer state restored too (adam mu)
+    flat_a = jax.tree_util.tree_leaves(restored.opt_state)
+    flat_b = jax.tree_util.tree_leaves(state.opt_state)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_latest_step_picks_max(tmp_path):
+    cfg = tiny_test_config()
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    d = str(tmp_path / "ckpt")
+    ckpt.save(d, state, cfg, step=5)
+    ckpt.save(d, state, cfg, step=12)
+    assert ckpt.latest_step(d) == 12
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = tiny_test_config(parameterization="epsilon", loss="l1")
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    d = str(tmp_path / "ckpt")
+    ckpt.save(d, state, cfg)
+    cfg2 = ckpt.load_config(d)
+    assert cfg2 == cfg
+
+
+def test_latest_step_empty(tmp_path):
+    assert ckpt.latest_step(str(tmp_path / "nope")) is None

@@ -1,0 +1,87 @@
+"""End-to-end smoke test of the run driver (the framework analogue of the
+reference __main__, train.py:498-523): tiny config, synthetic data, 1 epoch
+with sampling callback, TensorBoard artifacts, checkpoint, resume."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from gan_class_transfer2_tpu.config import tiny_test_config
+from gan_class_transfer2_tpu.data.pipeline import ArrayDataset
+from gan_class_transfer2_tpu.train.loop import Runner
+from gan_class_transfer2_tpu.utils import tensorboard as tb
+
+
+@pytest.fixture
+def cfg(tmp_path):
+    return tiny_test_config(
+        steps=4,
+        steps_per_epoch=3,
+        epochs=1,
+        log_dir=str(tmp_path / "logs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        checkpoint_every=3,
+        mesh_data=1,
+    )
+
+
+def _dataset(cfg):
+    images = np.random.default_rng(0).integers(
+        0, 256, size=(8, cfg.size, cfg.size, 3), dtype=np.uint8
+    )
+    return ArrayDataset(images, cfg.batch_size, seed=0)
+
+
+def test_runner_fit_end_to_end(cfg, tmp_path):
+    runner = Runner(cfg, dataset=_dataset(cfg))
+    runner.fit(epochs=1, steps_per_epoch=3)
+    runner.close()
+
+    # reference TensorBoard tags present (train.py:356-361, 489-496)
+    events = list(tb.read_events(runner.writer.path))
+    tags = {e[1] for e in events}
+    for tag in (
+        "example loss",
+        "denoised/image",
+        "fake/image/0",
+        "step_1/image/0",
+        "step_0.25/image/0",
+        "step_0.5/image/0",
+        "step_0.75/image/0",
+        "loss",
+        "images_per_sec",
+    ):
+        assert tag in tags, (tag, tags)
+
+    # checkpoint written at step 3
+    assert os.path.isdir(os.path.join(cfg.checkpoint_dir, "step_000000003"))
+
+
+def test_runner_resumes_from_checkpoint(cfg):
+    runner = Runner(cfg, dataset=_dataset(cfg))
+    runner.fit(epochs=1, steps_per_epoch=3, log_samples=False)
+    runner.close()
+
+    runner2 = Runner(cfg, dataset=_dataset(cfg))
+    assert int(runner2.state.step) == 3
+    runner2.close()
+
+
+def test_cli_config_construction():
+    from gan_class_transfer2_tpu.cli import main
+    import argparse
+
+    # parse-only path: build a config from flags without running
+    from gan_class_transfer2_tpu import cli
+
+    parser = argparse.ArgumentParser()
+    cli._add_config_args(parser)
+    args = parser.parse_args(
+        ["--size", "32", "--batch-size", "4", "--parameterization", "epsilon",
+         "--octaves", "2", "--pixel-size", "4"]
+    )
+    args.config = None
+    c = cli.config_from_args(args)
+    assert c.size == 32 and c.batch_size == 4 and c.parameterization == "epsilon"

@@ -1,0 +1,125 @@
+"""Sampler tests: scan loops match a step-by-step python reference, edits
+behave per spec (reference train.py:323-496)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_class_transfer2_tpu.config import tiny_test_config
+from gan_class_transfer2_tpu.core import diffusion
+from gan_class_transfer2_tpu.models import unet
+from gan_class_transfer2_tpu.ops import image as image_ops
+from gan_class_transfer2_tpu.sample import sampler
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()
+    params = unet.init_unet(jax.random.PRNGKey(0), cfg)
+    r = np.random.default_rng(0)
+    image = jnp.asarray(r.uniform(-1, 1, (1, cfg.size, cfg.size, 3)), jnp.float32)
+    return cfg, params, image
+
+
+def _python_invert(cfg, params, image):
+    """Eager re-implementation of the reference inversion loop
+    (train.py:364-413) as an oracle for the scan version."""
+    x_theta, epsilon_theta = image, image
+    for t in range(1, cfg.steps + 1):
+        fake = diffusion.renoise(cfg, x_theta, epsilon_theta, float(t))
+        pred = unet.unet_apply(
+            cfg, params, fake, jnp.full((1,), t, jnp.int32)
+        ).astype(jnp.float32)
+        x_theta, epsilon_theta = diffusion.step_update(
+            cfg, pred, fake, epsilon_theta, float(t)
+        )
+    return x_theta, epsilon_theta
+
+
+def test_invert_matches_python_loop(setup):
+    cfg, params, image = setup
+    x_scan, e_scan = jax.jit(lambda p, x: sampler.invert(cfg, p, x))(params, image)
+    x_ref, e_ref = _python_invert(cfg, params, image)
+    np.testing.assert_allclose(np.asarray(x_scan), np.asarray(x_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(e_scan), np.asarray(e_ref), atol=1e-4)
+
+
+def test_sample_shapes_and_snapshots(setup):
+    cfg, params, image = setup
+    batch = jnp.concatenate([image] * 3, 0)
+    result = jax.jit(lambda p, b: sampler.sample(cfg, p, b))(params, batch)
+    assert result.images.shape == batch.shape
+    assert result.snapshots.shape == (4,) + batch.shape
+    # snapshots are filled (t=T is the first iteration, always hit)
+    assert np.abs(np.asarray(result.snapshots[0])).max() > 0
+
+
+def test_preview_rmse_finite(setup):
+    cfg, params, image = setup
+    noise = jnp.asarray(
+        np.random.default_rng(1).normal(size=image.shape), jnp.float32
+    )
+    denoised, rmse = sampler.preview(cfg, params, image, noise)
+    assert denoised.shape == image.shape
+    assert np.isfinite(float(rmse))
+
+
+def test_edit_noise_assembles_batch(setup):
+    cfg, params, image = setup
+    eps = image
+    dictionary = jnp.asarray(
+        np.random.default_rng(2).normal(
+            size=(cfg.size, cfg.size, 2**cfg.bits_per_pixel, 3)
+        ),
+        jnp.float32,
+    )
+    extra = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, cfg.size, cfg.size, 3)),
+        jnp.float32,
+    )
+    batch = sampler.edit_noise(cfg, eps, dictionary, extra)
+    # [2 noise, eps, pixelated, shifted, quantised] (reference train.py:432-434)
+    assert batch.shape == (6, cfg.size, cfg.size, 3)
+    np.testing.assert_array_equal(np.asarray(batch[:2]), np.asarray(extra))
+    np.testing.assert_array_equal(np.asarray(batch[2]), np.asarray(eps))
+
+
+def test_vq_quantise_picks_nearest():
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(2, 4, 4, 3)), jnp.float32)
+    dictionary = jnp.asarray(r.normal(size=(4, 4, 8, 3)), jnp.float32)
+    q = image_ops.vq_quantise(x, dictionary)
+    # brute-force check one pixel
+    d = np.asarray(dictionary)[1, 2]  # (8,3)
+    xv = np.asarray(x)[0, 1, 2]
+    best = d[np.argmin(((d - xv) ** 2).sum(-1))]
+    np.testing.assert_allclose(np.asarray(q)[0, 1, 2], best, rtol=1e-6)
+
+
+def test_pixelate_roundtrip_shape():
+    x = jnp.ones((1, 16, 16, 3))
+    y = image_ops.upsample_nearest(image_ops.avg_pool(x, 4), 4)
+    assert y.shape == x.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x))
+
+
+def test_eval_fn_end_to_end(setup):
+    cfg, params, image = setup
+    noise = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, cfg.size, cfg.size, 3)),
+        jnp.float32,
+    )
+    dictionary = jnp.asarray(
+        np.random.default_rng(2).normal(
+            size=(cfg.size, cfg.size, 2**cfg.bits_per_pixel, 3)
+        ),
+        jnp.float32,
+    )
+    out = sampler.make_eval_fn(cfg)(params, image, noise, dictionary)
+    assert set(out) == {
+        "denoised", "example_loss", "fake",
+        "step_1", "step_0.75", "step_0.5", "step_0.25",
+    }
+    assert out["fake"].shape == (6, cfg.size, cfg.size, 3)
+    assert np.isfinite(float(out["example_loss"]))

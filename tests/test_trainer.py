@@ -19,16 +19,17 @@ def _batch(cfg, seed=0):
 
 
 def test_loss_decreases_overfit():
-    cfg = tiny_test_config(learning_rate=1e-3, warm_up=0)
+    cfg = tiny_test_config(learning_rate=3e-3, warm_up=0)
     state = trainer.init_state(cfg, jax.random.PRNGKey(0))
     step = trainer.make_train_step(cfg)
     batch = _batch(cfg)
     rng = jax.random.PRNGKey(1)
     losses = []
-    for _ in range(30):
+    for _ in range(80):
         state, loss = step(state, batch, rng)
         losses.append(float(loss))
-    assert losses[-1] < losses[0] * 0.9, losses
+    # per-step loss is stochastic (fresh t, ε each step) — compare windows
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.8, losses
 
 
 def test_state_step_increments():
