@@ -82,6 +82,21 @@ class Config:
     epochs: int = 1000  # reference train.py:517
     seed: int = 0
 
+    # ------------------------------------------------------------- GAN mode
+    # The reference repo's name and BASELINE.json's configs speak of G/D
+    # class-transfer training (adversarial + reconstruction + cycle/identity
+    # losses); the reference code itself contains no discriminator
+    # (SURVEY §7 "GAN-mode capabilities"). These knobs drive train/gan.py.
+    gan_loss: str = "nonsaturating"  # nonsaturating | lsgan | hinge
+    adversarial_weight: float = 1.0
+    cycle_weight: float = 10.0
+    identity_weight: float = 0.5
+    reconstruction_weight: float = 0.0
+    d_learning_rate: float = 0.0  # 0 -> use learning_rate
+    d_pixel_size: int = 0  # 0 -> pixel_size
+    d_octaves: int = 0  # 0 -> octaves
+    patch_discriminator: bool = True  # PatchGAN logits vs single logit
+
     # ----------------------------------------------------- TPU / performance
     conv_impl: str = "auto"  # lax | shuffle | auto (see ops/conv.py)
     fused_diffusion: bool = True  # Pallas fused forward-diffusion kernel

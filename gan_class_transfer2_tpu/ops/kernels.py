@@ -30,11 +30,13 @@ _TWO_PI = 6.283185307179586
 
 def _normal_from_bits(bits_a, bits_b, dtype):
     """Box–Muller: two uint32 arrays -> one standard-normal array."""
-    # uniform in (0, 1): top 24 bits scaled, offset to avoid log(0)
-    u1 = (bits_a >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + (
-        0.5 / (1 << 24)
-    )
-    u2 = (bits_b >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    # uniform in (0, 1): top 24 bits scaled, offset to avoid log(0).
+    # Mosaic can't cast uint32->f32 directly; >>8 clears the sign bit so a
+    # bitcast to int32 is value-preserving and int32->f32 is supported.
+    a24 = pltpu.bitcast(bits_a >> 8, jnp.int32)
+    b24 = pltpu.bitcast(bits_b >> 8, jnp.int32)
+    u1 = a24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+    u2 = b24.astype(jnp.float32) * (1.0 / (1 << 24))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return (r * jnp.cos(_TWO_PI * u2)).astype(dtype)
 
@@ -42,8 +44,9 @@ def _normal_from_bits(bits_a, bits_b, dtype):
 def _diffuse_kernel(seed_ref, ss_ref, sn_ref, x_ref, out_ref):
     b = pl.program_id(0)
     n = pl.program_id(1)
-    # decorrelate the PRNG stream per (sample, block)
-    pltpu.prng_seed(seed_ref[0], b, n)
+    # decorrelate the PRNG stream per (sample, block); Mosaic caps prng_seed
+    # at 2 components, so fold (b, n) into one
+    pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + n)
     bits_a = pltpu.prng_random_bits(x_ref.shape)
     bits_b = pltpu.prng_random_bits(x_ref.shape)
     eps = _normal_from_bits(
@@ -51,16 +54,18 @@ def _diffuse_kernel(seed_ref, ss_ref, sn_ref, x_ref, out_ref):
         pltpu.bitcast(bits_b, jnp.uint32),
         x_ref.dtype,
     )
-    ss = ss_ref[0]  # √ᾱ(t_b)
-    sn = sn_ref[0]  # √(1−ᾱ(t_b))
+    ss = ss_ref[b, 0]  # √ᾱ(t_b)
+    sn = sn_ref[b, 0]  # √(1−ᾱ(t_b))
     out_ref[:] = x_ref[:] * ss.astype(x_ref.dtype) + eps * sn.astype(x_ref.dtype)
 
 
-def _pick_block(n: int) -> int:
-    for blk in (16384, 8192, 4096, 2048, 1024, 512, 256, 128):
-        if n % blk == 0:
+def _pick_rows(rows: int) -> int:
+    """Largest row-block ≤512 that divides rows and is a multiple of 8 (the
+    fp32 sublane tile); falls back to the whole array (always legal)."""
+    for blk in (512, 256, 128, 64, 32, 16, 8):
+        if rows % blk == 0:
             return blk
-    return n
+    return rows
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -75,24 +80,31 @@ def fused_forward_diffuse(x, scale_signal, scale_noise, interpret=False, seed=0)
 
 def _fused_fwd_impl(x, scale_signal, scale_noise, interpret, seed):
     b, n = x.shape
-    blk = _pick_block(n)
-    grid = (b, n // blk)
+    assert n % 128 == 0, f"flattened sample size {n} must be a multiple of 128"
+    rows = n // 128
+    rblk = _pick_rows(rows)
+    grid = (b, rows // rblk)
     seed_arr = jnp.asarray([seed], jnp.int32)
-    return pl.pallas_call(
+    ss2 = scale_signal.reshape(b, 1)
+    sn2 = scale_noise.reshape(b, 1)
+    x3 = x.reshape(b, rows, 128)
+    out = pl.pallas_call(
         _diffuse_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1,), lambda i, j, *_: (i,), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1,), lambda i, j, *_: (i,), memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, blk), lambda i, j, *_: (i, j)),
+                # full (B,1) scale tables resident in SMEM, indexed by sample
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, rblk, 128), lambda i, j, *_: (i, j, 0)),
             ],
-            out_specs=pl.BlockSpec((1, blk), lambda i, j, *_: (i, j)),
+            out_specs=pl.BlockSpec((1, rblk, 128), lambda i, j, *_: (i, j, 0)),
         ),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_shape=jax.ShapeDtypeStruct(x3.shape, x.dtype),
         interpret=interpret,
-    )(seed_arr, scale_signal, scale_noise, x)
+    )(seed_arr, ss2, sn2, x3)
+    return out.reshape(b, n)
 
 
 def _fused_fwd(x, scale_signal, scale_noise, interpret, seed=0):

@@ -1,0 +1,228 @@
+"""GAN-mode training: cycle-consistent class transfer with G/D pairs.
+
+The reference code is a diffusion trainer, but the framework must also host
+the GAN-style configs BASELINE.json evaluates (G/D conv stacks, adversarial +
+reconstruction losses, alternating G/D updates, cycle/identity losses, EMA
+sampling — see BASELINE.json "north_star" and SURVEY §7 "GAN-mode
+capabilities"). Architecture:
+
+  * G_AB, G_BA — two U-Net generators (models/unet.py, the Denoiser topology
+    applied as an image→image translator)
+  * D_A, D_B — strided-conv discriminators (models/discriminator.py)
+  * one jit-compiled step computing D-grads (on stop-gradient'd fakes) and
+    G-grads in a single XLA program: the generator forward pass is shared
+    between both losses (FusedProp-style), so the "alternating" update costs
+    one generator forward + two backward passes instead of two full cycles.
+
+Loss menu (cfg.gan_loss): non-saturating BCE, LSGAN (MSE), hinge. Plus
+cycle-consistency L1 (‖G_BA(G_AB(a)) − a‖₁), identity L1 (‖G_AB(b) − b‖₁)
+and optional direct reconstruction L1.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import discriminator as d_lib
+from ..models import unet
+from .trainer import make_optimizer
+
+
+class GANState(NamedTuple):
+    step: jnp.ndarray
+    g_ab: Any
+    g_ba: Any
+    d_a: Any
+    d_b: Any
+    g_opt: Any
+    d_opt: Any
+    ema_g_ab: Any
+    ema_g_ba: Any
+
+
+def _d_optimizer(cfg):
+    if cfg.d_learning_rate > 0:
+        cfg = cfg.replace(learning_rate=cfg.d_learning_rate)
+    return make_optimizer(cfg)
+
+
+def init_gan_state(cfg, rng) -> GANState:
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    g_ab = unet.init_unet(k1, cfg, out_channels=3)
+    g_ba = unet.init_unet(k2, cfg, out_channels=3)
+    d_a = d_lib.init_discriminator(k3, cfg)
+    d_b = d_lib.init_discriminator(k4, cfg)
+    g_opt = make_optimizer(cfg).init({"ab": g_ab, "ba": g_ba})
+    d_opt = _d_optimizer(cfg).init({"a": d_a, "b": d_b})
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+    ema_ab = copy(g_ab) if cfg.ema_decay > 0 else None
+    ema_ba = copy(g_ba) if cfg.ema_decay > 0 else None
+    return GANState(
+        jnp.zeros((), jnp.int32), g_ab, g_ba, d_a, d_b, g_opt, d_opt, ema_ab, ema_ba
+    )
+
+
+# ------------------------------------------------------------------ losses ---
+
+
+def adversarial_loss(cfg, logits, is_real: bool, for_generator: bool):
+    logits = logits.astype(jnp.float32)
+    if cfg.gan_loss == "nonsaturating":
+        labels = jnp.ones_like(logits) if is_real else jnp.zeros_like(logits)
+        return jnp.mean(
+            optax.sigmoid_binary_cross_entropy(logits, labels)
+        )
+    if cfg.gan_loss == "lsgan":
+        target = 1.0 if is_real else 0.0
+        return jnp.mean((logits - target) ** 2)
+    if cfg.gan_loss == "hinge":
+        if for_generator:
+            return -jnp.mean(logits)
+        if is_real:
+            return jnp.mean(jax.nn.relu(1.0 - logits))
+        return jnp.mean(jax.nn.relu(1.0 + logits))
+    raise ValueError(f"unknown gan_loss {cfg.gan_loss!r}")
+
+
+def _l1(a, b):
+    return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+
+
+def _generate(cfg, g_params, x):
+    return unet.unet_apply(cfg, g_params, x)
+
+
+# -------------------------------------------------------------------- step ---
+
+
+def gan_train_step(
+    cfg, g_optimizer, d_optimizer, state: GANState, batch_a, batch_b, rng
+) -> Tuple[GANState, dict]:
+    """One alternating G/D update (both computed in one XLA program)."""
+
+    def d_loss_fn(d_params, fakes):
+        fake_a, fake_b = fakes
+        loss = (
+            adversarial_loss(
+                cfg,
+                d_lib.discriminator_apply(cfg, d_params["a"], batch_a),
+                True,
+                False,
+            )
+            + adversarial_loss(
+                cfg,
+                d_lib.discriminator_apply(cfg, d_params["a"], fake_a),
+                False,
+                False,
+            )
+            + adversarial_loss(
+                cfg,
+                d_lib.discriminator_apply(cfg, d_params["b"], batch_b),
+                True,
+                False,
+            )
+            + adversarial_loss(
+                cfg,
+                d_lib.discriminator_apply(cfg, d_params["b"], fake_b),
+                False,
+                False,
+            )
+        ) * 0.5
+        return loss
+
+    def g_loss_fn(g_params, d_params):
+        fake_b = _generate(cfg, g_params["ab"], batch_a)
+        fake_a = _generate(cfg, g_params["ba"], batch_b)
+        adv = adversarial_loss(
+            cfg,
+            d_lib.discriminator_apply(cfg, d_params["b"], fake_b),
+            True,
+            True,
+        ) + adversarial_loss(
+            cfg,
+            d_lib.discriminator_apply(cfg, d_params["a"], fake_a),
+            True,
+            True,
+        )
+        cycle = _l1(_generate(cfg, g_params["ba"], fake_b), batch_a) + _l1(
+            _generate(cfg, g_params["ab"], fake_a), batch_b
+        )
+        ident = _l1(_generate(cfg, g_params["ab"], batch_b), batch_b) + _l1(
+            _generate(cfg, g_params["ba"], batch_a), batch_a
+        )
+        recon = _l1(fake_b, batch_b) + _l1(fake_a, batch_a)
+        total = (
+            cfg.adversarial_weight * adv
+            + cfg.cycle_weight * cycle
+            + cfg.identity_weight * ident
+            + cfg.reconstruction_weight * recon
+        )
+        return total, (fake_a, fake_b, adv, cycle, ident)
+
+    g_params = {"ab": state.g_ab, "ba": state.g_ba}
+    d_params = {"a": state.d_a, "b": state.d_b}
+
+    (g_loss, (fake_a, fake_b, adv, cycle, ident)), g_grads = jax.value_and_grad(
+        g_loss_fn, has_aux=True
+    )(g_params, d_params)
+
+    fakes = (jax.lax.stop_gradient(fake_a), jax.lax.stop_gradient(fake_b))
+    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params, fakes)
+
+    g_updates, g_opt = g_optimizer.update(g_grads, state.g_opt, g_params)
+    g_params = optax.apply_updates(g_params, g_updates)
+    d_updates, d_opt = d_optimizer.update(d_grads, state.d_opt, d_params)
+    d_params = optax.apply_updates(d_params, d_updates)
+
+    ema_ab, ema_ba = state.ema_g_ab, state.ema_g_ba
+    if ema_ab is not None:
+        d = cfg.ema_decay
+        blend = lambda e, p: jax.tree_util.tree_map(
+            lambda a, b: a * d + b * (1.0 - d), e, p
+        )
+        ema_ab = blend(ema_ab, g_params["ab"])
+        ema_ba = blend(ema_ba, g_params["ba"])
+
+    new_state = GANState(
+        state.step + 1,
+        g_params["ab"],
+        g_params["ba"],
+        d_params["a"],
+        d_params["b"],
+        g_opt,
+        d_opt,
+        ema_ab,
+        ema_ba,
+    )
+    metrics = {
+        "g_loss": g_loss,
+        "d_loss": d_loss,
+        "adversarial": adv,
+        "cycle": cycle,
+        "identity": ident,
+    }
+    return new_state, metrics
+
+
+def make_gan_train_step(cfg):
+    g_opt = make_optimizer(cfg)
+    d_opt = _d_optimizer(cfg)
+
+    def step(state, batch_a, batch_b, rng):
+        return gan_train_step(cfg, g_opt, d_opt, state, batch_a, batch_b, rng)
+
+    donate = (0,) if cfg.donate_state else ()
+    return jax.jit(step, donate_argnums=donate)
+
+
+def transfer(cfg, state: GANState, images, direction: str = "ab", use_ema: bool = True):
+    """Apply the learned class transfer to a batch of images."""
+    if direction == "ab":
+        params = state.ema_g_ab if (use_ema and state.ema_g_ab is not None) else state.g_ab
+    else:
+        params = state.ema_g_ba if (use_ema and state.ema_g_ba is not None) else state.g_ba
+    return _generate(cfg, params, images)

@@ -116,8 +116,19 @@ def diffusion_loss(cfg, params, batch, rng):
     b = batch.shape[0]
     t_int = jax.random.randint(rng_t, (b, 1, 1, 1), 1, cfg.steps + 1)
     t = t_int.astype(batch.dtype)
-    epsilon = jax.random.normal(rng_eps, batch.shape, batch.dtype)
-    noised = diffusion.forward_diffuse(cfg, batch, epsilon, t)
+    use_fused = (
+        cfg.fused_diffusion
+        and cfg.parameterization == "x"  # ε unused downstream (target = x)
+        and jax.default_backend() == "tpu"
+    )
+    if use_fused:
+        from ..ops import kernels
+
+        noised = kernels.forward_diffuse_fused(cfg, batch, t, rng_eps)
+        epsilon = None  # never materialised in HBM
+    else:
+        epsilon = jax.random.normal(rng_eps, batch.shape, batch.dtype)
+        noised = diffusion.forward_diffuse(cfg, batch, epsilon, t)
     prediction = unet.unet_apply(cfg, params, noised, t_int[:, 0, 0, 0])
     target, pred_scale = diffusion.training_target(cfg, batch, epsilon, t)
     prediction = prediction.astype(jnp.float32) * pred_scale
