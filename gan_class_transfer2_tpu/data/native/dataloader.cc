@@ -1,0 +1,297 @@
+// Native data loader: decode → random-crop → flip → normalize → batch,
+// with a worker thread pool and a bounded prefetch ring buffer.
+//
+// TPU-native counterpart of the reference's tf.data input pipeline
+// (reference train.py:285-321): the reference delegates decode/augment to
+// TensorFlow's C++ kernels under AUTOTUNE threading; this is the framework's
+// own native implementation (libjpeg + libpng decoders — the reference uses
+// decode_jpeg on .png globs relying on decoder tolerance; we sniff magic
+// bytes and dispatch).
+//
+// Element semantics (must match data/pipeline.py::decode_image exactly):
+//   * decode forced to 3 channels (grayscale broadcast, palette expanded)
+//   * random crop to size×size when larger (uniform corner)
+//   * random horizontal flip (p = 0.5)
+//   * normalize uint8/128 − 1 → float32 in [−1, 0.9921875]
+//
+// C API (ctypes): dl_create / dl_next / dl_destroy / dl_decode_one.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <atomic>
+#include <condition_variable>
+#include <mutex>
+#include <queue>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+#include <csetjmp>
+
+namespace {
+
+struct Image {
+  std::vector<uint8_t> data;  // H*W*3
+  int h = 0, w = 0;
+};
+
+// ---------------------------------------------------------------- PNG ------
+
+struct PngReadCtx {
+  const uint8_t* data;
+  size_t size;
+  size_t pos;
+};
+
+void png_read_fn(png_structp png, png_bytep out, png_size_t count) {
+  PngReadCtx* ctx = static_cast<PngReadCtx*>(png_get_io_ptr(png));
+  if (ctx->pos + count > ctx->size) {
+    png_error(png, "png: read past end");
+  }
+  memcpy(out, ctx->data + ctx->pos, count);
+  ctx->pos += count;
+}
+
+bool decode_png(const uint8_t* buf, size_t len, Image* out) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return false;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return false;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  PngReadCtx ctx{buf, len, 0};
+  png_set_read_fn(png, &ctx, png_read_fn);
+  png_read_info(png, info);
+
+  png_uint_32 w = png_get_image_width(png, info);
+  png_uint_32 h = png_get_image_height(png, info);
+  int bit_depth = png_get_bit_depth(png, info);
+  int color = png_get_color_type(png, info);
+
+  // normalize to 8-bit RGB
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  out->h = static_cast<int>(h);
+  out->w = static_cast<int>(w);
+  out->data.resize(static_cast<size_t>(h) * w * 3);
+  std::vector<png_bytep> rows(h);
+  for (png_uint_32 i = 0; i < h; ++i)
+    rows[i] = out->data.data() + static_cast<size_t>(i) * w * 3;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
+// --------------------------------------------------------------- JPEG ------
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jmp;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jmp, 1);
+}
+
+bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  out->h = cinfo.output_height;
+  out->w = cinfo.output_width;
+  out->data.resize(static_cast<size_t>(out->h) * out->w * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row =
+        out->data.data() + static_cast<size_t>(cinfo.output_scanline) * out->w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+bool decode_any(const uint8_t* buf, size_t len, Image* out) {
+  if (len >= 8 && memcmp(buf, "\x89PNG\r\n\x1a\n", 8) == 0)
+    return decode_png(buf, len, out);
+  if (len >= 2 && buf[0] == 0xFF && buf[1] == 0xD8) return decode_jpeg(buf, len, out);
+  // fall through: try both (decoder tolerance like tf.image.decode_jpeg)
+  return decode_png(buf, len, out) || decode_jpeg(buf, len, out);
+}
+
+// ------------------------------------------------------------ augment ------
+
+// crop/flip/normalize into out[size*size*3] float32
+bool augment_to(const Image& img, int size, std::mt19937_64* rng, float* out) {
+  if (img.h < size || img.w < size) return false;
+  int max_i = img.h - size, max_j = img.w - size;
+  int ci = 0, cj = 0;
+  if (max_i > 0) ci = static_cast<int>((*rng)() % (max_i + 1));
+  if (max_j > 0) cj = static_cast<int>((*rng)() % (max_j + 1));
+  bool flip = ((*rng)() & 1) != 0;
+  for (int i = 0; i < size; ++i) {
+    const uint8_t* src =
+        img.data.data() + (static_cast<size_t>(ci + i) * img.w + cj) * 3;
+    float* dst = out + static_cast<size_t>(i) * size * 3;
+    if (!flip) {
+      for (int j = 0; j < size * 3; ++j)
+        dst[j] = static_cast<float>(src[j]) * (1.0f / 128.0f) - 1.0f;
+    } else {
+      for (int j = 0; j < size; ++j) {
+        const uint8_t* p = src + (size - 1 - j) * 3;
+        dst[j * 3 + 0] = static_cast<float>(p[0]) * (1.0f / 128.0f) - 1.0f;
+        dst[j * 3 + 1] = static_cast<float>(p[1]) * (1.0f / 128.0f) - 1.0f;
+        dst[j * 3 + 2] = static_cast<float>(p[2]) * (1.0f / 128.0f) - 1.0f;
+      }
+    }
+  }
+  return true;
+}
+
+// ------------------------------------------------------------- loader ------
+
+struct Loader {
+  std::vector<std::string> files;
+  int size = 0;
+  int batch = 0;
+  int capacity = 0;
+  std::atomic<bool> stop{false};
+
+  std::mutex mu;
+  std::condition_variable not_full, not_empty;
+  std::queue<std::vector<float>> ready;
+  std::vector<std::thread> workers;
+
+  ~Loader() {
+    stop.store(true);
+    not_full.notify_all();
+    not_empty.notify_all();
+    for (auto& t : workers)
+      if (t.joinable()) t.join();
+  }
+};
+
+bool load_file(const std::string& path, std::vector<uint8_t>* out) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return false;
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  out->resize(n);
+  size_t got = fread(out->data(), 1, n, f);
+  fclose(f);
+  return got == static_cast<size_t>(n);
+}
+
+void worker_main(Loader* L, uint64_t seed) {
+  std::mt19937_64 rng(seed);
+  const size_t elem = static_cast<size_t>(L->size) * L->size * 3;
+  while (!L->stop.load()) {
+    std::vector<float> batch(static_cast<size_t>(L->batch) * elem);
+    int filled = 0;
+    while (filled < L->batch && !L->stop.load()) {
+      const std::string& path = L->files[rng() % L->files.size()];
+      std::vector<uint8_t> raw;
+      Image img;
+      if (!load_file(path, &raw) || !decode_any(raw.data(), raw.size(), &img))
+        continue;
+      if (!augment_to(img, L->size, &rng, batch.data() + filled * elem)) continue;
+      ++filled;
+    }
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->not_full.wait(lk, [L] {
+      return L->stop.load() || static_cast<int>(L->ready.size()) < L->capacity;
+    });
+    if (L->stop.load()) return;
+    L->ready.push(std::move(batch));
+    L->not_empty.notify_one();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* dl_create(const char** files, int n_files, int size, int batch, int workers,
+                int capacity, uint64_t seed) {
+  if (n_files <= 0 || size <= 0 || batch <= 0) return nullptr;
+  Loader* L = new Loader();
+  L->files.reserve(n_files);
+  for (int i = 0; i < n_files; ++i) L->files.emplace_back(files[i]);
+  L->size = size;
+  L->batch = batch;
+  L->capacity = capacity > 0 ? capacity : 2;
+  int w = workers > 0 ? workers : 2;
+  for (int i = 0; i < w; ++i)
+    L->workers.emplace_back(worker_main, L, seed * 0x9E3779B97F4A7C15ULL + i + 1);
+  return L;
+}
+
+// Blocks until a batch is available; copies batch*size*size*3 floats into out.
+int dl_next(void* handle, float* out) {
+  Loader* L = static_cast<Loader*>(handle);
+  std::vector<float> batch;
+  {
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->not_empty.wait(lk, [L] { return L->stop.load() || !L->ready.empty(); });
+    if (L->ready.empty()) return -1;
+    batch = std::move(L->ready.front());
+    L->ready.pop();
+    L->not_full.notify_one();
+  }
+  memcpy(out, batch.data(), batch.size() * sizeof(float));
+  return 0;
+}
+
+void dl_destroy(void* handle) { delete static_cast<Loader*>(handle); }
+
+// Single-image decode + augment (deterministic seed) for parity tests.
+// Returns 0 on success.
+int dl_decode_one(const char* path, int size, uint64_t seed, int do_augment,
+                  float* out, int* out_h, int* out_w) {
+  std::vector<uint8_t> raw;
+  Image img;
+  if (!load_file(path, &raw) || !decode_any(raw.data(), raw.size(), &img))
+    return -1;
+  *out_h = img.h;
+  *out_w = img.w;
+  if (!do_augment) {
+    // raw normalize only (no crop/flip), caller buffer must hold h*w*3
+    for (size_t i = 0; i < img.data.size(); ++i)
+      out[i] = static_cast<float>(img.data[i]) * (1.0f / 128.0f) - 1.0f;
+    return 0;
+  }
+  std::mt19937_64 rng(seed);
+  return augment_to(img, size, &rng, out) ? 0 : -2;
+}
+
+}  // extern "C"

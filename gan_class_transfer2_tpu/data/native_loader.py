@@ -1,0 +1,160 @@
+"""ctypes binding for the C++ native data loader (data/native/dataloader.cc).
+
+Builds the shared library on first use (g++ + libjpeg/libpng, both baked into
+the image); falls back to the pure-Python pipeline when the toolchain is
+unavailable. Element semantics are identical to pipeline.decode_image (tested
+in tests/test_native_loader.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libgct2dataloader.so")
+_build_lock = threading.Lock()
+_lib = None
+
+
+def build_library(force: bool = False) -> str:
+    """Compile the shared library if missing. Returns its path."""
+    with _build_lock:
+        if force or not os.path.exists(_LIB_PATH):
+            subprocess.run(
+                ["make", "-s", "libgct2dataloader.so"],
+                cwd=_NATIVE_DIR,
+                check=True,
+                capture_output=True,
+            )
+    return _LIB_PATH
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(build_library())
+        lib.dl_create.restype = ctypes.c_void_p
+        lib.dl_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_uint64,
+        ]
+        lib.dl_next.restype = ctypes.c_int
+        lib.dl_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+        lib.dl_destroy.argtypes = [ctypes.c_void_p]
+        lib.dl_decode_one.restype = ctypes.c_int
+        lib.dl_decode_one.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_uint64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def decode_one(path: str, size: int, seed: int = 0, augment: bool = True):
+    """Decode one file via the native path (parity-test hook).
+
+    augment=True → (size,size,3) crop/flip/normalized; False → full image
+    normalized only."""
+    lib = _load()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if augment:
+        out = np.empty((size, size, 3), np.float32)
+    else:
+        # caller doesn't know h,w yet: decode header first via a probe call
+        from PIL import Image
+
+        with Image.open(path) as im:
+            w0, h0 = im.size
+        out = np.empty((h0, w0, 3), np.float32)
+    rc = lib.dl_decode_one(
+        path.encode(),
+        size,
+        seed,
+        1 if augment else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(h),
+        ctypes.byref(w),
+    )
+    if rc != 0:
+        raise ValueError(f"native decode failed ({rc}) for {path}")
+    return out
+
+
+class NativeImageDataset:
+    """Drop-in replacement for pipeline.ImageDataset backed by the C++
+    loader. Yields (B, size, size, 3) float32 batches."""
+
+    def __init__(
+        self,
+        pattern_or_files,
+        size: int,
+        batch_size: int,
+        seed: int = 0,
+        num_workers: int = 2,
+        prefetch: int = 2,
+        **_,
+    ):
+        from .pipeline import list_files
+
+        if isinstance(pattern_or_files, str):
+            files = list_files(pattern_or_files)
+        else:
+            files = list(pattern_or_files)
+        self._files_keepalive = [f.encode() for f in files]
+        arr = (ctypes.c_char_p * len(files))(*self._files_keepalive)
+        self.size = size
+        self.batch_size = batch_size
+        lib = _load()
+        self._lib = lib
+        self._handle = lib.dl_create(
+            arr, len(files), size, batch_size, num_workers, prefetch, seed
+        )
+        if not self._handle:
+            raise RuntimeError("dl_create failed")
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        elem = self.batch_size * self.size * self.size * 3
+        while True:
+            out = np.empty((self.batch_size, self.size, self.size, 3), np.float32)
+            rc = self._lib.dl_next(
+                self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            )
+            if rc != 0:
+                return
+            yield out
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.dl_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -58,12 +58,13 @@ def run_benchmark(cfg, steps: int = 30, warmup: int = 3, baseline_ips: float | N
 
     for _ in range(warmup):
         state, loss = step_fn(state, batch, rng)
-    jax.block_until_ready(loss)
+    float(loss)  # value fetch: block_until_ready does not sync on the
+    # tunneled 'axon' TPU platform (measured: it returns ~100x early)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state, loss = step_fn(state, batch, rng)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
 
     n_chips = mesh.size

@@ -1,0 +1,88 @@
+"""Native C++ data-loader tests: decode parity with the Python/PIL path,
+batch iteration, JPEG+PNG+grayscale handling."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from gan_class_transfer2_tpu.data import native_loader, pipeline
+
+pytestmark = pytest.mark.skipif(
+    not native_loader.available(), reason="native loader toolchain unavailable"
+)
+
+
+@pytest.fixture
+def image_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        arr = rng.integers(0, 256, size=(24, 20, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img_{i}.png")
+    Image.fromarray(
+        rng.integers(0, 256, size=(24, 24), dtype=np.uint8), mode="L"
+    ).save(tmp_path / "gray.png")
+    Image.fromarray(
+        rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    ).save(tmp_path / "photo.jpg", quality=95)
+    # palette PNG (decoder must expand to RGB)
+    Image.fromarray(
+        rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    ).convert("P").save(tmp_path / "pal.png")
+    return tmp_path
+
+
+def test_decode_parity_with_pil_png(image_dir):
+    p = str(image_dir / "img_0.png")
+    native = native_loader.decode_one(p, 16, augment=False)
+    pil = np.asarray(Image.open(p).convert("RGB"), np.float32) / 128.0 - 1.0
+    np.testing.assert_allclose(native, pil, atol=1e-6)
+
+
+def test_decode_parity_with_pil_gray(image_dir):
+    p = str(image_dir / "gray.png")
+    native = native_loader.decode_one(p, 16, augment=False)
+    pil = np.asarray(Image.open(p).convert("RGB"), np.float32) / 128.0 - 1.0
+    np.testing.assert_allclose(native, pil, atol=1e-6)
+
+
+def test_decode_parity_with_pil_palette(image_dir):
+    p = str(image_dir / "pal.png")
+    native = native_loader.decode_one(p, 16, augment=False)
+    pil = np.asarray(Image.open(p).convert("RGB"), np.float32) / 128.0 - 1.0
+    np.testing.assert_allclose(native, pil, atol=1e-6)
+
+
+def test_decode_parity_with_pil_jpeg(image_dir):
+    p = str(image_dir / "photo.jpg")
+    native = native_loader.decode_one(p, 16, augment=False)
+    pil = np.asarray(Image.open(p).convert("RGB"), np.float32) / 128.0 - 1.0
+    # libjpeg decode paths may differ by ±1 level from PIL's
+    assert np.abs(native - pil).max() <= 2.5 / 128.0
+
+
+def test_augment_is_crop_of_source(image_dir):
+    p = str(image_dir / "img_1.png")
+    out = native_loader.decode_one(p, 16, seed=3, augment=True)
+    assert out.shape == (16, 16, 3)
+    full = np.asarray(Image.open(p).convert("RGB"), np.float32) / 128.0 - 1.0
+    # the augmented crop (or its mirror) must appear somewhere in the source
+    found = False
+    for fl in (out, out[:, ::-1]):
+        for i in range(full.shape[0] - 16 + 1):
+            for j in range(full.shape[1] - 16 + 1):
+                if np.allclose(full[i : i + 16, j : j + 16], fl, atol=1e-6):
+                    found = True
+    assert found
+
+
+def test_native_dataset_batches(image_dir):
+    ds = native_loader.NativeImageDataset(
+        str(image_dir / "*.png"), size=16, batch_size=3, seed=0, num_workers=2
+    )
+    it = iter(ds)
+    b1, b2 = next(it), next(it)
+    ds.close()
+    assert b1.shape == (3, 16, 16, 3)
+    assert b1.dtype == np.float32
+    assert b1.min() >= -1.0 and b1.max() <= 127 / 128
+    assert not np.array_equal(b1, b2)
