@@ -102,16 +102,18 @@ class Runner:
             if log_samples and epoch % cfg.log_images_every == 0:
                 self.log_sample(epoch)
             t0 = time.perf_counter()
-            loss_sum = 0.0
+            # accumulate the loss on device: a host fetch per step costs a
+            # full device round-trip (tens of ms on a tunneled TPU)
+            loss_sum = jnp.zeros((), jnp.float32)
+            global_step = int(self.state.step)
             for _ in range(steps_per_epoch):
                 batch = next(self.data_iter)
                 self.state, loss = self.train_step(self.state, batch, step_rng)
-                loss_sum += float(loss)
-                if (
-                    cfg.checkpoint_dir
-                    and int(self.state.step) % cfg.checkpoint_every == 0
-                ):
+                loss_sum = loss_sum + loss
+                global_step += 1
+                if cfg.checkpoint_dir and global_step % cfg.checkpoint_every == 0:
                     ckpt_lib.save(cfg.checkpoint_dir, self.state, cfg)
+            loss_sum = float(loss_sum)  # single synchronising fetch
             dt = time.perf_counter() - t0
             ips = steps_per_epoch * cfg.batch_size / dt
             self.writer.scalar("loss", loss_sum / steps_per_epoch, epoch)
