@@ -59,7 +59,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="gan_class_transfer2_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
-    for cmd in ("train", "sample", "bench"):
+    for cmd in ("train", "gan-train", "sample", "bench"):
         p = sub.add_parser(cmd)
         p.add_argument("--config", type=str, default=None, help="config JSON")
         _add_config_args(p)
@@ -76,6 +76,16 @@ def main(argv=None):
         from .train.loop import Runner
 
         runner = Runner(cfg)
+        try:
+            runner.fit()
+        finally:
+            runner.close()
+        return 0
+
+    if args.command == "gan-train":
+        from .train.gan_loop import GANRunner
+
+        runner = GANRunner(cfg)
         try:
             runner.fit()
         finally:

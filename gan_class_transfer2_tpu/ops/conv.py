@@ -226,9 +226,12 @@ def up_conv(x, kernel, bias, impl: str = "auto", relu: bool = True):
 
 
 def _prefer_shuffle() -> bool:
-    """On TPU the dense-3×3/2×2 reformulation avoids dilated/strided windows
-    and keeps the MXU fed; on CPU testing the direct lowering is faster."""
-    return jax.default_backend() == "tpu"
+    """Measured on TPU v5e (256² U-Net train step, bf16, batch 32): XLA's
+    native strided/dilated conv lowering beats the pixel-shuffle
+    reformulation (711 vs 453 img/s) — its conv-packing already handles
+    k4/s2 well. 'auto' therefore always picks the lax path; the shuffle
+    kernels remain selectable via Config.conv_impl='shuffle'."""
+    return False
 
 
 def dense(x, kernel, bias=None):

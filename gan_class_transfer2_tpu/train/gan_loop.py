@@ -1,0 +1,110 @@
+"""GAN-mode run driver: two class datasets (A, B), cycle-transfer training,
+TensorBoard logging of transferred samples, checkpoint/resume.
+
+Counterpart of train/loop.Runner for the GAN configs in BASELINE.json.
+Requires ``Config.classes`` to name exactly two glob patterns (the reference's
+``classes`` scaffolding, train.py:299-301, finally put to work).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data import pipeline
+from ..parallel import mesh as mesh_lib
+from ..utils import checkpoint as ckpt_lib
+from ..utils import tensorboard as tb
+from . import gan
+
+
+class GANRunner:
+    def __init__(self, cfg: Config, dataset_a=None, dataset_b=None, log_dir=None):
+        cfg.validate()
+        if dataset_a is None or dataset_b is None:
+            patterns = cfg.class_patterns()
+            if len(patterns) != 2:
+                raise ValueError(
+                    "GAN class transfer needs exactly 2 class patterns "
+                    f"(got {len(patterns)}); set Config.classes"
+                )
+        self.cfg = cfg
+        self.mesh = mesh_lib.make_mesh(cfg)
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        self.state = gan.init_gan_state(cfg, init_rng)
+        if cfg.checkpoint_dir and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None:
+            self.state = ckpt_lib.restore(cfg.checkpoint_dir, self.state)
+        self.train_step = gan.make_gan_train_step(cfg)
+
+        mk = lambda pat, seed: pipeline.ImageDataset(
+            pat, cfg.size, cfg.batch_size, seed=seed,
+            shuffle_buffer=cfg.shuffle_buffer, cache=cfg.cache,
+        )
+        patterns = cfg.class_patterns()
+        self.dataset_a = dataset_a if dataset_a is not None else mk(patterns[0], cfg.seed)
+        self.dataset_b = dataset_b if dataset_b is not None else mk(patterns[1], cfg.seed + 1)
+        sharding = mesh_lib.batch_sharding(self.mesh)
+        self.iter_a = pipeline.device_iterator(self.dataset_a, sharding)
+        self.iter_b = pipeline.device_iterator(self.dataset_b, sharding)
+
+        self.log_dir = log_dir or tb.reference_log_dir(cfg.log_dir)
+        self.writer = tb.SummaryWriter(self.log_dir)
+        self._fixed_a = None
+        self._fixed_b = None
+
+    def log_sample(self, epoch: int):
+        if self._fixed_a is None:
+            self._fixed_a = next(self.iter_a)
+            self._fixed_b = next(self.iter_b)
+        fake_b = gan.transfer(self.cfg, self.state, self._fixed_a, "ab")
+        fake_a = gan.transfer(self.cfg, self.state, self._fixed_b, "ba")
+        cycled = gan.transfer(self.cfg, self.state, fake_b, "ba")
+        self.writer.image("transfer_ab", np.asarray(fake_b) * 0.5 + 0.5, epoch, 10)
+        self.writer.image("transfer_ba", np.asarray(fake_a) * 0.5 + 0.5, epoch, 10)
+        self.writer.image("cycle_aba", np.asarray(cycled) * 0.5 + 0.5, epoch, 10)
+
+    def fit(self, epochs: Optional[int] = None, steps_per_epoch: Optional[int] = None,
+            log_samples: bool = True):
+        cfg = self.cfg
+        epochs = cfg.epochs if epochs is None else epochs
+        steps_per_epoch = cfg.steps_per_epoch if steps_per_epoch is None else steps_per_epoch
+        rng = jax.random.fold_in(self.rng, 23)
+        for epoch in range(epochs):
+            if log_samples and epoch % cfg.log_images_every == 0:
+                self.log_sample(epoch)
+            t0 = time.perf_counter()
+            acc = {k: jnp.zeros((), jnp.float32) for k in
+                   ("g_loss", "d_loss", "adversarial", "cycle", "identity")}
+            global_step = int(self.state.step)
+            for _ in range(steps_per_epoch):
+                a = next(self.iter_a)
+                b = next(self.iter_b)
+                self.state, metrics = self.train_step(self.state, a, b, rng)
+                acc = {k: acc[k] + metrics[k] for k in acc}
+                global_step += 1
+                if cfg.checkpoint_dir and global_step % cfg.checkpoint_every == 0:
+                    ckpt_lib.save(cfg.checkpoint_dir, self.state, cfg)
+            vals = {k: float(v) / steps_per_epoch for k, v in acc.items()}
+            dt = time.perf_counter() - t0
+            for k, v in vals.items():
+                self.writer.scalar(k, v, epoch)
+            ips = steps_per_epoch * cfg.batch_size / dt
+            self.writer.scalar("images_per_sec", ips, epoch)
+            print(
+                f"epoch {epoch}: g={vals['g_loss']:.4f} d={vals['d_loss']:.4f} "
+                f"cycle={vals['cycle']:.4f} {ips:.1f} img/s",
+                flush=True,
+            )
+        return self.state
+
+    def close(self):
+        self.writer.close()
+        for ds in (self.dataset_a, self.dataset_b):
+            if hasattr(ds, "close"):
+                ds.close()

@@ -42,6 +42,13 @@ class TrainState(NamedTuple):
     ema_params: Any  # == params tree, or None when ema_decay == 0
 
 
+def identity(y_true, y_pred):
+    """Keras-compat loss shim (reference train.py:171-173): the reference's
+    Trainer outputs its loss, so the Keras loss just averages y_pred. Our
+    train step returns the loss directly; this exists for API parity."""
+    return jnp.mean(y_pred)
+
+
 def _sign_gradient_transform() -> optax.GradientTransformation:
     """Per-variable sign(g) (reference train.py:47-48, sign-SGD config)."""
 
