@@ -1,16 +1,22 @@
 """Benchmark entry point — prints ONE JSON line.
 
 Workload: the reference training step (256²×3, ~41.7 M-param U-Net, diffusion
-MSE, Adam) — see BASELINE.md. The reference publishes no numbers; the recorded
-reference workload is batch_size=1 on a single GPU. We report training
-images/sec/chip at the TPU-native operating point (bf16 compute, batched).
+MSE, Adam) — see BASELINE.md. The reference publishes no numbers, so
+``vs_baseline`` is measured against the *reference-semantics configuration*
+(fp32, batch 1, direct convs — the exact workload the reference source
+encodes) measured on the same chip with this framework: 69.06 img/s/chip on
+TPU v5e (see BASELINE_MEASURED.md).
 
-vs_baseline: ratio against a fixed reference throughput constant measured for
-the same workload; 0.0 until a measured baseline exists (reference publishes
-none — BASELINE.json "published": {}).
+The reported operating point is the TPU-native one: bf16 compute, batch 128,
+fused Pallas forward-diffusion, XLA lax convs (measured fastest — see
+BASELINE_MEASURED.md implementation findings).
 """
 
 import sys
+
+# Measured on this hardware with the reference-semantics config (fp32, b=1);
+# see BASELINE_MEASURED.md for methodology.
+REFERENCE_SEMANTICS_IPS_TPU_V5E = 69.06
 
 
 def main():
@@ -22,16 +28,23 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     cfg = Config(
         compute_dtype="bfloat16" if on_tpu else "float32",
-        batch_size=32 if on_tpu else 2,
+        batch_size=128 if on_tpu else 2,
         size=256 if on_tpu else 32,
         pixel_size=128 if on_tpu else 8,
         max_size=512 if on_tpu else 16,
         octaves=6 if on_tpu else 3,
+        conv_impl="lax",
+        fused_diffusion=on_tpu,
         warm_up=0,
         checkpoint_dir=None,
         donate_state=True,
     )
-    result = run_benchmark(cfg, steps=20 if on_tpu else 5, warmup=3)
+    result = run_benchmark(
+        cfg,
+        steps=15 if on_tpu else 5,
+        warmup=3,
+        baseline_ips=REFERENCE_SEMANTICS_IPS_TPU_V5E if on_tpu else None,
+    )
     print(result.to_json())
 
 
