@@ -1,0 +1,3 @@
+from . import conditional, discriminator, unet
+
+__all__ = ["conditional", "discriminator", "unet"]

@@ -1,0 +1,3 @@
+from . import conv, image, init, kernels
+
+__all__ = ["conv", "image", "init", "kernels"]

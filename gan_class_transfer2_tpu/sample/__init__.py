@@ -1,0 +1,3 @@
+from . import sampler
+
+__all__ = ["sampler"]

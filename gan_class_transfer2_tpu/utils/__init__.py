@@ -1,0 +1,3 @@
+from . import benchmark, checkpoint, profiler, tensorboard, tf_import
+
+__all__ = ["benchmark", "checkpoint", "profiler", "tensorboard", "tf_import"]

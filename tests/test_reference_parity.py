@@ -1,0 +1,77 @@
+"""Opt-in end-to-end parity vs a TF/Keras model of the reference topology.
+
+Builds the reference Denoiser architecture natively in Keras (same topology
+as reference train.py:175-215 at block_depth=0: 6 strided convs down, 6
+transposed convs up, concat skips, linear head), imports its weights via
+utils/tf_import, and checks forward-pass equality between TF and this
+framework on the same input. Run with RUN_TF_PARITY=1 (slow TF import).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("RUN_TF_PARITY") != "1",
+    reason="slow TF import; opt-in with RUN_TF_PARITY=1",
+)
+
+
+def _build_keras_equivalent(cfg):
+    """A Keras functional model with the reference topology (our own
+    construction — flat, not the reference's recursive wrapper classes)."""
+    import tensorflow as tf
+
+    x_in = tf.keras.Input((cfg.size, cfg.size, 3))
+    skips = [x_in]
+    h = x_in
+    for i in range(cfg.octaves):
+        f = cfg.octave_filters(i)
+        h = tf.keras.layers.Conv2D(
+            f, 4, 2, "same", activation="relu", kernel_initializer="glorot_uniform"
+        )(h)
+        skips.append(h)
+    for i in reversed(range(cfg.octaves)):
+        u = cfg.octave_up_filters(i)
+        h = tf.keras.layers.Conv2DTranspose(
+            u, 4, 2, "same", activation="relu", kernel_initializer="glorot_uniform"
+        )(h)
+        h = tf.keras.layers.Concatenate()([h, skips[i]])
+    out = tf.keras.layers.Dense(3)(h)
+    return tf.keras.Model(x_in, out)
+
+
+def test_forward_parity_with_keras_topology():
+    import jax
+    import jax.numpy as jnp
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.models import unet
+    from gan_class_transfer2_tpu.utils import tf_import
+
+    cfg = tiny_test_config(size=32, pixel_size=8, max_size=32, octaves=3)
+    keras_model = _build_keras_equivalent(cfg)
+    flat = tf_import.keras_weight_list(keras_model)
+
+    params = unet.init_unet(jax.random.PRNGKey(0), cfg)
+    params = tf_import.import_flat_weights(cfg, params, flat)
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (2, cfg.size, cfg.size, 3)).astype(np.float32)
+
+    y_tf = np.asarray(keras_model(x))
+    y_jax = np.asarray(unet.unet_apply(cfg, params, jnp.asarray(x)))
+    np.testing.assert_allclose(y_jax, y_tf, atol=2e-4)
+
+
+def test_param_count_matches_keras():
+    import jax
+
+    from gan_class_transfer2_tpu.config import Config
+    from gan_class_transfer2_tpu.models import unet
+
+    cfg = Config()
+    keras_model = _build_keras_equivalent(cfg)
+    params = unet.init_unet(jax.random.PRNGKey(0), cfg)
+    assert unet.param_count(params) == keras_model.count_params() == 41_691_660
