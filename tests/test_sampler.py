@@ -82,7 +82,7 @@ def test_edit_noise_assembles_batch(setup):
     # [2 noise, eps, pixelated, shifted, quantised] (reference train.py:432-434)
     assert batch.shape == (6, cfg.size, cfg.size, 3)
     np.testing.assert_array_equal(np.asarray(batch[:2]), np.asarray(extra))
-    np.testing.assert_array_equal(np.asarray(batch[2]), np.asarray(eps))
+    np.testing.assert_array_equal(np.asarray(batch[2]), np.asarray(eps[0]))
 
 
 def test_vq_quantise_picks_nearest():
