@@ -125,6 +125,33 @@ class Runner:
             )
         return self.state
 
+    def fit_resilient(self, max_restarts: int = 3, **fit_kw):
+        """Failure detection + recovery (no reference counterpart — SURVEY §5:
+        a crash loses the reference run entirely). On an exception mid-fit,
+        restore the last checkpoint and continue, up to ``max_restarts``."""
+        if not self.cfg.checkpoint_dir:
+            raise ValueError("fit_resilient requires Config.checkpoint_dir")
+        restarts = 0
+        while True:
+            try:
+                return self.fit(**fit_kw)
+            except KeyboardInterrupt:
+                raise
+            except Exception as e:  # noqa: BLE001 — any step failure
+                restarts += 1
+                if restarts > max_restarts:
+                    raise
+                last = ckpt_lib.latest_step(self.cfg.checkpoint_dir)
+                print(
+                    f"step failed ({type(e).__name__}: {e}); restart "
+                    f"{restarts}/{max_restarts} from checkpoint step {last}",
+                    flush=True,
+                )
+                if last is not None:
+                    self.state = ckpt_lib.restore(
+                        self.cfg.checkpoint_dir, self.state
+                    )
+
     def close(self):
         self.writer.close()
         if hasattr(self.dataset, "close"):

@@ -85,3 +85,36 @@ def test_cli_config_construction():
     args.config = None
     c = cli.config_from_args(args)
     assert c.size == 32 and c.batch_size == 4 and c.parameterization == "epsilon"
+
+
+def test_fit_resilient_recovers_from_failure(cfg):
+    runner = Runner(cfg, dataset=_dataset(cfg))
+    runner.fit(epochs=1, steps_per_epoch=3, log_samples=False)  # checkpoint @3
+
+    calls = {"n": 0}
+    real_step = runner.train_step
+
+    def flaky_step(state, batch, rng):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected fault")
+        return real_step(state, batch, rng)
+
+    runner.train_step = flaky_step
+    runner.fit_resilient(max_restarts=2, epochs=1, steps_per_epoch=3,
+                         log_samples=False)
+    runner.close()
+    assert calls["n"] >= 4  # failed once, restarted, completed
+
+
+def test_fit_resilient_gives_up(cfg):
+    runner = Runner(cfg, dataset=_dataset(cfg))
+
+    def always_fail(state, batch, rng):
+        raise RuntimeError("permanent fault")
+
+    runner.train_step = always_fail
+    with pytest.raises(RuntimeError):
+        runner.fit_resilient(max_restarts=1, epochs=1, steps_per_epoch=1,
+                             log_samples=False)
+    runner.close()
