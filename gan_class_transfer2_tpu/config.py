@@ -41,6 +41,11 @@ class Config:
 
     # ------------------------------------------------------------- diffusion
     steps: int = 200  # diffusion T, reference train.py:24
+    # Multi-class conditioning (BASELINE config 5): 0 = unconditional (the
+    # reference behavior); >0 = class-embedding conditioning, with one class
+    # per entry of `classes` (reference scaffolding train.py:299-301).
+    num_classes: int = 0
+    class_embed_dim: int = 8
     # reference train.py:85-93: active quadratic plus 4 commented alternatives.
     schedule: str = "quadratic"  # quadratic|exponential|geometric|cosine2|quartic
     # reference train.py:29-32 parameterization quadruple.

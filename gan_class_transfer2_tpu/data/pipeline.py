@@ -178,6 +178,32 @@ class ArrayDataset:
             yield batch
 
 
+class LabeledDataset:
+    """Round-robin over per-class datasets, yielding
+    ``{"image": (B,H,W,3), "label": (B,)}`` batches for class-conditional
+    training (BASELINE config 5; class list scaffolding at reference
+    train.py:299-321)."""
+
+    def __init__(self, datasets: Sequence):
+        self.datasets = list(datasets)
+
+    def __iter__(self):
+        iters = [iter(d) for d in self.datasets]
+        k = 0
+        while True:
+            batch = next(iters[k])
+            yield {
+                "image": batch,
+                "label": np.full((len(batch),), k, np.int32),
+            }
+            k = (k + 1) % len(iters)
+
+    def close(self):
+        for d in self.datasets:
+            if hasattr(d, "close"):
+                d.close()
+
+
 def device_iterator(dataset, sharding=None):
     """Move host batches to device, optionally pre-sharded across a mesh.
 

@@ -22,11 +22,11 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core import diffusion
-from ..models import unet
+from ..models import api as model_api
 from ..ops import image as image_ops
 
 
-def preview(cfg, params, example_image, noise):
+def preview(cfg, params, example_image, noise, class_idx=None):
     """Single-step denoise preview. Returns (denoised, rmse).
 
     ``example_image``: (1,H,W,3) clean image; ``noise``: same shape.
@@ -34,22 +34,25 @@ def preview(cfg, params, example_image, noise):
     """
     factor = diffusion.preview_image_factor(cfg)
     noised = example_image * factor**0.5 + noise * (1 - factor) ** 0.5
-    prediction = unet.unet_apply(
-        cfg, params, noised, jnp.full((noised.shape[0],), cfg.test_step, jnp.int32)
+    prediction = model_api.apply_denoiser(
+        cfg, params, noised,
+        jnp.full((noised.shape[0],), cfg.test_step, jnp.int32),
+        class_idx=class_idx,
     ).astype(jnp.float32)
     denoised = diffusion.preview_denoise(cfg, noised, prediction)
     rmse = jnp.mean((example_image - denoised) ** 2) ** 0.5
     return denoised, rmse
 
 
-def _denoise_call(cfg, params, fake, t):
+def _denoise_call(cfg, params, fake, t, class_idx=None):
     t_vec = jnp.full((fake.shape[0],), t, jnp.int32)
-    return unet.unet_apply(
-        cfg, params, fake.astype(jnp.dtype(cfg.compute_dtype)), t_vec
+    return model_api.apply_denoiser(
+        cfg, params, fake.astype(jnp.dtype(cfg.compute_dtype)), t_vec,
+        class_idx=class_idx,
     ).astype(jnp.float32)
 
 
-def invert(cfg, params, image):
+def invert(cfg, params, image, class_idx=None):
     """DDIM-style encoder: iterate t = 1…T, alternately re-noising and
     re-estimating (x̂, ε̂) (reference train.py:364-413). Returns (x̂, ε̂).
 
@@ -60,7 +63,7 @@ def invert(cfg, params, image):
         x_theta, epsilon_theta = carry
         t = t.astype(jnp.float32)
         fake = diffusion.renoise(cfg, x_theta, epsilon_theta, t)
-        prediction = _denoise_call(cfg, params, fake, t)
+        prediction = _denoise_call(cfg, params, fake, t, class_idx)
         x_theta, epsilon_theta = diffusion.step_update(
             cfg, prediction, fake, epsilon_theta, t
         )
@@ -88,7 +91,7 @@ class SampleResult(NamedTuple):
     snapshots: jnp.ndarray  # (4, B, H, W, C) at t = T, 3T/4, T/2, T/4
 
 
-def sample(cfg, params, init_batch) -> SampleResult:
+def sample(cfg, params, init_batch, class_idx=None) -> SampleResult:
     """Reverse diffusion t = T…1 with intermediate snapshots
     (reference train.py:439-496). ``init_batch`` seeds both x̂ and ε̂
     (train.py:436-437)."""
@@ -99,7 +102,7 @@ def sample(cfg, params, init_batch) -> SampleResult:
         x_theta, epsilon_theta, snaps = carry
         tf_ = t.astype(jnp.float32)
         fake = diffusion.renoise(cfg, x_theta, epsilon_theta, tf_)
-        prediction = _denoise_call(cfg, params, fake, tf_)
+        prediction = _denoise_call(cfg, params, fake, tf_, class_idx)
         x_theta, epsilon_theta = diffusion.step_update(
             cfg, prediction, fake, epsilon_theta, tf_
         )

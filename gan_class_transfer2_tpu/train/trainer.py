@@ -31,6 +31,7 @@ import optax
 
 from ..core import diffusion
 from ..core.schedule import make_lr_schedule
+from ..models import api as model_api
 from ..models import unet
 from ..ops import image as image_ops
 
@@ -87,7 +88,7 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
 
 
 def init_state(cfg, rng) -> TrainState:
-    params = unet.init_unet(rng, cfg)
+    params = model_api.init_denoiser(rng, cfg)
     opt_state = make_optimizer(cfg).init(params)
     # EMA must be a distinct buffer: state donation would otherwise present
     # the same buffer twice to XLA (params and ema alias at init).
@@ -118,7 +119,14 @@ def compute_loss(cfg, target, prediction):
 
 
 def diffusion_loss(cfg, params, batch, rng):
-    """Sample (t, ε), noise the batch, predict, and compute the loss."""
+    """Sample (t, ε), noise the batch, predict, and compute the loss.
+
+    ``batch`` is either an image array or a dict {"image", "label"} for
+    class-conditional training (BASELINE config 5)."""
+    label = None
+    if isinstance(batch, dict):
+        label = batch.get("label")
+        batch = batch["image"]
     rng_t, rng_eps = jax.random.split(rng)
     b = batch.shape[0]
     t_int = jax.random.randint(rng_t, (b, 1, 1, 1), 1, cfg.steps + 1)
@@ -136,7 +144,9 @@ def diffusion_loss(cfg, params, batch, rng):
     else:
         epsilon = jax.random.normal(rng_eps, batch.shape, batch.dtype)
         noised = diffusion.forward_diffuse(cfg, batch, epsilon, t)
-    prediction = unet.unet_apply(cfg, params, noised, t_int[:, 0, 0, 0])
+    prediction = model_api.apply_denoiser(
+        cfg, params, noised, t_int[:, 0, 0, 0], class_idx=label
+    )
     target, pred_scale = diffusion.training_target(cfg, batch, epsilon, t)
     prediction = prediction.astype(jnp.float32) * pred_scale
     return compute_loss(cfg, target, prediction)
