@@ -1,0 +1,85 @@
+"""On-device augmentation and HBM-resident datasets.
+
+BASELINE.json's north star: "the image decode→resize→normalize→augment input
+path is an on-device prefetching pipeline feeding HBM-resident batches."
+Two pieces:
+
+  * ``augment_batch`` — the random-crop / random-flip / ``uint8/128−1``
+    normalize chain (reference train.py:288-292) as a jitted device function:
+    the host ships raw uint8 pixels (4× smaller than fp32) and the VPU does
+    the arithmetic, fused by XLA into whatever consumes the batch.
+  * ``HBMDataset`` — for datasets that fit in HBM (CIFAR/MNIST-scale or a
+    few thousand 256² crops): decode once on the host, park the uint8 tensor
+    on device, and draw batches with a jitted gather+augment — zero
+    steady-state host↔device traffic.
+
+Crop randomisation uses a static-shape trick: a full random crop needs a
+dynamic_slice per sample; we vmap ``lax.dynamic_slice`` over per-sample
+offsets, which XLA lowers to an efficient batched gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _crop_one(img, off_h, off_w, size):
+    return jax.lax.dynamic_slice(img, (off_h, off_w, 0), (size, size, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def augment_batch(raw, rng, size: int):
+    """raw: (B, H, W, 3) uint8 with H, W ≥ size → (B, size, size, 3) float32
+    in [−1, 1): per-sample random crop + random hflip + /128−1."""
+    b, h, w, _ = raw.shape
+    r_crop, r_flip = jax.random.split(rng)
+    off = jax.random.randint(
+        r_crop, (b, 2), 0, jnp.asarray([h - size + 1, w - size + 1])
+    )
+    cropped = jax.vmap(_crop_one, in_axes=(0, 0, 0, None))(
+        raw, off[:, 0], off[:, 1], size
+    )
+    flip = jax.random.bernoulli(r_flip, 0.5, (b,))
+    flipped = jnp.where(flip[:, None, None, None], cropped[:, :, ::-1], cropped)
+    return flipped.astype(jnp.float32) * (1.0 / 128.0) - 1.0
+
+
+class HBMDataset:
+    """All images resident in HBM as uint8; batches drawn fully on device.
+
+    ``images``: (N, H, W, 3) uint8 (H, W ≥ size). Yields float32 batches.
+    """
+
+    def __init__(self, images: np.ndarray, size: int, batch_size: int,
+                 seed: int = 0, sharding=None):
+        assert images.dtype == np.uint8
+        self.size = size
+        self.batch_size = batch_size
+        dev_images = jnp.asarray(images)
+        n = images.shape[0]
+
+        @jax.jit
+        def draw(rng):
+            r_idx, r_aug = jax.random.split(rng)
+            idx = jax.random.randint(r_idx, (batch_size,), 0, n)
+            batch = dev_images[idx]
+            out = augment_batch(batch, r_aug, size=size)
+            if sharding is not None:
+                out = jax.lax.with_sharding_constraint(out, sharding)
+            return out
+
+        self._draw = draw
+        self._rng = jax.random.PRNGKey(seed)
+
+    def __iter__(self):
+        rng = self._rng
+        while True:
+            rng, sub = jax.random.split(rng)
+            yield self._draw(sub)
+
+    def close(self):
+        pass

@@ -1,0 +1,55 @@
+"""On-device augmentation tests: semantics parity with the host path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_class_transfer2_tpu.data import device_augment
+
+
+def test_augment_batch_range_and_shape():
+    r = np.random.default_rng(0)
+    raw = jnp.asarray(r.integers(0, 256, (4, 12, 12, 3), dtype=np.uint8))
+    out = device_augment.augment_batch(raw, jax.random.PRNGKey(0), size=8)
+    assert out.shape == (4, 8, 8, 3)
+    assert out.dtype == jnp.float32
+    o = np.asarray(out)
+    assert o.min() >= -1.0 and o.max() <= 127 / 128
+
+
+def test_augment_batch_is_crop_or_mirror_of_source():
+    r = np.random.default_rng(1)
+    raw_np = r.integers(0, 256, (1, 10, 10, 3), dtype=np.uint8)
+    out = np.asarray(
+        device_augment.augment_batch(jnp.asarray(raw_np), jax.random.PRNGKey(3), size=6)
+    )[0]
+    full = raw_np[0].astype(np.float32) / 128 - 1
+    found = False
+    for cand in (out, out[:, ::-1]):
+        for i in range(5):
+            for j in range(5):
+                if np.allclose(full[i : i + 6, j : j + 6], cand, atol=1e-6):
+                    found = True
+    assert found
+
+
+def test_augment_exact_size_no_crop():
+    r = np.random.default_rng(2)
+    raw_np = r.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    out = np.asarray(
+        device_augment.augment_batch(jnp.asarray(raw_np), jax.random.PRNGKey(0), size=8)
+    )
+    full = raw_np.astype(np.float32) / 128 - 1
+    for b in range(2):
+        assert np.allclose(out[b], full[b]) or np.allclose(out[b], full[b][:, ::-1])
+
+
+def test_hbm_dataset_draws_batches():
+    r = np.random.default_rng(0)
+    images = r.integers(0, 256, (10, 12, 12, 3), dtype=np.uint8)
+    ds = device_augment.HBMDataset(images, size=8, batch_size=4, seed=0)
+    it = iter(ds)
+    b1, b2 = next(it), next(it)
+    assert b1.shape == (4, 8, 8, 3)
+    assert isinstance(b1, jax.Array)
+    assert not np.array_equal(np.asarray(b1), np.asarray(b2))
