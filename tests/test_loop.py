@@ -118,3 +118,29 @@ def test_fit_resilient_gives_up(cfg):
         runner.fit_resilient(max_restarts=1, epochs=1, steps_per_epoch=1,
                              log_samples=False)
     runner.close()
+
+
+def test_cli_train_end_to_end(tmp_path):
+    """Drive the real CLI entry (main) through a tiny training run."""
+    from PIL import Image as PILImage
+
+    from gan_class_transfer2_tpu import cli
+
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        arr = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        PILImage.fromarray(arr).save(tmp_path / f"img_{i}.png")
+
+    rc = cli.main([
+        "train",
+        "--dataset-pattern", str(tmp_path / "*.png"),
+        "--size", "16", "--pixel-size", "4", "--max-size", "8",
+        "--octaves", "2", "--steps", "4", "--batch-size", "2",
+        "--steps-per-epoch", "2", "--epochs", "1", "--warm-up", "2",
+        "--test-step", "2", "--fused-diffusion", "false",
+        "--log-dir", str(tmp_path / "logs"),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--checkpoint-every", "2", "--mesh-data", "1",
+    ])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(str(tmp_path / "ckpt"), "step_000000002"))
