@@ -122,34 +122,6 @@ def init_unet(key, cfg, in_channels: int = 3, out_channels: int | None = None) -
     return params
 
 
-def _octave_apply(cfg, octaves, i, x, impl):
-    """Apply octave level i (recursively) to x; returns the level output."""
-    level = octaves[i]
-    h = conv_ops.down_conv(x, level["down"]["kernel"], level["down"]["bias"], impl)
-    h = _apply_block(level["block_in"], h, impl)
-    if i + 1 < cfg.octaves:
-        inner = lambda y: _octave_apply(cfg, octaves, i + 1, y, impl)
-        if cfg.remat:
-            inner = jax.checkpoint(inner)
-        h = inner(h)
-    else:
-        h = _apply_block_middle(cfg, octaves, h, impl)
-    h = _apply_block(level["block_out"], h, impl)
-    h = conv_ops.up_conv(h, level["up"]["kernel"], level["up"]["bias"], impl)
-    if cfg.skip_mode == "concat":
-        # Branch cast to the input dtype (reference train.py:113-119).
-        return jnp.concatenate([h.astype(x.dtype), x], axis=-1)
-    if cfg.skip_mode == "residual":
-        return x + conv_ops.dense(h, level["skip_dense"]).astype(x.dtype)
-    return h
-
-
-def _apply_block_middle(cfg, octaves, h, impl):
-    # The middle Block params live on the params dict, threaded via closure
-    # set in unet_apply; placeholder overridden there.
-    raise NotImplementedError
-
-
 def unet_apply(cfg, params: Params, x, t=None):
     """Forward pass. ``x``: (B, H, W, C) in [-1, 1). ``t``: (B,) int timesteps,
     accepted for interface parity and ignored unless ``per_step_output``."""

@@ -1,3 +1,3 @@
-from . import benchmark, checkpoint, profiler, tensorboard, tf_import
+from . import benchmark, checkpoint, metrics, profiler, tensorboard, tf_import
 
-__all__ = ["benchmark", "checkpoint", "profiler", "tensorboard", "tf_import"]
+__all__ = ["benchmark", "checkpoint", "metrics", "profiler", "tensorboard", "tf_import"]

@@ -1,0 +1,122 @@
+"""Sample-quality metrics: Fréchet distance (FID-style), PSNR, RMSE.
+
+BASELINE.json names "steps-to-fixed-FID" as a tracked metric. True FID uses
+InceptionV3 pool3 activations; no pretrained Inception weights are available
+in this environment (zero egress), so the default feature extractor is a
+*fixed-seed random conv net* — a documented, deterministic proxy (random
+convolutional features preserve distributional differences well and the
+Fréchet math is identical). Any callable ``images -> (N, D)`` can be plugged
+in as the extractor (e.g. a real Inception when weights are present).
+
+The Fréchet distance itself is exact:
+``|μ₁−μ₂|² + tr(Σ₁+Σ₂−2·(Σ₁Σ₂)^{1/2})``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ------------------------------------------------------- feature extractor ---
+
+
+@functools.lru_cache(maxsize=4)
+def _random_feature_params(depth: int, width: int, seed: int):
+    from ..ops import init as init_ops
+
+    key = jax.random.PRNGKey(seed)
+    params = []
+    c = 3
+    for i in range(depth):
+        key, k = jax.random.split(key)
+        f = min(width * 2**i, 256)
+        params.append(init_ops.conv_kernel(k, 4, 4, c, f))
+        c = f
+    return tuple(params)
+
+
+def random_conv_features(images, depth: int = 4, width: int = 32, seed: int = 0):
+    """Fixed random strided conv net → global-avg-pooled features (N, D).
+
+    images: (N, H, W, 3) float32 in [−1, 1)."""
+    from ..ops import conv as conv_ops
+
+    params = _random_feature_params(depth, width, seed)
+
+    @jax.jit
+    def extract(x):
+        h = x
+        for k in params:
+            h = conv_ops.conv2d(h, k, stride=2, relu=True)
+        return jnp.mean(h, axis=(1, 2))
+
+    return extract(images)
+
+
+# ---------------------------------------------------------------- Fréchet ---
+
+
+def _sqrtm_psd_product(s1: np.ndarray, s2: np.ndarray) -> np.ndarray:
+    """(Σ₁Σ₂)^{1/2} via scipy with PSD cleanup."""
+    import scipy.linalg
+
+    out = scipy.linalg.sqrtm(s1 @ s2)  # scipy>=1.17 returns the matrix alone
+    covmean = out[0] if isinstance(out, tuple) else out
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return covmean
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
+    mu1, mu2 = np.asarray(mu1), np.asarray(mu2)
+    sigma1, sigma2 = np.asarray(sigma1), np.asarray(sigma2)
+    diff = mu1 - mu2
+    covmean = _sqrtm_psd_product(sigma1, sigma2)
+    return float(diff @ diff + np.trace(sigma1 + sigma2 - 2.0 * covmean))
+
+
+def _stats(feats: np.ndarray):
+    mu = feats.mean(0)
+    sigma = np.cov(feats, rowvar=False)
+    return mu, np.atleast_2d(sigma)
+
+
+def fid(
+    images_a,
+    images_b,
+    extractor: Optional[Callable] = None,
+    batch_size: int = 64,
+) -> float:
+    """FID-style score between two image sets ((N,H,W,3) in [−1,1))."""
+    extractor = extractor or random_conv_features
+
+    def feats(images):
+        out = []
+        for i in range(0, len(images), batch_size):
+            out.append(np.asarray(extractor(jnp.asarray(images[i : i + batch_size]))))
+        return np.concatenate(out, 0).astype(np.float64)
+
+    mu_a, s_a = _stats(feats(images_a))
+    mu_b, s_b = _stats(feats(images_b))
+    return frechet_distance(mu_a, s_a, mu_b, s_b)
+
+
+# ------------------------------------------------------------ pixel metrics ---
+
+
+def rmse(a, b) -> float:
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def psnr(a, b, data_range: float = 2.0) -> float:
+    """PSNR in dB; default data_range=2 for images in [−1, 1)."""
+    e = rmse(a, b)
+    if e == 0:
+        return float("inf")
+    return float(20.0 * np.log10(data_range / e))
