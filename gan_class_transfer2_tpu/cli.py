@@ -62,6 +62,15 @@ def main(argv=None):
     for cmd in ("train", "gan-train", "sample", "bench"):
         p = sub.add_parser(cmd)
         p.add_argument("--config", type=str, default=None, help="config JSON")
+        p.add_argument(
+            "--platform",
+            type=str,
+            default=None,
+            choices=("tpu", "cpu"),
+            help="force the JAX backend (the JAX_PLATFORMS env var is "
+            "overridden by TPU plugins in some environments; this flag "
+            "always wins)",
+        )
         _add_config_args(p)
         if cmd == "sample":
             p.add_argument("--out", type=str, default="samples")
@@ -70,6 +79,10 @@ def main(argv=None):
             p.add_argument("--bench-steps", type=int, default=30)
 
     args = parser.parse_args(argv)
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     cfg = config_from_args(args)
 
     if args.command == "train":
@@ -119,6 +132,12 @@ def _sample(cfg: Config, args) -> int:
     state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
     if cfg.checkpoint_dir and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None:
         state = ckpt_lib.restore(cfg.checkpoint_dir, state)
+    else:
+        print(
+            f"warning: no checkpoint found in {cfg.checkpoint_dir!r}; "
+            "sampling from randomly initialised weights",
+            file=sys.stderr,
+        )
     params = state.ema_params if state.ema_params is not None else state.params
 
     rng = np.random.default_rng(cfg.seed)
