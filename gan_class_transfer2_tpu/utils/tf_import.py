@@ -86,6 +86,36 @@ def import_flat_weights(cfg, params, flat: Sequence[np.ndarray]):
     return new
 
 
+def export_flat_weights(cfg, params) -> List[np.ndarray]:
+    """Inverse of import_flat_weights: flatten our pytree into the TF build
+    order (convT kernels converted back to TF's (kh, kw, out, in) layout),
+    so trained weights can be loaded into a Keras model of the reference
+    topology via ``model.set_weights``."""
+    out: List[np.ndarray] = []
+
+    def dump_block(block):
+        for layer in block:
+            out.append(np.asarray(layer["kernel"]))
+            out.append(np.asarray(layer["bias"]))
+
+    dump_block(params["pre_block"])
+    for level in params["octaves"]:
+        out.append(np.asarray(level["down"]["kernel"]))
+        out.append(np.asarray(level["down"]["bias"]))
+        dump_block(level["block_in"])
+    dump_block(params["middle"])
+    for level in reversed(params["octaves"]):
+        dump_block(level["block_out"])
+        out.append(np.asarray(level["up"]["kernel"]).transpose(0, 1, 3, 2))
+        out.append(np.asarray(level["up"]["bias"]))
+        if "skip_dense" in level:
+            out.append(np.asarray(level["skip_dense"]))
+    dump_block(params["post_block"])
+    out.append(np.asarray(params["head"]["kernel"]))
+    out.append(np.asarray(params["head"]["bias"]))
+    return out
+
+
 def keras_weight_list(model) -> List[np.ndarray]:
     """Flatten a Keras model's weights in build order (TF import helper)."""
     return [np.asarray(w) for w in model.get_weights()]
