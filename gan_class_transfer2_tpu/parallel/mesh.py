@@ -98,6 +98,43 @@ def make_parallel_train_step(cfg, mesh: Mesh, example_state=None):
     )
 
 
+def make_parallel_gan_train_step(cfg, mesh: Mesh, example_state=None):
+    """jit the GAN cycle step over the mesh: both class batches sharded on
+    'data', G/D params under the TP rule, metrics replicated."""
+    from ..train import gan as gan_lib
+
+    g_opt = gan_lib.make_optimizer(cfg)
+    d_opt = gan_lib._d_optimizer(cfg)
+
+    def step(state, batch_a, batch_b, rng):
+        return gan_lib.gan_train_step(cfg, g_opt, d_opt, state, batch_a, batch_b, rng)
+
+    if example_state is None:
+        example_state = jax.eval_shape(
+            lambda r: gan_lib.init_gan_state(cfg, r), jax.random.PRNGKey(0)
+        )
+    st_sh = state_shardings(example_state, mesh)
+    b_sh = batch_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    metrics_sh = {k: rep for k in ("g_loss", "d_loss", "adversarial", "cycle", "identity")}
+    return jax.jit(
+        step,
+        in_shardings=(st_sh, b_sh, b_sh, rep),
+        out_shardings=(st_sh, metrics_sh),
+        donate_argnums=(0,) if cfg.donate_state else (),
+    )
+
+
+def init_sharded_gan_state(cfg, mesh: Mesh, rng):
+    from ..train import gan as gan_lib
+
+    abstract = jax.eval_shape(lambda r: gan_lib.init_gan_state(cfg, r), rng)
+    shardings = state_shardings(abstract, mesh)
+    return jax.jit(
+        lambda r: gan_lib.init_gan_state(cfg, r), out_shardings=shardings
+    )(rng)
+
+
 def make_parallel_eval_fn(cfg, mesh: Mesh):
     """Eval/sampler program jitted over the mesh. The sampler batch is tiny
     (2 + 4·B images, reference train.py:432-434), so inputs are replicated;

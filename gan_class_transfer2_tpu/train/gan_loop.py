@@ -37,10 +37,10 @@ class GANRunner:
         self.mesh = mesh_lib.make_mesh(cfg)
         rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(rng)
-        self.state = gan.init_gan_state(cfg, init_rng)
+        self.state = mesh_lib.init_sharded_gan_state(cfg, self.mesh, init_rng)
         if cfg.checkpoint_dir and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None:
             self.state = ckpt_lib.restore(cfg.checkpoint_dir, self.state)
-        self.train_step = gan.make_gan_train_step(cfg)
+        self.train_step = mesh_lib.make_parallel_gan_train_step(cfg, self.mesh)
 
         mk = lambda pat, seed: pipeline.ImageDataset(
             pat, cfg.size, cfg.batch_size, seed=seed,

@@ -87,3 +87,15 @@ def test_parallel_eval_runs():
     )
     out = eval_fn(state.params, image, noise, dictionary)
     assert out["fake"].shape == (6, cfg.size, cfg.size, 3)
+
+
+def test_parallel_gan_step_runs():
+    cfg = tiny_test_config(batch_size=4, donate_state=False, learning_rate=1e-4)
+    m = mesh_lib.make_mesh(data=4, model=2)
+    state = mesh_lib.init_sharded_gan_state(cfg, m, jax.random.PRNGKey(0))
+    pstep = mesh_lib.make_parallel_gan_train_step(cfg, m)
+    a = jax.device_put(_batch(cfg, 0), mesh_lib.batch_sharding(m))
+    b = jax.device_put(_batch(cfg, 1), mesh_lib.batch_sharding(m))
+    state, metrics = pstep(state, a, b, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
