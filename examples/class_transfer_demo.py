@@ -56,7 +56,7 @@ def main():
         mesh_data=1,
     ).validate()
 
-    ds_a = ArrayDataset(circ := synthetic.circles(256, cfg.size), cfg.batch_size, seed=0, flip=False)
+    ds_a = ArrayDataset(synthetic.circles(256, cfg.size), cfg.batch_size, seed=0, flip=False)
     ds_b = ArrayDataset(synthetic.crosses(256, cfg.size), cfg.batch_size, seed=1, flip=False)
     runner = GANRunner(cfg, dataset_a=ds_a, dataset_b=ds_b)
     runner.fit(epochs=1, steps_per_epoch=args.steps)
