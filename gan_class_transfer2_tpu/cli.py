@@ -17,7 +17,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import sys
-from typing import Optional, Tuple
 
 from .config import Config
 
