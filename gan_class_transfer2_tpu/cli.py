@@ -58,7 +58,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="gan_class_transfer2_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
-    for cmd in ("train", "gan-train", "sample", "bench"):
+    for cmd in ("train", "gan-train", "sample", "bench", "serve"):
         p = sub.add_parser(cmd)
         p.add_argument("--config", type=str, default=None, help="config JSON")
         p.add_argument(
@@ -76,6 +76,9 @@ def main(argv=None):
             p.add_argument("--num", type=int, default=6)
         if cmd == "bench":
             p.add_argument("--bench-steps", type=int, default=30)
+        if cmd == "serve":
+            p.add_argument("--host", type=str, default="127.0.0.1")
+            p.add_argument("--port", type=int, default=8080)
 
     args = parser.parse_args(argv)
     if getattr(args, "platform", None):
@@ -112,6 +115,12 @@ def main(argv=None):
 
         result = run_benchmark(cfg, steps=args.bench_steps)
         print(result.to_json())
+        return 0
+
+    if args.command == "serve":
+        from .serve.server import serve_from_checkpoint
+
+        serve_from_checkpoint(cfg, host=args.host, port=args.port)
         return 0
 
     return 1

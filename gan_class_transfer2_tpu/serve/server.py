@@ -1,0 +1,208 @@
+"""Inference serving — HTTP API over a trained checkpoint.
+
+The reference has no serving path; the north star targets "large-scale
+production deployment and serving". This module is the minimal TPU-native
+serving tier: the model stays jit-compiled and HBM-resident, requests are
+decoded on the host and batched onto the device, responses are PNG.
+
+Endpoints (JSON unless noted):
+  GET  /healthz              → {"status": "ok", "step": N}
+  POST /sample {"num": k}    → k reverse-diffusion samples, PNG (first) or
+                               base64 list (all) per the "format" field
+  POST /transfer  body=PNG   → class-transferred image (GAN checkpoints),
+                               query: direction=ab|ba
+  POST /denoise   body=PNG   → single-step denoise preview of the input
+
+Built on http.server (stdlib) with a lock around device calls — throughput
+serving would swap in a real async frontend; the device-side batching path
+is the part that carries over.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+def _png_bytes(img: np.ndarray) -> bytes:
+    from PIL import Image
+
+    arr = np.clip((img * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _decode_png(data: bytes, size: int) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data)).convert("RGB")
+    if img.size != (size, size):
+        img = img.resize((size, size))
+    return np.asarray(img, np.float32)[None] / 128.0 - 1.0
+
+
+class ModelService:
+    """Owns params + jitted programs; thread-safe."""
+
+    def __init__(self, cfg, state=None, gan_state=None):
+        import jax
+
+        from ..sample import sampler
+        from ..train import trainer as trainer_lib
+
+        self.cfg = cfg
+        self._lock = threading.Lock()
+        if state is None and gan_state is None:
+            state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
+        self.state = state
+        self.gan_state = gan_state
+        self._rng = jax.random.PRNGKey(cfg.seed + 99)
+
+        if state is not None:
+            params = state.ema_params if state.ema_params is not None else state.params
+            self._params = params
+            self._sample = jax.jit(lambda p, b: sampler.sample(cfg, p, b).images)
+            self._preview = jax.jit(lambda p, x, n: sampler.preview(cfg, p, x, n))
+
+    @property
+    def step(self) -> int:
+        st = self.state if self.state is not None else self.gan_state
+        return int(st.step)
+
+    def sample(self, num: int) -> np.ndarray:
+        import jax
+
+        with self._lock:
+            self._rng, sub = jax.random.split(self._rng)
+            init = jax.random.normal(
+                sub, (num, self.cfg.size, self.cfg.size, 3), dtype=np.float32
+            )
+            return np.asarray(self._sample(self._params, init))
+
+    def denoise(self, image: np.ndarray) -> np.ndarray:
+        import jax
+
+        with self._lock:
+            self._rng, sub = jax.random.split(self._rng)
+            noise = jax.random.normal(sub, image.shape, dtype=np.float32)
+            denoised, _ = self._preview(self._params, image, noise)
+            return np.asarray(denoised)
+
+    def transfer(self, image: np.ndarray, direction: str = "ab") -> np.ndarray:
+        from ..train import gan
+
+        if self.gan_state is None:
+            raise ValueError("no GAN checkpoint loaded")
+        with self._lock:
+            return np.asarray(
+                gan.transfer(self.cfg, self.gan_state, image, direction)
+            )
+
+
+def make_handler(service: ModelService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _png(self, img: np.ndarray):
+            body = _png_bytes(img)
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                return self._json(200, {"status": "ok", "step": service.step})
+            return self._json(404, {"error": f"unknown path {self.path}"})
+
+        def _body(self) -> bytes:
+            length = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(length)
+
+        def do_POST(self):
+            try:
+                path, _, query = self.path.partition("?")
+                if path == "/sample":
+                    req = json.loads(self._body() or b"{}")
+                    num = int(req.get("num", 1))
+                    if not 1 <= num <= 64:
+                        return self._json(400, {"error": "num must be in [1, 64]"})
+                    images = service.sample(num)
+                    if req.get("format") == "base64":
+                        return self._json(
+                            200,
+                            {
+                                "images": [
+                                    base64.b64encode(_png_bytes(im)).decode()
+                                    for im in images
+                                ]
+                            },
+                        )
+                    return self._png(images[0])
+                if path == "/denoise":
+                    img = _decode_png(self._body(), service.cfg.size)
+                    return self._png(service.denoise(img)[0])
+                if path == "/transfer":
+                    direction = "ab"
+                    if "direction=" in query:
+                        direction = query.split("direction=")[1][:2]
+                    if direction not in ("ab", "ba"):
+                        return self._json(400, {"error": "direction must be ab|ba"})
+                    img = _decode_png(self._body(), service.cfg.size)
+                    return self._png(service.transfer(img, direction)[0])
+                return self._json(404, {"error": f"unknown path {path}"})
+            except ValueError as e:
+                return self._json(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001
+                return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+class Server:
+    def __init__(self, service: ModelService, host: str = "127.0.0.1", port: int = 0):
+        self.httpd = ThreadingHTTPServer((host, port), make_handler(service))
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def serve_from_checkpoint(cfg, host: str = "127.0.0.1", port: int = 8080):
+    """Load the latest checkpoint and serve forever (CLI entry)."""
+    import jax
+
+    from ..train import trainer as trainer_lib
+    from ..utils import checkpoint as ckpt_lib
+
+    state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
+    if cfg.checkpoint_dir and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None:
+        state = ckpt_lib.restore(cfg.checkpoint_dir, state)
+    service = ModelService(cfg, state=state)
+    server = Server(service, host, port)
+    print(f"serving on {host}:{server.port} (step {service.step})", flush=True)
+    server.httpd.serve_forever()

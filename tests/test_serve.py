@@ -1,0 +1,101 @@
+"""Serving-tier tests: drive the HTTP API over a real socket."""
+
+import io
+import json
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from gan_class_transfer2_tpu.config import tiny_test_config
+from gan_class_transfer2_tpu.serve.server import ModelService, Server
+from gan_class_transfer2_tpu.train import gan, trainer
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = tiny_test_config()
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    gan_state = gan.init_gan_state(cfg, jax.random.PRNGKey(1))
+    service = ModelService(cfg, state=state, gan_state=gan_state)
+    srv = Server(service).start()
+    yield srv, cfg
+    srv.stop()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}") as r:
+        return r.status, r.read()
+
+
+def _post(srv, path, data, headers=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", data=data, headers=headers or {}
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_healthz(server):
+    srv, _ = server
+    status, body = _get(srv, "/healthz")
+    assert status == 200
+    assert json.loads(body)["status"] == "ok"
+
+
+def test_sample_png(server):
+    srv, cfg = server
+    status, body = _post(srv, "/sample", json.dumps({"num": 2}).encode())
+    assert status == 200
+    img = Image.open(io.BytesIO(body))
+    assert img.size == (cfg.size, cfg.size)
+
+
+def test_sample_base64_batch(server):
+    srv, _ = server
+    status, body = _post(
+        srv, "/sample", json.dumps({"num": 3, "format": "base64"}).encode()
+    )
+    assert status == 200
+    assert len(json.loads(body)["images"]) == 3
+
+
+def test_denoise_roundtrip(server):
+    srv, cfg = server
+    arr = np.random.default_rng(0).integers(
+        0, 256, (cfg.size, cfg.size, 3), dtype=np.uint8
+    )
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    status, body = _post(srv, "/denoise", buf.getvalue())
+    assert status == 200
+    out = Image.open(io.BytesIO(body))
+    assert out.size == (cfg.size, cfg.size)
+
+
+def test_transfer_directions(server):
+    srv, cfg = server
+    arr = np.random.default_rng(1).integers(
+        0, 256, (cfg.size, cfg.size, 3), dtype=np.uint8
+    )
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    s1, b1 = _post(srv, "/transfer?direction=ab", buf.getvalue())
+    s2, b2 = _post(srv, "/transfer?direction=ba", buf.getvalue())
+    assert s1 == s2 == 200
+    assert b1 != b2  # different generators
+
+
+def test_error_paths(server):
+    srv, _ = server
+    status, body = _post(srv, "/sample", json.dumps({"num": 10_000}).encode())
+    assert status == 400
+    status, _ = _post(srv, "/nope", b"")
+    assert status == 404
+    status, body = _post(srv, "/transfer?direction=zz", b"")
+    assert status == 400
