@@ -1,0 +1,136 @@
+"""Fully spatially-sharded U-Net forward pass.
+
+`parallel/spatial.py` shards one conv; this module runs the *entire*
+Denoiser (models/unet.py) on height-sharded activations inside a single
+`shard_map`: every k4/s2 down conv, k3/s1 block conv, and k4/s2 transposed
+conv exchanges a one-row halo with its mesh neighbours (`ppermute` over ICI)
+and computes locally; concat skips, the middle block, and the dense head are
+shard-local. This is the resolution-scaling path (SURVEY §5: the reference's
+scaling dimension is image size) — activations for a 1024²+ image never need
+to fit on one chip.
+
+Halo math (all exact vs the unsharded TF-'SAME' ops, tested on the CPU mesh):
+  * k4/s2 conv: SAME pads (1,1) → one halo row each side, VALID conv.
+  * k3/s1 conv: SAME pads (1,1) → one halo row each side, VALID conv.
+  * k4/s2 transposed conv: compute the plain SAME transposed conv on the
+    (1,1)-haloed shard and slice local output rows [2, 2h+2) — interior rows
+    of a transposed conv depend only on inputs the halo provides, so the
+    boundary-contaminated rows are exactly the ones sliced away.
+
+Constraints: every intermediate shard height must stay ≥ 1 and even wherever
+a further down conv consumes it — i.e. ``size / 2**octaves / n_shards ≥ 1``
+with power-of-two shard counts.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.conv import DN, _precision
+from .spatial import halo_exchange
+
+
+def _local_conv(x, kernel, bias, stride, w_pads, relu):
+    y = lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((0, 0), w_pads),
+        dimension_numbers=DN,
+        precision=_precision(x),
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    if relu:
+        y = jax.nn.relu(y)
+    return y
+
+
+def _down(x, kernel, bias, axis):
+    """k4/s2 SAME down conv on a height shard."""
+    xh = halo_exchange(x, axis, 1, 1)
+    return _local_conv(xh, kernel, bias, 2, (1, 1), relu=True)
+
+
+def _block_conv(x, kernel, bias, axis):
+    """k3/s1 SAME conv on a height shard."""
+    xh = halo_exchange(x, axis, 1, 1)
+    return _local_conv(xh, kernel, bias, 1, (1, 1), relu=True)
+
+
+def _up(x, kernel, bias, axis):
+    """k4/s2 SAME transposed conv on a height shard (exact interior slice)."""
+    from ..ops.conv import conv2d_transpose
+
+    xh = halo_exchange(x, axis, 1, 1)
+    y = conv2d_transpose(xh, kernel, bias, stride=2, relu=True)
+    h = x.shape[1]
+    return y[:, 2 : 2 * h + 2]
+
+
+def _apply_block(layers, x, axis):
+    for layer in layers:
+        x = _block_conv(x, layer["kernel"], layer["bias"], axis)
+    return x
+
+
+def _local_unet(cfg, params, x, axis):
+    """Shard-local body (runs inside shard_map)."""
+    from ..ops import conv as conv_ops
+
+    dtype = jnp.dtype(cfg.compute_dtype)
+    x = x.astype(dtype)
+    h = _apply_block(params["pre_block"], x, axis)
+
+    def rec(i, h):
+        level = params["octaves"][i]
+        inp = h
+        h = _down(h, level["down"]["kernel"], level["down"]["bias"], axis)
+        h = _apply_block(level["block_in"], h, axis)
+        if i + 1 < cfg.octaves:
+            h = rec(i + 1, h)
+        else:
+            h = _apply_block(params["middle"], h, axis)
+        h = _apply_block(level["block_out"], h, axis)
+        h = _up(h, level["up"]["kernel"], level["up"]["bias"], axis)
+        if cfg.skip_mode == "concat":
+            return jnp.concatenate([h.astype(inp.dtype), inp], axis=-1)
+        if cfg.skip_mode == "residual":
+            return inp + conv_ops.dense(h, level["skip_dense"]).astype(inp.dtype)
+        return h
+
+    if cfg.octaves > 0:
+        h = rec(0, h)
+    else:
+        h = _apply_block(params["middle"], h, axis)
+    h = _apply_block(params["post_block"], h, axis)
+    return conv_ops.dense(h, params["head"]["kernel"], params["head"]["bias"])
+
+
+def make_spatial_unet_apply(cfg, mesh: Mesh, axis: str = "spatial"):
+    """Build ``fn(params, x) -> prediction`` with x height-sharded on
+    ``axis`` and params replicated. Differentiable (ppermute transposes)."""
+    n = mesh.shape[axis]
+    if (cfg.size // 2**cfg.octaves) % n != 0 and (cfg.size // 2**cfg.octaves) < n:
+        raise ValueError(
+            f"bottleneck height {cfg.size // 2**cfg.octaves} not shardable "
+            f"{n}-way"
+        )
+
+    body = functools.partial(_local_unet, cfg)
+    fn = jax.shard_map(
+        lambda p, x: body(p, x, axis),
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None, None)),
+        out_specs=P(None, axis, None, None),
+    )
+    return jax.jit(fn)
+
+
+def spatial_input_sharding(mesh: Mesh, axis: str = "spatial") -> NamedSharding:
+    return NamedSharding(mesh, P(None, axis, None, None))
