@@ -118,6 +118,10 @@ class Config:
     checkpoint_dir: Optional[str] = "checkpoints"
     checkpoint_every: int = 1000
     log_images_every: int = 1  # epochs between log_sample calls
+    # FID-style sample-quality tracking (BASELINE "steps-to-fixed-FID"):
+    # 0 = off; N = compute FID between N generated samples and N data images
+    # at every log_sample (utils/metrics.py random-feature extractor).
+    fid_samples: int = 0
 
     # ------------------------------------------------------------ derived ---
     def class_patterns(self) -> Tuple[str, ...]:

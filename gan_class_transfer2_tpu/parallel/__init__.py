@@ -1,3 +1,3 @@
-from . import mesh
+from . import mesh, multihost, spatial, spatial_unet
 
-__all__ = ["mesh"]
+__all__ = ["mesh", "multihost", "spatial", "spatial_unet"]

@@ -1,0 +1,58 @@
+"""Multi-host (multi-process) support.
+
+Single-slice multi-chip needs nothing beyond `parallel/mesh.py` (one process
+sees all chips). On multi-host TPU pods each process owns a subset of chips;
+this module wraps the standard JAX recipe:
+
+  * ``initialize()`` — `jax.distributed.initialize` (no-op when single-host
+    or already initialised)
+  * ``global_batch_from_host_local(...)`` — each host loads only its shard of
+    the global batch; `jax.make_array_from_process_local_data` assembles the
+    logically-global array without any cross-host data movement (gradients
+    still all-reduce over ICI/DCN via the mesh shardings).
+
+There is exactly one process in this build environment, so the multi-host
+paths are exercised only in their degenerate form; the API mirrors the
+standard pattern so pod runs need no code changes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+def initialize(coordinator_address: Optional[str] = None, **kw) -> int:
+    """Initialise the JAX distributed runtime when running multi-process.
+
+    Returns the process index. Safe to call single-host (returns 0)."""
+    if jax.process_count() > 1 or coordinator_address is None:
+        return jax.process_index()
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address, **kw)
+    except RuntimeError:
+        pass  # already initialised
+    return jax.process_index()
+
+
+def host_local_batch_size(global_batch: int) -> int:
+    n = jax.process_count()
+    if global_batch % n != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by {n} hosts")
+    return global_batch // n
+
+
+def global_batch_from_host_local(local_batch, sharding):
+    """Assemble a logically-global batch from this host's local shard.
+
+    ``local_batch``: numpy array of shape (global_batch / process_count, ...);
+    ``sharding``: the global NamedSharding (e.g. mesh batch_sharding)."""
+    if jax.process_count() == 1:
+        return jax.device_put(local_batch, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_batch)
+
+
+def is_coordinator() -> bool:
+    """True on the process that should write checkpoints/logs."""
+    return jax.process_index() == 0

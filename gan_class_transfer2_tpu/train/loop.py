@@ -81,6 +81,31 @@ class Runner:
         for tag in ("step_1", "step_0.25", "step_0.5", "step_0.75"):
             self.writer.image(tag, out[tag] * 0.5 + 0.5, epoch, max_outputs=10)
         self.writer.image("fake", out["fake"] * 0.5 + 0.5, epoch, max_outputs=10)
+        if self.cfg.fid_samples > 0:
+            self.writer.scalar("fid", self.compute_fid(params), epoch)
+
+    def compute_fid(self, params=None) -> float:
+        """FID-style score of fresh reverse-diffusion samples vs data
+        (utils/metrics random-feature proxy; BASELINE 'steps-to-fixed-FID')."""
+        from ..sample import sampler
+        from ..utils import metrics
+
+        cfg = self.cfg
+        n = cfg.fid_samples
+        if params is None:
+            params = (
+                self.state.ema_params
+                if self.state.ema_params is not None
+                else self.state.params
+            )
+        self.rng, sub = jax.random.split(self.rng)
+        init = jax.random.normal(sub, (n, cfg.size, cfg.size, 3), jnp.float32)
+        samples = np.asarray(sampler.sample(cfg, params, init).images)
+        data = []
+        while sum(len(d) for d in data) < n:
+            data.append(np.asarray(next(self.data_iter)))
+        data = np.concatenate(data, 0)[:n]
+        return metrics.fid(samples, data)
 
     # ----------------------------------------------------------------- train
     def fit(

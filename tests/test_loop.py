@@ -144,3 +144,12 @@ def test_cli_train_end_to_end(tmp_path):
     ])
     assert rc == 0
     assert os.path.isdir(os.path.join(str(tmp_path / "ckpt"), "step_000000002"))
+
+
+def test_fid_logging(cfg):
+    cfg = cfg.replace(fid_samples=4)
+    runner = Runner(cfg, dataset=_dataset(cfg))
+    runner.fit(epochs=1, steps_per_epoch=1)
+    runner.close()
+    tags = {e[1] for e in tb.read_events(runner.writer.path)}
+    assert "fid" in tags
