@@ -1,3 +1,3 @@
-from . import gan, gan_loop, loop, trainer
+from . import conditional_gan, gan, gan_loop, loop, trainer
 
-__all__ = ["gan", "gan_loop", "loop", "trainer"]
+__all__ = ["conditional_gan", "gan", "gan_loop", "loop", "trainer"]

@@ -1,0 +1,150 @@
+"""Multi-class conditional transfer (BASELINE.json config 5: "multi-class
+conditional transfer at 256×256 with cycle/identity losses + EMA sampling").
+
+Single conditional generator G(x, target_class) (models/conditional.py) and a
+projection-conditioned discriminator D(x, class) (models/discriminator.py),
+StarGAN-style:
+
+  * adversarial: D judges (image, class) pairs — real images with their true
+    class vs generated images with the target class
+  * cycle: G(G(x, c_target), c_source) ≈ x
+  * identity: G(x, c_source) ≈ x
+  * EMA of the generator for sampling
+
+One jitted step; batches arrive as {"image": (B,H,W,3), "label": (B,)} plus
+per-sample random target classes drawn in-step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import conditional as cond_lib
+from ..models import discriminator as d_lib
+from .gan import adversarial_loss, _l1
+from .trainer import make_optimizer
+
+
+class ConditionalGANState(NamedTuple):
+    step: jnp.ndarray
+    generator: Any
+    discriminator: Any
+    g_opt: Any
+    d_opt: Any
+    ema_generator: Any
+
+
+def init_conditional_gan_state(cfg, rng) -> ConditionalGANState:
+    if cfg.num_classes < 2:
+        raise ValueError("conditional GAN needs Config.num_classes >= 2")
+    k_g, k_d = jax.random.split(rng)
+    generator = cond_lib.init_conditional_unet(
+        k_g, cfg, num_classes=cfg.num_classes, embed_dim=cfg.class_embed_dim
+    )
+    discriminator = d_lib.init_discriminator(k_d, cfg, num_classes=cfg.num_classes)
+    g_opt = make_optimizer(cfg).init(generator)
+    d_opt = make_optimizer(cfg).init(discriminator)
+    ema = (
+        jax.tree_util.tree_map(jnp.copy, generator) if cfg.ema_decay > 0 else None
+    )
+    return ConditionalGANState(
+        jnp.zeros((), jnp.int32), generator, discriminator, g_opt, d_opt, ema
+    )
+
+
+def conditional_gan_train_step(
+    cfg, g_optimizer, d_optimizer, state: ConditionalGANState, batch, rng
+) -> Tuple[ConditionalGANState, dict]:
+    images, labels = batch["image"], batch["label"]
+    rng = jax.random.fold_in(rng, state.step)
+    # per-sample random target class != source (shift by U[1, C-1] mod C)
+    shift = jax.random.randint(
+        rng, labels.shape, 1, cfg.num_classes
+    )
+    targets = (labels + shift) % cfg.num_classes
+
+    def g_loss_fn(g_params, d_params):
+        fake = cond_lib.conditional_unet_apply(cfg, g_params, images, targets)
+        adv = adversarial_loss(
+            cfg,
+            d_lib.discriminator_apply(cfg, d_params, fake, targets),
+            True,
+            True,
+        )
+        cycled = cond_lib.conditional_unet_apply(cfg, g_params, fake, labels)
+        cycle = _l1(cycled, images)
+        ident = _l1(
+            cond_lib.conditional_unet_apply(cfg, g_params, images, labels), images
+        )
+        total = (
+            cfg.adversarial_weight * adv
+            + cfg.cycle_weight * cycle
+            + cfg.identity_weight * ident
+        )
+        return total, (fake, adv, cycle, ident)
+
+    def d_loss_fn(d_params, fake):
+        real_logits = d_lib.discriminator_apply(cfg, d_params, images, labels)
+        fake_logits = d_lib.discriminator_apply(cfg, d_params, fake, targets)
+        return 0.5 * (
+            adversarial_loss(cfg, real_logits, True, False)
+            + adversarial_loss(cfg, fake_logits, False, False)
+        )
+
+    (g_loss, (fake, adv, cycle, ident)), g_grads = jax.value_and_grad(
+        g_loss_fn, has_aux=True
+    )(state.generator, state.discriminator)
+    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
+        state.discriminator, jax.lax.stop_gradient(fake)
+    )
+
+    g_updates, g_opt = g_optimizer.update(g_grads, state.g_opt, state.generator)
+    generator = optax.apply_updates(state.generator, g_updates)
+    d_updates, d_opt = d_optimizer.update(
+        d_grads, state.d_opt, state.discriminator
+    )
+    discriminator = optax.apply_updates(state.discriminator, d_updates)
+
+    ema = state.ema_generator
+    if ema is not None:
+        d = cfg.ema_decay
+        ema = jax.tree_util.tree_map(
+            lambda e, p: e * d + p * (1.0 - d), ema, generator
+        )
+
+    new_state = ConditionalGANState(
+        state.step + 1, generator, discriminator, g_opt, d_opt, ema
+    )
+    return new_state, {
+        "g_loss": g_loss,
+        "d_loss": d_loss,
+        "adversarial": adv,
+        "cycle": cycle,
+        "identity": ident,
+    }
+
+
+def make_conditional_gan_train_step(cfg):
+    g_opt = make_optimizer(cfg)
+    d_opt = make_optimizer(cfg)
+
+    def step(state, batch, rng):
+        return conditional_gan_train_step(cfg, g_opt, d_opt, state, batch, rng)
+
+    donate = (0,) if cfg.donate_state else ()
+    return jax.jit(step, donate_argnums=donate)
+
+
+def transfer(cfg, state: ConditionalGANState, images, target_class, use_ema=True):
+    """Transfer a batch to ``target_class`` (scalar or (B,) int)."""
+    params = (
+        state.ema_generator
+        if (use_ema and state.ema_generator is not None)
+        else state.generator
+    )
+    target = jnp.broadcast_to(jnp.asarray(target_class), (images.shape[0],))
+    return cond_lib.conditional_unet_apply(cfg, params, images, target)

@@ -1,0 +1,70 @@
+"""Multi-class conditional GAN (StarGAN-style) tests — BASELINE config 5."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_class_transfer2_tpu.config import tiny_test_config
+from gan_class_transfer2_tpu.train import conditional_gan as cgan
+
+
+def _cfg(**kw):
+    base = dict(
+        num_classes=3, learning_rate=1e-4, ema_decay=0.9,
+        gan_loss="lsgan", donate_state=False,
+    )
+    base.update(kw)
+    return tiny_test_config(**base)
+
+
+def _batch(cfg, seed=0):
+    r = np.random.default_rng(seed)
+    return {
+        "image": jnp.asarray(
+            r.uniform(-1, 1, (cfg.batch_size, cfg.size, cfg.size, 3)), jnp.float32
+        ),
+        "label": jnp.asarray(
+            r.integers(0, cfg.num_classes, cfg.batch_size), jnp.int32
+        ),
+    }
+
+
+def test_requires_multiple_classes():
+    with pytest.raises(ValueError):
+        cgan.init_conditional_gan_state(
+            tiny_test_config(num_classes=0), jax.random.PRNGKey(0)
+        )
+
+
+def test_step_runs_and_updates():
+    cfg = _cfg()
+    state = cgan.init_conditional_gan_state(cfg, jax.random.PRNGKey(0))
+    step = cgan.make_conditional_gan_train_step(cfg)
+    head0 = np.asarray(state.generator["unet"]["head"]["kernel"])
+    for i in range(2):
+        state, metrics = step(state, _batch(cfg, i), jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(state.step) == 2
+    assert not np.allclose(head0, np.asarray(state.generator["unet"]["head"]["kernel"]))
+    # EMA exists and lags
+    assert state.ema_generator is not None
+    assert not np.allclose(
+        np.asarray(state.ema_generator["unet"]["head"]["kernel"]),
+        np.asarray(state.generator["unet"]["head"]["kernel"]),
+    )
+
+
+def test_transfer_by_target_class():
+    cfg = _cfg()
+    state = cgan.init_conditional_gan_state(cfg, jax.random.PRNGKey(0))
+    x = _batch(cfg)["image"]
+    y0 = cgan.transfer(cfg, state, x, 0)
+    y1 = cgan.transfer(cfg, state, x, 1)
+    assert y0.shape == x.shape
+    assert not np.allclose(np.asarray(y0), np.asarray(y1))
+    # per-sample targets
+    y_mixed = cgan.transfer(cfg, state, x, jnp.asarray([0, 1]))
+    np.testing.assert_allclose(np.asarray(y_mixed[0]), np.asarray(y0[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y_mixed[1]), np.asarray(y1[1]), atol=1e-6)
