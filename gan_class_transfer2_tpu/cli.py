@@ -58,7 +58,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="gan_class_transfer2_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
-    for cmd in ("train", "gan-train", "sample", "bench", "serve"):
+    for cmd in ("train", "gan-train", "cgan-train", "sample", "bench", "serve"):
         p = sub.add_parser(cmd)
         p.add_argument("--config", type=str, default=None, help="config JSON")
         p.add_argument(
@@ -101,6 +101,16 @@ def main(argv=None):
         from .train.gan_loop import GANRunner
 
         runner = GANRunner(cfg)
+        try:
+            runner.fit()
+        finally:
+            runner.close()
+        return 0
+
+    if args.command == "cgan-train":
+        from .train.conditional_gan_loop import ConditionalGANRunner
+
+        runner = ConditionalGANRunner(cfg)
         try:
             runner.fit()
         finally:

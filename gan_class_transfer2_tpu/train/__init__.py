@@ -1,3 +1,3 @@
-from . import conditional_gan, gan, gan_loop, loop, trainer
+from . import conditional_gan, conditional_gan_loop, gan, gan_loop, loop, trainer
 
-__all__ = ["conditional_gan", "gan", "gan_loop", "loop", "trainer"]
+__all__ = ["conditional_gan", "conditional_gan_loop", "gan", "gan_loop", "loop", "trainer"]

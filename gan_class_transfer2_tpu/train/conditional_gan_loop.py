@@ -1,0 +1,104 @@
+"""Run driver for multi-class conditional transfer (BASELINE config 5).
+
+One dataset per entry of ``Config.classes``; batches are labeled by class
+index (data/pipeline.LabeledDataset) and the StarGAN-style step
+(train/conditional_gan.py) draws random target classes in-step. Per-epoch
+logging writes a transfer grid for every (fixed batch → target class) pair.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data import pipeline
+from ..parallel import mesh as mesh_lib
+from ..utils import checkpoint as ckpt_lib
+from ..utils import tensorboard as tb
+from . import conditional_gan as cgan
+
+
+class ConditionalGANRunner:
+    def __init__(self, cfg: Config, datasets=None, log_dir=None):
+        cfg.validate()
+        patterns = cfg.class_patterns()
+        if cfg.num_classes == 0:
+            cfg = cfg.replace(num_classes=len(patterns))
+        if cfg.num_classes < 2:
+            raise ValueError("conditional transfer needs >= 2 classes")
+        self.cfg = cfg
+        self.mesh = mesh_lib.make_mesh(cfg)
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        self.state = cgan.init_conditional_gan_state(cfg, init_rng)
+        if cfg.checkpoint_dir and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None:
+            self.state = ckpt_lib.restore(cfg.checkpoint_dir, self.state)
+        self.train_step = cgan.make_conditional_gan_train_step(cfg)
+
+        if datasets is None:
+            datasets = [
+                pipeline.ImageDataset(
+                    pat, cfg.size, cfg.batch_size, seed=cfg.seed + i,
+                    shuffle_buffer=cfg.shuffle_buffer, cache=cfg.cache,
+                )
+                for i, pat in enumerate(patterns)
+            ]
+        self.labeled = pipeline.LabeledDataset(datasets)
+        self.data_iter = pipeline.device_iterator(
+            self.labeled, mesh_lib.batch_sharding(self.mesh)
+        )
+        self.log_dir = log_dir or tb.reference_log_dir(cfg.log_dir)
+        self.writer = tb.SummaryWriter(self.log_dir)
+        self._fixed = None
+
+    def log_sample(self, epoch: int):
+        if self._fixed is None:
+            self._fixed = jax.device_get(next(self.data_iter))["image"]
+        for target in range(self.cfg.num_classes):
+            out = cgan.transfer(self.cfg, self.state, jnp.asarray(self._fixed), target)
+            self.writer.image(
+                f"transfer_to_{target}", np.asarray(out) * 0.5 + 0.5, epoch, 10
+            )
+
+    def fit(self, epochs: Optional[int] = None, steps_per_epoch: Optional[int] = None,
+            log_samples: bool = True):
+        cfg = self.cfg
+        epochs = cfg.epochs if epochs is None else epochs
+        steps_per_epoch = cfg.steps_per_epoch if steps_per_epoch is None else steps_per_epoch
+        rng = jax.random.fold_in(self.rng, 31)
+        for epoch in range(epochs):
+            if log_samples and epoch % cfg.log_images_every == 0:
+                self.log_sample(epoch)
+            t0 = time.perf_counter()
+            acc = {k: jnp.zeros((), jnp.float32) for k in
+                   ("g_loss", "d_loss", "adversarial", "cycle", "identity")}
+            global_step = int(self.state.step)
+            for _ in range(steps_per_epoch):
+                batch = next(self.data_iter)
+                self.state, metrics = self.train_step(self.state, batch, rng)
+                acc = {k: acc[k] + metrics[k] for k in acc}
+                global_step += 1
+                if cfg.checkpoint_dir and global_step % cfg.checkpoint_every == 0:
+                    ckpt_lib.save(cfg.checkpoint_dir, self.state, cfg)
+            vals = {k: float(v) / steps_per_epoch for k, v in acc.items()}
+            dt = time.perf_counter() - t0
+            for k, v in vals.items():
+                self.writer.scalar(k, v, epoch)
+            self.writer.scalar(
+                "images_per_sec", steps_per_epoch * cfg.batch_size / dt, epoch
+            )
+            print(
+                f"epoch {epoch}: g={vals['g_loss']:.4f} d={vals['d_loss']:.4f} "
+                f"cycle={vals['cycle']:.4f}",
+                flush=True,
+            )
+        return self.state
+
+    def close(self):
+        self.writer.close()
+        self.labeled.close()

@@ -68,3 +68,32 @@ def test_transfer_by_target_class():
     y_mixed = cgan.transfer(cfg, state, x, jnp.asarray([0, 1]))
     np.testing.assert_allclose(np.asarray(y_mixed[0]), np.asarray(y0[0]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(y_mixed[1]), np.asarray(y1[1]), atol=1e-6)
+
+
+def test_conditional_gan_runner_end_to_end(tmp_path):
+    from gan_class_transfer2_tpu.data.pipeline import ArrayDataset
+    from gan_class_transfer2_tpu.train.conditional_gan_loop import (
+        ConditionalGANRunner,
+    )
+    from gan_class_transfer2_tpu.utils import tensorboard as tb
+
+    cfg = _cfg(
+        steps_per_epoch=2, epochs=1,
+        log_dir=str(tmp_path / "logs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        checkpoint_every=2, mesh_data=1,
+        classes=("a", "b", "c"),
+    )
+    r = np.random.default_rng(0)
+    mk = lambda s: ArrayDataset(
+        r.integers(0, 256, (6, cfg.size, cfg.size, 3), dtype=np.uint8), cfg.batch_size, seed=s
+    )
+    runner = ConditionalGANRunner(cfg, datasets=[mk(0), mk(1), mk(2)])
+    runner.fit(epochs=1, steps_per_epoch=2)
+    runner.close()
+    tags = {e[1] for e in tb.read_events(runner.writer.path)}
+    for t in ("transfer_to_0/image/0", "transfer_to_1/image/0", "transfer_to_2/image/0", "g_loss"):
+        assert t in tags, (t, tags)
+    import os
+
+    assert os.path.isdir(os.path.join(cfg.checkpoint_dir, "step_000000002"))
