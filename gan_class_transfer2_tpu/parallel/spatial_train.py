@@ -1,0 +1,57 @@
+"""Training with spatially-sharded activations (high-resolution regime).
+
+Two complementary mechanisms exist in this framework:
+
+  * `spatial_unet.py` — explicit shard_map + hand-written halo exchange
+    (full control, used when the automatic partitioner falls short);
+  * this module — the GSPMD route: jit the *unchanged* training step with the
+    batch's height axis sharded over a 'spatial' mesh axis and let XLA's
+    spatial partitioner insert the conv halo exchanges itself. Zero model
+    changes, works through the backward pass and optimizer update.
+
+Use when a single sample's activations are too large for one chip (the
+reference's scaling dimension is resolution — SURVEY §5); for ordinary sizes
+prefer plain DP (`mesh.py`).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train import trainer as trainer_lib
+
+
+def make_spatial_mesh(n: int | None = None, devices=None) -> Mesh:
+    import numpy as np
+
+    devices = list(devices if devices is not None else jax.devices())
+    n = n or len(devices)
+    return Mesh(np.asarray(devices[:n]), ("spatial",))
+
+
+def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch replicated, height sharded: (B, H/n per device, W, C)."""
+    return NamedSharding(mesh, P(None, "spatial"))
+
+
+def make_spatial_train_step(cfg, mesh: Mesh):
+    """jit the standard train step with height-sharded activations."""
+    optimizer = trainer_lib.make_optimizer(cfg)
+
+    def step(state, batch, rng):
+        return trainer_lib.train_step(cfg, optimizer, state, batch, rng)
+
+    rep = NamedSharding(mesh, P())
+    st_sh = jax.tree_util.tree_map(
+        lambda _: rep,
+        jax.eval_shape(
+            lambda r: trainer_lib.init_state(cfg, r), jax.random.PRNGKey(0)
+        ),
+    )
+    return jax.jit(
+        step,
+        in_shardings=(st_sh, spatial_batch_sharding(mesh), rep),
+        out_shardings=(st_sh, rep),
+        donate_argnums=(0,) if cfg.donate_state else (),
+    )
