@@ -58,7 +58,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="gan_class_transfer2_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
-    for cmd in ("train", "gan-train", "cgan-train", "sample", "bench", "serve"):
+    for cmd in ("train", "gan-train", "cgan-train", "sample", "edit", "bench", "serve"):
         p = sub.add_parser(cmd)
         p.add_argument("--config", type=str, default=None, help="config JSON")
         p.add_argument(
@@ -74,6 +74,13 @@ def main(argv=None):
         if cmd == "sample":
             p.add_argument("--out", type=str, default="samples")
             p.add_argument("--num", type=int, default=6)
+        if cmd == "edit":
+            p.add_argument("--input", type=str, required=True, help="image path")
+            p.add_argument("--out", type=str, default="edited")
+            p.add_argument(
+                "--edits", type=str, nargs="*",
+                default=["pixelate", "shift", "quantise"],
+            )
         if cmd == "bench":
             p.add_argument("--bench-steps", type=int, default=30)
         if cmd == "serve":
@@ -119,6 +126,9 @@ def main(argv=None):
 
     if args.command == "sample":
         return _sample(cfg, args)
+
+    if args.command == "edit":
+        return _edit(cfg, args)
 
     if args.command == "bench":
         from .utils.benchmark import run_benchmark
@@ -169,6 +179,47 @@ def _sample(cfg: Config, args) -> int:
         arr = np.clip((img * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
         Image.fromarray(arr).save(os.path.join(args.out, f"sample_{i}.png"))
     print(f"wrote {len(images)} samples to {args.out}")
+    return 0
+
+
+def _edit(cfg: Config, args) -> int:
+    """Invert → edit-noise → decode on one image (the reference's signature
+    class/style-transfer workflow, train.py:364-496)."""
+    import os
+
+    import jax
+    import numpy as np
+    from PIL import Image
+
+    from .data import pipeline as data_pipeline
+    from .sample import sampler
+    from .train import trainer as trainer_lib
+    from .utils import checkpoint as ckpt_lib
+
+    state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
+    if cfg.checkpoint_dir and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None:
+        state = ckpt_lib.restore(cfg.checkpoint_dir, state)
+    else:
+        print(
+            f"warning: no checkpoint found in {cfg.checkpoint_dir!r}; "
+            "editing with randomly initialised weights",
+            file=sys.stderr,
+        )
+    params = state.ema_params if state.ema_params is not None else state.params
+
+    rng = np.random.default_rng(cfg.seed)
+    img = data_pipeline.decode_image(args.input, cfg.size, rng, crop=True)
+    image = jax.numpy.asarray(img)[None]
+    results = jax.jit(
+        lambda p, x: sampler.edit_image(cfg, p, x, tuple(args.edits))
+    )(params, image)
+    os.makedirs(args.out, exist_ok=True)
+    for name, out in results.items():
+        arr = np.clip((np.asarray(out)[0] * 0.5 + 0.5) * 255, 0, 255).astype(
+            np.uint8
+        )
+        Image.fromarray(arr).save(os.path.join(args.out, f"{name}.png"))
+    print(f"wrote {len(results)} edits to {args.out}")
     return 0
 
 

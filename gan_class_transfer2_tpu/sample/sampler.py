@@ -117,6 +117,40 @@ def sample(cfg, params, init_batch, class_idx=None) -> SampleResult:
     return SampleResult(x_theta, snaps)
 
 
+def edit_image(cfg, params, image, edits=("pixelate", "shift", "quantise"),
+               dictionary=None, rng=None, class_idx=None):
+    """The reference's signature workflow as a user-facing API: invert a real
+    image to its noise estimate, apply noise-space edits, and decode each
+    edited noise back through reverse diffusion (reference train.py:364-496 —
+    the mechanism by which class/style transfer was intended to work).
+
+    image: (1, H, W, 3) in [-1, 1). Returns dict: edit name → (1, H, W, 3)
+    decoded image (plus "reconstruction" for the unedited noise).
+    """
+    import jax
+
+    if dictionary is None:
+        if rng is None:
+            rng = jax.random.PRNGKey(cfg.seed)
+        dictionary = jax.random.normal(
+            rng, (cfg.size, cfg.size, 2**cfg.bits_per_pixel, 3), jnp.float32
+        )
+    _, epsilon_theta = invert(cfg, params, image, class_idx)
+    candidates = {"reconstruction": epsilon_theta}
+    if "pixelate" in edits:
+        candidates["pixelate"] = image_ops.upsample_nearest(
+            image_ops.avg_pool(epsilon_theta, 4), 4
+        )
+    if "shift" in edits:
+        candidates["shift"] = image_ops.roll2d(epsilon_theta, 1, 1)
+    if "quantise" in edits:
+        candidates["quantise"] = image_ops.vq_quantise(epsilon_theta, dictionary)
+    names = list(candidates)
+    batch = jnp.concatenate([candidates[n] for n in names], 0)
+    decoded = sample(cfg, params, batch, class_idx).images
+    return {n: decoded[i : i + 1] for i, n in enumerate(names)}
+
+
 def make_eval_fn(cfg):
     """Build the full jitted eval program: preview + invert + edits + sample.
 

@@ -123,3 +123,15 @@ def test_eval_fn_end_to_end(setup):
     }
     assert out["fake"].shape == (6, cfg.size, cfg.size, 3)
     assert np.isfinite(float(out["example_loss"]))
+
+
+def test_edit_image_api(setup):
+    """User-facing invert→edit→decode workflow (reference train.py:364-496)."""
+    cfg, params, image = setup
+    out = sampler.edit_image(cfg, params, image, ("pixelate", "shift"))
+    assert set(out) == {"reconstruction", "pixelate", "shift"}
+    for v in out.values():
+        assert v.shape == image.shape
+    assert not np.allclose(
+        np.asarray(out["pixelate"]), np.asarray(out["shift"])
+    )
