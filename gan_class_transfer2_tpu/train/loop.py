@@ -44,6 +44,8 @@ class Runner:
 
         self.log_dir = log_dir or tb.reference_log_dir(cfg.log_dir)
         self.writer = tb.SummaryWriter(self.log_dir)
+        with open(os.path.join(self.log_dir, "config.json"), "w") as f:
+            f.write(cfg.to_json())  # run metadata artifact
 
         # eval fixtures (reference train.py:305-311)
         fr = np.random.default_rng(cfg.seed + 1)
@@ -121,6 +123,19 @@ class Runner:
             cfg.steps_per_epoch if steps_per_epoch is None else steps_per_epoch
         )
         step_rng = jax.random.fold_in(self.rng, 17)
+        try:
+            return self._fit_epochs(
+                epochs, steps_per_epoch, on_epoch_begin, log_samples, step_rng
+            )
+        except KeyboardInterrupt:
+            # operational courtesy: keep the work on Ctrl-C
+            if cfg.checkpoint_dir:
+                path = ckpt_lib.save(cfg.checkpoint_dir, self.state, cfg)
+                print(f"interrupted — checkpoint saved to {path}", flush=True)
+            raise
+
+    def _fit_epochs(self, epochs, steps_per_epoch, on_epoch_begin, log_samples, step_rng):
+        cfg = self.cfg
         for epoch in range(epochs):
             if on_epoch_begin is not None:
                 on_epoch_begin(epoch)
