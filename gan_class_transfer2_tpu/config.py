@@ -104,6 +104,10 @@ class Config:
 
     # ----------------------------------------------------- TPU / performance
     conv_impl: str = "auto"  # lax | shuffle | auto (see ops/conv.py)
+    # Never materialise concat-skip buffers: consumers split their kernels
+    # along input channels instead (value-identical; saves ~GBs/step of HBM
+    # traffic at large batch — models/unet.py).
+    concat_elision: bool = True
     fused_diffusion: bool = True  # Pallas fused forward-diffusion kernel
     remat: bool = False  # jax.checkpoint over octaves
     donate_state: bool = True

@@ -122,20 +122,75 @@ def init_unet(key, cfg, in_channels: int = 3, out_channels: int | None = None) -
     return params
 
 
+def _pair_down_conv(h, kernel, bias, impl):
+    """Down conv over a logical concat represented as an unmaterialised pair.
+
+    conv(concat(a, b), K) = conv(a, K[:, :, :ca]) + conv(b, K[:, :, ca:]) —
+    the concat buffer (up to ~GBs/step at batch 128, see NEXT.md) is never
+    written to HBM; bias and ReLU apply once after the sum."""
+    if not isinstance(h, tuple):
+        return conv_ops.down_conv(h, kernel, bias, impl)
+    a, b = h
+    ca = a.shape[-1]
+    ya = conv_ops.down_conv(a, kernel[:, :, :ca], None, impl, relu=False)
+    yb = conv_ops.down_conv(b, kernel[:, :, ca:], bias, impl, relu=False)
+    return jax.nn.relu(ya + yb)
+
+
+def _pair_block_conv(h, kernel, bias, impl):
+    if not isinstance(h, tuple):
+        return conv_ops.conv2d(h, kernel, bias, stride=1, relu=True)
+    a, b = h
+    ca = a.shape[-1]
+    ya = conv_ops.conv2d(a, kernel[:, :, :ca], None, stride=1, relu=False)
+    yb = conv_ops.conv2d(b, kernel[:, :, ca:], bias, stride=1, relu=False)
+    return jax.nn.relu(ya + yb)
+
+
+def _pair_up_conv(h, kernel, bias, impl):
+    if not isinstance(h, tuple):
+        return conv_ops.up_conv(h, kernel, bias, impl)
+    a, b = h
+    ca = a.shape[-1]
+    ya = conv_ops.up_conv(a, kernel[:, :, :ca], None, impl, relu=False)
+    yb = conv_ops.up_conv(b, kernel[:, :, ca:], bias, impl, relu=False)
+    return jax.nn.relu(ya + yb)
+
+
+def _pair_dense(h, kernel, bias):
+    if not isinstance(h, tuple):
+        return conv_ops.dense(h, kernel, bias)
+    a, b = h
+    ca = a.shape[-1]
+    return conv_ops.dense(a, kernel[:ca], None) + conv_ops.dense(b, kernel[ca:], bias)
+
+
+def _materialise(h):
+    if isinstance(h, tuple):
+        return jnp.concatenate([h[0], h[1]], axis=-1)
+    return h
+
+
 def unet_apply(cfg, params: Params, x, t=None):
     """Forward pass. ``x``: (B, H, W, C) in [-1, 1). ``t``: (B,) int timesteps,
-    accepted for interface parity and ignored unless ``per_step_output``."""
+    accepted for interface parity and ignored unless ``per_step_output``.
+
+    Concat skips are value-identical to the reference but never materialised:
+    each level returns a (branch, skip) pair and every consumer splits its
+    kernel along input channels (``cfg.concat_elision``)."""
     impl = cfg.conv_impl
     dtype = jnp.dtype(cfg.compute_dtype)
     x = x.astype(dtype)
+    elide = cfg.skip_mode == "concat" and getattr(cfg, "concat_elision", True)
 
     h = _apply_block(params["pre_block"], x, impl)
 
     def rec(i, h):
         level = params["octaves"][i]
-        inp = h
-        h = conv_ops.down_conv(h, level["down"]["kernel"], level["down"]["bias"], impl)
-        h = _apply_block(level["block_in"], h, impl)
+        inp = _materialise(h)
+        h = _pair_down_conv(h, level["down"]["kernel"], level["down"]["bias"], impl)
+        for layer in level["block_in"]:
+            h = conv_ops.conv2d(h, layer["kernel"], layer["bias"], stride=1, relu=True)
         if i + 1 < cfg.octaves:
             inner = lambda y: rec(i + 1, y)
             if cfg.remat:
@@ -143,10 +198,16 @@ def unet_apply(cfg, params: Params, x, t=None):
             h = inner(h)
         else:
             h = _apply_block(params["middle"], h, impl)
-        h = _apply_block(level["block_out"], h, impl)
-        h = conv_ops.up_conv(h, level["up"]["kernel"], level["up"]["bias"], impl)
+        first = True
+        for layer in level["block_out"]:
+            h = _pair_block_conv(h, layer["kernel"], layer["bias"], impl) if first else conv_ops.conv2d(h, layer["kernel"], layer["bias"], stride=1, relu=True)
+            first = False
+        h = _pair_up_conv(h, level["up"]["kernel"], level["up"]["bias"], impl)
         if cfg.skip_mode == "concat":
-            return jnp.concatenate([h.astype(inp.dtype), inp], axis=-1)
+            h = h.astype(inp.dtype)  # branch cast (reference train.py:113-119)
+            if elide:
+                return (h, inp)
+            return jnp.concatenate([h, inp], axis=-1)
         if cfg.skip_mode == "residual":
             return inp + conv_ops.dense(h, level["skip_dense"]).astype(inp.dtype)
         return h
@@ -156,8 +217,11 @@ def unet_apply(cfg, params: Params, x, t=None):
     else:
         h = _apply_block(params["middle"], h, impl)
 
-    h = _apply_block(params["post_block"], h, impl)
-    pred = conv_ops.dense(h, params["head"]["kernel"], params["head"]["bias"])
+    first = True
+    for layer in params["post_block"]:
+        h = _pair_block_conv(h, layer["kernel"], layer["bias"], impl) if first else conv_ops.conv2d(h, layer["kernel"], layer["bias"], stride=1, relu=True)
+        first = False
+    pred = _pair_dense(h, params["head"]["kernel"], params["head"]["bias"])
 
     if cfg.per_step_output:
         # Vestigial per-timestep head (reference train.py:199, 211-214):

@@ -119,3 +119,33 @@ def test_remat_matches_no_remat():
     y1 = unet.unet_apply(cfg, params, x)
     y2 = unet.unet_apply(cfg.replace(remat=True), params, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
+@pytest.mark.parametrize("depth", [0, 2])
+def test_concat_elision_matches_materialised(depth):
+    """Split-kernel consumption of unmaterialised concat pairs must be
+    value-identical to the explicit concatenate."""
+    cfg_e = tiny_test_config(block_depth=depth, concat_elision=True)
+    cfg_m = tiny_test_config(block_depth=depth, concat_elision=False)
+    params = unet.init_unet(jax.random.PRNGKey(0), cfg_e)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (2, cfg_e.size, cfg_e.size, 3)),
+        jnp.float32,
+    )
+    y_e = unet.unet_apply(cfg_e, params, x)
+    y_m = unet.unet_apply(cfg_m, params, x)
+    np.testing.assert_allclose(np.asarray(y_e), np.asarray(y_m), atol=1e-5)
+
+
+def test_concat_elision_gradients_match():
+    cfg_e = tiny_test_config(concat_elision=True)
+    cfg_m = tiny_test_config(concat_elision=False)
+    params = unet.init_unet(jax.random.PRNGKey(0), cfg_e)
+    x = jnp.asarray(
+        np.random.default_rng(1).uniform(-1, 1, (1, cfg_e.size, cfg_e.size, 3)),
+        jnp.float32,
+    )
+    g_e = jax.grad(lambda p: jnp.mean(unet.unet_apply(cfg_e, p, x) ** 2))(params)
+    g_m = jax.grad(lambda p: jnp.mean(unet.unet_apply(cfg_m, p, x) ** 2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_e), jax.tree_util.tree_leaves(g_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
