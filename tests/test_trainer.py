@@ -113,3 +113,9 @@ def test_bfloat16_training_runs():
     state, loss = step(state, _batch(cfg), jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
     assert state.params["head"]["kernel"].dtype == jnp.float32
+
+
+def test_identity_loss_shim():
+    """Keras-compat identity loss (reference train.py:171-173)."""
+    y_pred = jnp.asarray([1.0, 2.0, 3.0])
+    assert float(trainer.identity(None, y_pred)) == pytest.approx(2.0)
