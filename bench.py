@@ -20,10 +20,22 @@ REFERENCE_SEMANTICS_IPS_TPU_V5E = 69.06
 
 
 def main():
+    import os
+
     from gan_class_transfer2_tpu.config import Config
     from gan_class_transfer2_tpu.utils.benchmark import run_benchmark
 
     import jax
+
+    # Persistent compilation cache: the first bench run pays the (minutes-long
+    # on a tunneled TPU) compile; subsequent runs of the same config start in
+    # seconds.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = Config(
