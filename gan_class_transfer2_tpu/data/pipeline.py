@@ -87,6 +87,7 @@ class ImageDataset:
         self._queue: Optional[queue.Queue] = None
         self._stop = threading.Event()
         self._threads: list[threading.Thread] = []
+        self._error: Optional[Exception] = None
 
     # -------------------------------------------------------------- internals
     def _file_stream(self, rng) -> Iterator[str]:
@@ -120,6 +121,7 @@ class ImageDataset:
         rng = np.random.default_rng(self.seed + worker_id)
         stream = self._file_stream(np.random.default_rng(self.seed * 7919 + worker_id))
         batch = np.empty((self.batch_size, self.size, self.size, 3), np.float32)
+        consecutive_failures = 0
         while not self._stop.is_set():
             b = 0
             while b < self.batch_size:
@@ -128,8 +130,21 @@ class ImageDataset:
                     data = self._read(path)
                     batch[b] = decode_image(io.BytesIO(data), self.size, rng)
                     b += 1
-                except Exception:
-                    continue  # skip undecodable files (TF decoder tolerance)
+                    consecutive_failures = 0
+                except Exception as e:
+                    # tolerate scattered bad files (TF decoder tolerance), but
+                    # fail loudly if NOTHING decodes (e.g. every image smaller
+                    # than the crop size) instead of hanging the training loop
+                    consecutive_failures += 1
+                    if consecutive_failures >= max(100, 2 * len(self.files)):
+                        self._error = RuntimeError(
+                            f"data pipeline: {consecutive_failures} consecutive "
+                            f"decode failures (last: {path!r}: "
+                            f"{type(e).__name__}: {e})"
+                        )
+                        self._stop.set()
+                        return
+                    continue
             item = batch.copy()
             while not self._stop.is_set():
                 try:
@@ -146,7 +161,12 @@ class ImageDataset:
                 t.start()
                 self._threads.append(t)
         while True:
-            yield self._queue.get()
+            try:
+                yield self._queue.get(timeout=5.0)
+            except queue.Empty:
+                if self._error is not None:
+                    raise self._error
+                continue
 
     def close(self):
         self._stop.set()

@@ -122,22 +122,12 @@ def init_unet(key, cfg, in_channels: int = 3, out_channels: int | None = None) -
     return params
 
 
-def _pair_down_conv(h, kernel, bias, impl):
-    """Down conv over a logical concat represented as an unmaterialised pair.
+def _pair_block_conv(h, kernel, bias, impl):
+    """Conv over a logical concat represented as an unmaterialised pair.
 
     conv(concat(a, b), K) = conv(a, K[:, :, :ca]) + conv(b, K[:, :, ca:]) —
-    the concat buffer (up to ~GBs/step at batch 128, see NEXT.md) is never
-    written to HBM; bias and ReLU apply once after the sum."""
-    if not isinstance(h, tuple):
-        return conv_ops.down_conv(h, kernel, bias, impl)
-    a, b = h
-    ca = a.shape[-1]
-    ya = conv_ops.down_conv(a, kernel[:, :, :ca], None, impl, relu=False)
-    yb = conv_ops.down_conv(b, kernel[:, :, ca:], bias, impl, relu=False)
-    return jax.nn.relu(ya + yb)
-
-
-def _pair_block_conv(h, kernel, bias, impl):
+    the concat buffer (up to ~GBs/step at batch 128, see BASELINE_MEASURED)
+    is never written to HBM; bias and ReLU apply once after the sum."""
     if not isinstance(h, tuple):
         return conv_ops.conv2d(h, kernel, bias, stride=1, relu=True)
     a, b = h
@@ -165,12 +155,6 @@ def _pair_dense(h, kernel, bias):
     return conv_ops.dense(a, kernel[:ca], None) + conv_ops.dense(b, kernel[ca:], bias)
 
 
-def _materialise(h):
-    if isinstance(h, tuple):
-        return jnp.concatenate([h[0], h[1]], axis=-1)
-    return h
-
-
 def unet_apply(cfg, params: Params, x, t=None):
     """Forward pass. ``x``: (B, H, W, C) in [-1, 1). ``t``: (B,) int timesteps,
     accepted for interface parity and ignored unless ``per_step_output``.
@@ -187,8 +171,8 @@ def unet_apply(cfg, params: Params, x, t=None):
 
     def rec(i, h):
         level = params["octaves"][i]
-        inp = _materialise(h)
-        h = _pair_down_conv(h, level["down"]["kernel"], level["down"]["bias"], impl)
+        inp = h  # always a plain array (pre_block / block_in output)
+        h = conv_ops.down_conv(h, level["down"]["kernel"], level["down"]["bias"], impl)
         for layer in level["block_in"]:
             h = conv_ops.conv2d(h, layer["kernel"], layer["bias"], stride=1, relu=True)
         if i + 1 < cfg.octaves:

@@ -135,6 +135,51 @@ def init_sharded_gan_state(cfg, mesh: Mesh, rng):
     )(rng)
 
 
+def init_sharded_conditional_gan_state(cfg, mesh: Mesh, rng):
+    from ..train import conditional_gan as cgan_lib
+
+    abstract = jax.eval_shape(
+        lambda r: cgan_lib.init_conditional_gan_state(cfg, r), rng
+    )
+    shardings = state_shardings(abstract, mesh)
+    return jax.jit(
+        lambda r: cgan_lib.init_conditional_gan_state(cfg, r),
+        out_shardings=shardings,
+    )(rng)
+
+
+def make_parallel_conditional_gan_train_step(cfg, mesh: Mesh, example_state=None):
+    """jit the StarGAN-style conditional step over the mesh (labeled batch
+    dict sharded on 'data', params under the TP rule)."""
+    from ..train import conditional_gan as cgan_lib
+
+    g_opt = trainer_lib.make_optimizer(cfg)
+    d_opt = trainer_lib.make_optimizer(cfg)
+
+    def step(state, batch, rng):
+        return cgan_lib.conditional_gan_train_step(
+            cfg, g_opt, d_opt, state, batch, rng
+        )
+
+    if example_state is None:
+        example_state = jax.eval_shape(
+            lambda r: cgan_lib.init_conditional_gan_state(cfg, r),
+            jax.random.PRNGKey(0),
+        )
+    st_sh = state_shardings(example_state, mesh)
+    b_sh = batch_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    metrics_sh = {
+        k: rep for k in ("g_loss", "d_loss", "adversarial", "cycle", "identity")
+    }
+    return jax.jit(
+        step,
+        in_shardings=(st_sh, b_sh, rep),
+        out_shardings=(st_sh, metrics_sh),
+        donate_argnums=(0,) if cfg.donate_state else (),
+    )
+
+
 def make_parallel_eval_fn(cfg, mesh: Mesh):
     """Eval/sampler program jitted over the mesh. The sampler batch is tiny
     (2 + 4·B images, reference train.py:432-434), so inputs are replicated;

@@ -26,13 +26,14 @@ import jax
 def initialize(coordinator_address: Optional[str] = None, **kw) -> int:
     """Initialise the JAX distributed runtime when running multi-process.
 
-    Returns the process index. Safe to call single-host (returns 0)."""
-    if jax.process_count() > 1 or coordinator_address is None:
-        return jax.process_index()
-    try:
+    MUST be the first JAX call in the process: touching any backend API
+    (even ``jax.process_count()``) initialises the local backend, after which
+    ``jax.distributed.initialize`` raises. Errors propagate — a silently
+    failed init would leave every host training as an independent
+    single-host job. Returns the process index; single-host (no coordinator
+    address) returns 0 without touching the distributed runtime."""
+    if coordinator_address is not None:
         jax.distributed.initialize(coordinator_address=coordinator_address, **kw)
-    except RuntimeError:
-        pass  # already initialised
     return jax.process_index()
 
 

@@ -35,10 +35,14 @@ class ConditionalGANRunner:
         self.mesh = mesh_lib.make_mesh(cfg)
         rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(rng)
-        self.state = cgan.init_conditional_gan_state(cfg, init_rng)
+        self.state = mesh_lib.init_sharded_conditional_gan_state(
+            cfg, self.mesh, init_rng
+        )
         if cfg.checkpoint_dir and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None:
             self.state = ckpt_lib.restore(cfg.checkpoint_dir, self.state)
-        self.train_step = cgan.make_conditional_gan_train_step(cfg)
+        self.train_step = mesh_lib.make_parallel_conditional_gan_train_step(
+            cfg, self.mesh
+        )
 
         if datasets is None:
             datasets = [

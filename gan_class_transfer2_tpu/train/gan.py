@@ -154,7 +154,10 @@ def gan_train_step(
         ident = _l1(_generate(cfg, g_params["ab"], batch_b), batch_b) + _l1(
             _generate(cfg, g_params["ba"], batch_a), batch_a
         )
-        recon = _l1(fake_b, batch_b) + _l1(fake_a, batch_a)
+        # reconstruction anchors the transfer to its *input* (the data is
+        # unpaired — comparing to the opposite-class batch would be
+        # meaningless and collapse G toward the target-class batch mean)
+        recon = _l1(fake_b, batch_a) + _l1(fake_a, batch_b)
         total = (
             cfg.adversarial_weight * adv
             + cfg.cycle_weight * cycle

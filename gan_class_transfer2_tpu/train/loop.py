@@ -105,7 +105,10 @@ class Runner:
         samples = np.asarray(sampler.sample(cfg, params, init).images)
         data = []
         while sum(len(d) for d in data) < n:
-            data.append(np.asarray(next(self.data_iter)))
+            batch = jax.device_get(next(self.data_iter))
+            if isinstance(batch, dict):  # labeled (class-conditional) batches
+                batch = batch["image"]
+            data.append(np.asarray(batch))
         data = np.concatenate(data, 0)[:n]
         return metrics.fid(samples, data)
 

@@ -135,6 +135,8 @@ def diffusion_loss(cfg, params, batch, rng):
         cfg.fused_diffusion
         and cfg.parameterization == "x"  # ε unused downstream (target = x)
         and jax.default_backend() == "tpu"
+        # kernel requires lane-aligned flattened samples; fall back otherwise
+        and (batch.shape[1] * batch.shape[2] * batch.shape[3]) % 128 == 0
     )
     if use_fused:
         from ..ops import kernels

@@ -30,6 +30,10 @@ def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None):
     step = int(state.step) if step is None else int(step)
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:09d}")
+    if os.path.exists(path):
+        # same step already persisted (e.g. interrupt right after a periodic
+        # save) — saving again would make orbax raise; the data is identical
+        return path
     _checkpointer().save(path, jax.device_get(state))
     with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())

@@ -40,10 +40,10 @@ def _random_feature_params(depth: int, width: int, seed: int):
     return tuple(params)
 
 
-def random_conv_features(images, depth: int = 4, width: int = 32, seed: int = 0):
-    """Fixed random strided conv net → global-avg-pooled features (N, D).
-
-    images: (N, H, W, 3) float32 in [−1, 1)."""
+@functools.lru_cache(maxsize=4)
+def _feature_extractor(depth: int, width: int, seed: int):
+    """Jitted extractor cached per (depth, width, seed) — a fresh closure per
+    call would defeat the jit cache and recompile on every batch."""
     from ..ops import conv as conv_ops
 
     params = _random_feature_params(depth, width, seed)
@@ -55,7 +55,14 @@ def random_conv_features(images, depth: int = 4, width: int = 32, seed: int = 0)
             h = conv_ops.conv2d(h, k, stride=2, relu=True)
         return jnp.mean(h, axis=(1, 2))
 
-    return extract(images)
+    return extract
+
+
+def random_conv_features(images, depth: int = 4, width: int = 32, seed: int = 0):
+    """Fixed random strided conv net → global-avg-pooled features (N, D).
+
+    images: (N, H, W, 3) float32 in [−1, 1)."""
+    return _feature_extractor(depth, width, seed)(images)
 
 
 # ---------------------------------------------------------------- Fréchet ---

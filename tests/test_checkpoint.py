@@ -54,3 +54,15 @@ def test_config_roundtrip(tmp_path):
 
 def test_latest_step_empty(tmp_path):
     assert ckpt.latest_step(str(tmp_path / "nope")) is None
+
+
+def test_save_same_step_twice_is_idempotent(tmp_path):
+    """Interrupt right after a periodic save must not crash (review
+    finding: orbax refuses existing destinations)."""
+    cfg = tiny_test_config()
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    d = str(tmp_path / "ckpt")
+    p1 = ckpt.save(d, state, cfg, step=7)
+    p2 = ckpt.save(d, state, cfg, step=7)
+    assert p1 == p2
+    assert ckpt.latest_step(d) == 7

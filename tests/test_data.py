@@ -97,3 +97,18 @@ def test_make_datasets_per_class(image_dir, tmp_path):
     assert len(dsets) == 2
     for ds in dsets:
         ds.close()
+
+
+def test_pipeline_fails_loudly_when_nothing_decodes(tmp_path):
+    """Images all smaller than the crop size must raise, not hang
+    (review finding: silent worker spin)."""
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        arr = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"small_{i}.png")
+    ds = pipeline.ImageDataset(
+        str(tmp_path / "*.png"), size=16, batch_size=2, num_workers=1, seed=0
+    )
+    with pytest.raises(RuntimeError, match="consecutive decode failures"):
+        next(iter(ds))
+    ds.close()
