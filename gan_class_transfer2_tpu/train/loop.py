@@ -37,7 +37,13 @@ class Runner:
         self.train_step = mesh_lib.make_parallel_train_step(cfg, self.mesh)
         self.eval_fn = mesh_lib.make_parallel_eval_fn(cfg, self.mesh)
 
-        self.dataset = dataset if dataset is not None else pipeline.make_datasets(cfg)[0]
+        if dataset is None:
+            dsets = pipeline.make_datasets(cfg)
+            # class-conditional training gets labeled round-robin batches
+            dataset = (
+                pipeline.LabeledDataset(dsets) if cfg.num_classes > 0 else dsets[0]
+            )
+        self.dataset = dataset
         self.data_iter = pipeline.device_iterator(
             self.dataset, mesh_lib.batch_sharding(self.mesh)
         )

@@ -55,3 +55,35 @@ def test_unconditional_batch_still_accepted():
     batch = jnp.zeros((cfg.batch_size, cfg.size, cfg.size, 3))
     state, loss = step(state, batch, jax.random.PRNGKey(1))  # defaults class 0
     assert np.isfinite(float(loss))
+
+
+def test_runner_auto_labels_multiclass(tmp_path):
+    """Runner wraps per-class datasets into labeled batches when
+    num_classes > 0 (conditional diffusion through the real driver)."""
+    import numpy as np
+    from PIL import Image
+
+    from gan_class_transfer2_tpu.train.loop import Runner
+
+    rng = np.random.default_rng(0)
+    for cls in ("a", "b"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(3):
+            Image.fromarray(
+                rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+            ).save(d / f"{i}.png")
+    cfg = tiny_test_config(
+        num_classes=2,
+        classes=(str(tmp_path / "a" / "*.png"), str(tmp_path / "b" / "*.png")),
+        steps_per_epoch=2,
+        epochs=1,
+        log_dir=str(tmp_path / "logs"),
+        checkpoint_dir=None,
+        mesh_data=1,
+    )
+    runner = Runner(cfg)
+    runner.fit(epochs=1, steps_per_epoch=2, log_samples=False)
+    runner.close()
+    assert int(runner.state.step) == 2
+    assert "embed" in runner.state.params  # conditional model was built
