@@ -87,10 +87,13 @@ def frechet_distance(mu1, sigma1, mu2, sigma2) -> float:
     return float(diff @ diff + np.trace(sigma1 + sigma2 - 2.0 * covmean))
 
 
-def _stats(feats: np.ndarray):
+def _stats(feats: np.ndarray, ridge: float = 1e-6):
     mu = feats.mean(0)
-    sigma = np.cov(feats, rowvar=False)
-    return mu, np.atleast_2d(sigma)
+    sigma = np.atleast_2d(np.cov(feats, rowvar=False))
+    # few-sample covariances are rank-deficient; the standard ridge keeps
+    # sqrtm well-conditioned without visibly moving the score
+    sigma = sigma + ridge * np.eye(sigma.shape[0])
+    return mu, sigma
 
 
 def fid(
