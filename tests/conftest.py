@@ -8,6 +8,12 @@ platform through jax.config before any backend initialisation.
 """
 
 import os
+import sys
+
+# make the suite runnable from any cwd (pytest /path/to/repo/tests)
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 TEST_PLATFORM = os.environ.get("GCT2_TEST_PLATFORM", "cpu")
 
