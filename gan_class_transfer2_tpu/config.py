@@ -26,6 +26,10 @@ class Config:
     classes: Tuple[str, ...] = ()  # empty -> (dataset_pattern,)
     shuffle_buffer: int = 1000  # reference train.py:318
     cache: bool = False  # reference train.py:317 (commented disk cache)
+    # Use the native C++ loader (data/native/dataloader.cc) when its
+    # toolchain is available; falls back to the Python/PIL pipeline.
+    native_loader: bool = True
+    data_workers: int = 2
 
     # ----------------------------------------------------------------- model
     size: int = 256  # reference train.py:17

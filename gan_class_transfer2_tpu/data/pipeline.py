@@ -246,16 +246,32 @@ def device_iterator(dataset, sharding=None):
 
 
 def make_datasets(cfg, **kw) -> list:
-    """One dataset per class pattern (reference train.py:299-321)."""
+    """One dataset per class pattern (reference train.py:299-321).
+
+    Prefers the native C++ loader (``cfg.native_loader``) when its toolchain
+    is available; otherwise the Python/PIL pipeline with identical element
+    semantics."""
+    kw.setdefault("num_workers", getattr(cfg, "data_workers", 2))
+    if getattr(cfg, "native_loader", False):
+        from . import native_loader
+
+        if native_loader.available():
+            return [
+                native_loader.NativeImageDataset(
+                    pattern, cfg.size, cfg.batch_size,
+                    seed=cfg.seed + i, **kw,
+                )
+                for i, pattern in enumerate(cfg.class_patterns())
+            ]
     return [
         ImageDataset(
             pattern,
             cfg.size,
             cfg.batch_size,
-            seed=cfg.seed,
+            seed=cfg.seed + i,
             shuffle_buffer=cfg.shuffle_buffer,
             cache=cfg.cache,
             **kw,
         )
-        for pattern in cfg.class_patterns()
+        for i, pattern in enumerate(cfg.class_patterns())
     ]

@@ -45,13 +45,7 @@ class ConditionalGANRunner:
         )
 
         if datasets is None:
-            datasets = [
-                pipeline.ImageDataset(
-                    pat, cfg.size, cfg.batch_size, seed=cfg.seed + i,
-                    shuffle_buffer=cfg.shuffle_buffer, cache=cfg.cache,
-                )
-                for i, pat in enumerate(patterns)
-            ]
+            datasets = pipeline.make_datasets(cfg)  # native loader when available
         self.labeled = pipeline.LabeledDataset(datasets)
         self.data_iter = pipeline.device_iterator(
             self.labeled, mesh_lib.batch_sharding(self.mesh)

@@ -42,13 +42,12 @@ class GANRunner:
             self.state = ckpt_lib.restore(cfg.checkpoint_dir, self.state)
         self.train_step = mesh_lib.make_parallel_gan_train_step(cfg, self.mesh)
 
-        mk = lambda pat, seed: pipeline.ImageDataset(
-            pat, cfg.size, cfg.batch_size, seed=seed,
-            shuffle_buffer=cfg.shuffle_buffer, cache=cfg.cache,
-        )
-        patterns = cfg.class_patterns()
-        self.dataset_a = dataset_a if dataset_a is not None else mk(patterns[0], cfg.seed)
-        self.dataset_b = dataset_b if dataset_b is not None else mk(patterns[1], cfg.seed + 1)
+        if dataset_a is None or dataset_b is None:
+            built = pipeline.make_datasets(cfg)  # native loader when available
+            dataset_a = dataset_a if dataset_a is not None else built[0]
+            dataset_b = dataset_b if dataset_b is not None else built[1]
+        self.dataset_a = dataset_a
+        self.dataset_b = dataset_b
         sharding = mesh_lib.batch_sharding(self.mesh)
         self.iter_a = pipeline.device_iterator(self.dataset_a, sharding)
         self.iter_b = pipeline.device_iterator(self.dataset_b, sharding)
