@@ -86,6 +86,10 @@ def main(argv=None):
         if cmd == "serve":
             p.add_argument("--host", type=str, default="127.0.0.1")
             p.add_argument("--port", type=int, default=8080)
+            p.add_argument(
+                "--model", type=str, default="diffusion",
+                choices=("diffusion", "gan"),
+            )
 
     args = parser.parse_args(argv)
     if getattr(args, "platform", None):
@@ -140,7 +144,7 @@ def main(argv=None):
     if args.command == "serve":
         from .serve.server import serve_from_checkpoint
 
-        serve_from_checkpoint(cfg, host=args.host, port=args.port)
+        serve_from_checkpoint(cfg, host=args.host, port=args.port, model=args.model)
         return 0
 
     return 1

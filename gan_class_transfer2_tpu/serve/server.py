@@ -79,6 +79,8 @@ class ModelService:
     def sample(self, num: int) -> np.ndarray:
         import jax
 
+        if self.state is None:
+            raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
             init = jax.random.normal(
@@ -89,6 +91,8 @@ class ModelService:
     def denoise(self, image: np.ndarray) -> np.ndarray:
         import jax
 
+        if self.state is None:
+            raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
             noise = jax.random.normal(sub, image.shape, dtype=np.float32)
@@ -192,17 +196,30 @@ class Server:
         self.httpd.server_close()
 
 
-def serve_from_checkpoint(cfg, host: str = "127.0.0.1", port: int = 8080):
-    """Load the latest checkpoint and serve forever (CLI entry)."""
+def serve_from_checkpoint(
+    cfg, host: str = "127.0.0.1", port: int = 8080, model: str = "diffusion"
+):
+    """Load the latest checkpoint and serve forever (CLI entry).
+
+    model='diffusion' serves /sample and /denoise; model='gan' additionally
+    serves /transfer from a cycle-GAN checkpoint."""
     import jax
 
+    from ..train import gan as gan_lib
     from ..train import trainer as trainer_lib
     from ..utils import checkpoint as ckpt_lib
 
-    state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
-    if cfg.checkpoint_dir and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None:
-        state = ckpt_lib.restore(cfg.checkpoint_dir, state)
-    service = ModelService(cfg, state=state)
+    has_ckpt = cfg.checkpoint_dir and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None
+    if model == "gan":
+        gan_state = gan_lib.init_gan_state(cfg, jax.random.PRNGKey(cfg.seed))
+        if has_ckpt:
+            gan_state = ckpt_lib.restore(cfg.checkpoint_dir, gan_state)
+        service = ModelService(cfg, gan_state=gan_state)
+    else:
+        state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
+        if has_ckpt:
+            state = ckpt_lib.restore(cfg.checkpoint_dir, state)
+        service = ModelService(cfg, state=state)
     server = Server(service, host, port)
     print(f"serving on {host}:{server.port} (step {service.step})", flush=True)
     server.httpd.serve_forever()

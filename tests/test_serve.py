@@ -99,3 +99,25 @@ def test_error_paths(server):
     assert status == 404
     status, body = _post(srv, "/transfer?direction=zz", b"")
     assert status == 400
+
+
+def test_gan_only_service_rejects_sample():
+    cfg = tiny_test_config()
+    gan_state = gan.init_gan_state(cfg, jax.random.PRNGKey(2))
+    service = ModelService(cfg, gan_state=gan_state)
+    srv = Server(service).start()
+    try:
+        status, body = _post(srv, "/sample", json.dumps({"num": 1}).encode())
+        assert status == 400
+        assert "diffusion" in json.loads(body)["error"]
+        # transfer still works
+        import numpy as _np
+        from PIL import Image as _Image
+
+        arr = _np.zeros((cfg.size, cfg.size, 3), _np.uint8)
+        buf = io.BytesIO()
+        _Image.fromarray(arr).save(buf, format="PNG")
+        status, _ = _post(srv, "/transfer?direction=ab", buf.getvalue())
+        assert status == 200
+    finally:
+        srv.stop()
