@@ -67,6 +67,30 @@ class GANRunner:
         self.writer.image("transfer_ab", np.asarray(fake_b) * 0.5 + 0.5, epoch, 10)
         self.writer.image("transfer_ba", np.asarray(fake_a) * 0.5 + 0.5, epoch, 10)
         self.writer.image("cycle_aba", np.asarray(cycled) * 0.5 + 0.5, epoch, 10)
+        if self.cfg.fid_samples > 0:
+            self.writer.scalar("transfer_fid_ab", self.transfer_fid("ab"), epoch)
+            self.writer.scalar("transfer_fid_ba", self.transfer_fid("ba"), epoch)
+
+    def transfer_fid(self, direction: str = "ab") -> float:
+        """FID of transferred held-out images against the target class —
+        BASELINE.json's "steps-to-fixed-FID on class-transfer pairs" metric
+        (random-feature extractor; utils/metrics.py)."""
+        from ..utils import metrics
+
+        n = max(self.cfg.fid_samples, self.cfg.batch_size)
+        src_iter = self.iter_a if direction == "ab" else self.iter_b
+        tgt_iter = self.iter_b if direction == "ab" else self.iter_a
+
+        def take(it):
+            out = []
+            while sum(len(x) for x in out) < n:
+                out.append(np.asarray(jax.device_get(next(it))))
+            return np.concatenate(out, 0)[:n]
+
+        src = take(src_iter)
+        tgt = take(tgt_iter)
+        fake = np.asarray(gan.transfer(self.cfg, self.state, jnp.asarray(src), direction))
+        return metrics.fid(fake, tgt)
 
     def fit(self, epochs: Optional[int] = None, steps_per_epoch: Optional[int] = None,
             log_samples: bool = True):

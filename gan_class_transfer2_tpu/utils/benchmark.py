@@ -37,6 +37,23 @@ class BenchResult:
         )
 
 
+def steps_to_fixed_fid(runner, target_fid: float, max_steps: int = 20_000,
+                       check_every: int = 500, direction: str = "ab"):
+    """BASELINE.json's second headline metric: train the class-transfer GAN
+    until the transfer FID reaches ``target_fid``; return (steps, fid).
+
+    ``runner``: a train.gan_loop.GANRunner. Returns (None, last_fid) when
+    the budget is exhausted."""
+    steps_done = int(runner.state.step)
+    fid = runner.transfer_fid(direction)
+    while fid > target_fid and steps_done < max_steps:
+        runner.fit(epochs=1, steps_per_epoch=check_every, log_samples=False)
+        steps_done = int(runner.state.step)
+        fid = runner.transfer_fid(direction)
+        print(f"steps_to_fixed_fid: step {steps_done} fid {fid:.4f}", flush=True)
+    return (steps_done if fid <= target_fid else None), fid
+
+
 def run_benchmark(cfg, steps: int = 30, warmup: int = 3, baseline_ips: float | None = None) -> BenchResult:
     """Time the jitted train step on synthetic data resident in HBM."""
     from ..parallel import mesh as mesh_lib

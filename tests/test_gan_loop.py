@@ -50,3 +50,46 @@ def test_gan_runner_requires_two_classes(tmp_path):
     cfg = tiny_test_config(classes=("only_one",))
     with pytest.raises(ValueError):
         GANRunner(cfg)
+
+
+def test_transfer_fid_logged(tmp_path):
+    cfg = tiny_test_config(
+        steps_per_epoch=1, epochs=1, learning_rate=1e-4,
+        log_dir=str(tmp_path / "logs"), checkpoint_dir=None,
+        donate_state=False, classes=("a", "b"), mesh_data=1,
+        fid_samples=4,
+    )
+    r = np.random.default_rng(0)
+    mk = lambda seed: ArrayDataset(
+        r.integers(0, 256, size=(6, cfg.size, cfg.size, 3), dtype=np.uint8),
+        cfg.batch_size,
+        seed=seed,
+    )
+    runner = GANRunner(cfg, dataset_a=mk(0), dataset_b=mk(1))
+    runner.fit(epochs=1, steps_per_epoch=1)
+    runner.close()
+    tags = {e[1] for e in tb.read_events(runner.writer.path)}
+    assert "transfer_fid_ab" in tags and "transfer_fid_ba" in tags
+
+
+def test_steps_to_fixed_fid_harness(tmp_path):
+    from gan_class_transfer2_tpu.utils.benchmark import steps_to_fixed_fid
+
+    cfg = tiny_test_config(
+        steps_per_epoch=1, epochs=1, learning_rate=1e-4,
+        log_dir=str(tmp_path / "logs"), checkpoint_dir=None,
+        donate_state=False, classes=("a", "b"), mesh_data=1,
+        fid_samples=4,
+    )
+    r = np.random.default_rng(0)
+    mk = lambda seed: ArrayDataset(
+        r.integers(0, 256, size=(6, cfg.size, cfg.size, 3), dtype=np.uint8),
+        cfg.batch_size,
+        seed=seed,
+    )
+    runner = GANRunner(cfg, dataset_a=mk(0), dataset_b=mk(1))
+    # unreachable target within a 2-step budget -> returns (None, fid)
+    steps, fid = steps_to_fixed_fid(runner, target_fid=0.0, max_steps=2, check_every=2)
+    runner.close()
+    assert steps is None and np.isfinite(fid)
+    assert int(runner.state.step) == 2
