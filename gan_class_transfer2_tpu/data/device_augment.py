@@ -51,11 +51,13 @@ def augment_batch(raw, rng, size: int):
 class HBMDataset:
     """All images resident in HBM as uint8; batches drawn fully on device.
 
-    ``images``: (N, H, W, 3) uint8 (H, W ≥ size). Yields float32 batches.
-    """
+    ``images``: (N, H, W, 3) uint8 (H, W ≥ size). Yields float32 augmented
+    batches, or raw uint8 batches with ``raw=True`` — the train step then
+    fuses crop/flip/normalize into its own program (trainer.diffusion_loss
+    handles uint8 batches), removing the separate augment dispatch."""
 
     def __init__(self, images: np.ndarray, size: int, batch_size: int,
-                 seed: int = 0, sharding=None):
+                 seed: int = 0, sharding=None, raw: bool = False):
         assert images.dtype == np.uint8
         self.size = size
         self.batch_size = batch_size
@@ -67,7 +69,7 @@ class HBMDataset:
             r_idx, r_aug = jax.random.split(rng)
             idx = jax.random.randint(r_idx, (batch_size,), 0, n)
             batch = dev_images[idx]
-            out = augment_batch(batch, r_aug, size=size)
+            out = batch if raw else augment_batch(batch, r_aug, size=size)
             if sharding is not None:
                 out = jax.lax.with_sharding_constraint(out, sharding)
             return out

@@ -127,6 +127,13 @@ def diffusion_loss(cfg, params, batch, rng):
     if isinstance(batch, dict):
         label = batch.get("label")
         batch = batch["image"]
+    if batch.dtype == jnp.uint8:
+        # raw-pixel batch (HBM-resident pipeline): crop/flip/normalize fused
+        # into this step — no separate augment dispatch or HBM round trip
+        from ..data import device_augment
+
+        rng, rng_aug = jax.random.split(rng)
+        batch = device_augment.augment_batch(batch, rng_aug, size=cfg.size)
     rng_t, rng_eps = jax.random.split(rng)
     b = batch.shape[0]
     t_int = jax.random.randint(rng_t, (b, 1, 1, 1), 1, cfg.steps + 1)

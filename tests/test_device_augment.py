@@ -53,3 +53,31 @@ def test_hbm_dataset_draws_batches():
     assert b1.shape == (4, 8, 8, 3)
     assert isinstance(b1, jax.Array)
     assert not np.array_equal(np.asarray(b1), np.asarray(b2))
+
+
+def test_raw_uint8_batch_through_train_step():
+    """uint8 batches get crop/flip/normalize fused into the train step."""
+    import jax.numpy as jnp
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.train import trainer
+
+    cfg = tiny_test_config(donate_state=False)
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    step = trainer.make_train_step(cfg)
+    r = np.random.default_rng(0)
+    raw = jnp.asarray(
+        r.integers(0, 256, (cfg.batch_size, cfg.size + 4, cfg.size + 4, 3),
+                   dtype=np.uint8)
+    )
+    state, loss = step(state, raw, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+
+def test_hbm_dataset_raw_mode():
+    r = np.random.default_rng(0)
+    images = r.integers(0, 256, (10, 12, 12, 3), dtype=np.uint8)
+    ds = device_augment.HBMDataset(images, size=8, batch_size=4, seed=0, raw=True)
+    b = next(iter(ds))
+    assert b.dtype == jnp.uint8 if hasattr(b, "dtype") else True
+    assert b.shape == (4, 12, 12, 3)
