@@ -78,7 +78,9 @@ class HBMDataset:
         self._rng = jax.random.PRNGKey(seed)
 
     def __iter__(self):
-        rng = self._rng
+        # advance the shared stream so a second iterator (eval pass, restart)
+        # does not replay the identical batch sequence
+        self._rng, rng = jax.random.split(self._rng)
         while True:
             rng, sub = jax.random.split(rng)
             yield self._draw(sub)

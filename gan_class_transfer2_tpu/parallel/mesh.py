@@ -152,9 +152,10 @@ def make_parallel_conditional_gan_train_step(cfg, mesh: Mesh, example_state=None
     """jit the StarGAN-style conditional step over the mesh (labeled batch
     dict sharded on 'data', params under the TP rule)."""
     from ..train import conditional_gan as cgan_lib
+    from ..train import gan as gan_lib
 
     g_opt = trainer_lib.make_optimizer(cfg)
-    d_opt = trainer_lib.make_optimizer(cfg)
+    d_opt = gan_lib._d_optimizer(cfg)  # honors cfg.d_learning_rate
 
     def step(state, batch, rng):
         return cgan_lib.conditional_gan_train_step(

@@ -116,10 +116,15 @@ def make_spatial_unet_apply(cfg, mesh: Mesh, axis: str = "spatial"):
     """Build ``fn(params, x) -> prediction`` with x height-sharded on
     ``axis`` and params replicated. Differentiable (ppermute transposes)."""
     n = mesh.shape[axis]
-    if (cfg.size // 2**cfg.octaves) % n != 0 and (cfg.size // 2**cfg.octaves) < n:
+    if (cfg.size // 2**cfg.octaves) % n != 0:
         raise ValueError(
             f"bottleneck height {cfg.size // 2**cfg.octaves} not shardable "
-            f"{n}-way"
+            f"{n}-way (must divide evenly at every scale)"
+        )
+    if cfg.per_step_output:
+        raise NotImplementedError(
+            "per_step_output is not supported by the spatial path (the "
+            "t-gather is not implemented here); use models.unet.unet_apply"
         )
 
     body = functools.partial(_local_unet, cfg)

@@ -81,12 +81,18 @@ class ModelService:
 
         if self.state is None:
             raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
+        # bucket the batch to a power of two: each distinct shape would
+        # otherwise jit-compile a fresh full sampler program (tens of
+        # seconds), blocking all endpoints behind the lock
+        padded = 1
+        while padded < num:
+            padded *= 2
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
             init = jax.random.normal(
-                sub, (num, self.cfg.size, self.cfg.size, 3), dtype=np.float32
+                sub, (padded, self.cfg.size, self.cfg.size, 3), dtype=np.float32
             )
-            return np.asarray(self._sample(self._params, init))
+            return np.asarray(self._sample(self._params, init))[:num]
 
     def denoise(self, image: np.ndarray) -> np.ndarray:
         import jax
@@ -164,9 +170,9 @@ def make_handler(service: ModelService):
                     img = _decode_png(self._body(), service.cfg.size)
                     return self._png(service.denoise(img)[0])
                 if path == "/transfer":
-                    direction = "ab"
-                    if "direction=" in query:
-                        direction = query.split("direction=")[1][:2]
+                    from urllib.parse import parse_qs
+
+                    direction = parse_qs(query).get("direction", ["ab"])[0]
                     if direction not in ("ab", "ba"):
                         return self._json(400, {"error": "direction must be ab|ba"})
                     img = _decode_png(self._body(), service.cfg.size)
@@ -210,6 +216,14 @@ def serve_from_checkpoint(
     from ..utils import checkpoint as ckpt_lib
 
     has_ckpt = cfg.checkpoint_dir and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None
+    if not has_ckpt:
+        import sys
+
+        print(
+            f"warning: no checkpoint found in {cfg.checkpoint_dir!r}; "
+            "serving randomly initialised weights",
+            file=sys.stderr,
+        )
     if model == "gan":
         gan_state = gan_lib.init_gan_state(cfg, jax.random.PRNGKey(cfg.seed))
         if has_ckpt:

@@ -25,7 +25,7 @@ import optax
 
 from ..models import conditional as cond_lib
 from ..models import discriminator as d_lib
-from .gan import adversarial_loss, _l1
+from .gan import _d_optimizer, adversarial_loss, _l1
 from .trainer import make_optimizer
 
 
@@ -47,7 +47,7 @@ def init_conditional_gan_state(cfg, rng) -> ConditionalGANState:
     )
     discriminator = d_lib.init_discriminator(k_d, cfg, num_classes=cfg.num_classes)
     g_opt = make_optimizer(cfg).init(generator)
-    d_opt = make_optimizer(cfg).init(discriminator)
+    d_opt = _d_optimizer(cfg).init(discriminator)
     ema = (
         jax.tree_util.tree_map(jnp.copy, generator) if cfg.ema_decay > 0 else None
     )
@@ -130,7 +130,7 @@ def conditional_gan_train_step(
 
 def make_conditional_gan_train_step(cfg):
     g_opt = make_optimizer(cfg)
-    d_opt = make_optimizer(cfg)
+    d_opt = _d_optimizer(cfg)  # honors cfg.d_learning_rate like gan.py
 
     def step(state, batch, rng):
         return conditional_gan_train_step(cfg, g_opt, d_opt, state, batch, rng)

@@ -26,9 +26,15 @@ from . import conditional_gan as cgan
 class ConditionalGANRunner:
     def __init__(self, cfg: Config, datasets=None, log_dir=None):
         cfg.validate()
-        patterns = cfg.class_patterns()
+        # class count comes from explicit datasets when given, else patterns
+        n_sources = len(datasets) if datasets is not None else len(cfg.class_patterns())
         if cfg.num_classes == 0:
-            cfg = cfg.replace(num_classes=len(patterns))
+            cfg = cfg.replace(num_classes=n_sources)
+        if cfg.num_classes != n_sources:
+            raise ValueError(
+                f"num_classes={cfg.num_classes} but {n_sources} class data "
+                "sources were provided (labels would gather out of range)"
+            )
         if cfg.num_classes < 2:
             raise ValueError("conditional transfer needs >= 2 classes")
         self.cfg = cfg

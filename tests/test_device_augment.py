@@ -81,3 +81,12 @@ def test_hbm_dataset_raw_mode():
     b = next(iter(ds))
     assert b.dtype == jnp.uint8 if hasattr(b, "dtype") else True
     assert b.shape == (4, 12, 12, 3)
+
+
+def test_hbm_dataset_iterators_differ():
+    r = np.random.default_rng(0)
+    images = r.integers(0, 256, (10, 12, 12, 3), dtype=np.uint8)
+    ds = device_augment.HBMDataset(images, size=8, batch_size=4, seed=0)
+    b1 = np.asarray(next(iter(ds)))
+    b2 = np.asarray(next(iter(ds)))
+    assert not np.array_equal(b1, b2)  # fresh iterators advance the stream

@@ -121,3 +121,19 @@ def test_gan_only_service_rejects_sample():
         assert status == 200
     finally:
         srv.stop()
+
+
+def test_transfer_rejects_malformed_direction(server):
+    srv, _ = server
+    status, _ = _post(srv, "/transfer?direction=abba", b"")
+    assert status == 400
+
+
+def test_sample_batch_bucketing(server):
+    """num=3 pads to 4 internally but returns exactly 3 images."""
+    srv, _ = server
+    status, body = _post(
+        srv, "/sample", json.dumps({"num": 3, "format": "base64"}).encode()
+    )
+    assert status == 200
+    assert len(json.loads(body)["images"]) == 3

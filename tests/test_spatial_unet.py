@@ -73,3 +73,17 @@ def test_output_stays_sharded(setup):
     got = fn(params, xs)
     spec = tuple(got.sharding.spec)
     assert len(spec) >= 2 and spec[1] == "spatial"  # height axis sharded
+
+
+def test_guard_rejects_nondivisible_bottleneck():
+    # size 24, octaves 2 -> bottleneck 6 rows; 6 % 4 != 0 must raise
+    cfg = tiny_test_config(size=24, pixel_size=4, max_size=8, octaves=2)
+    mesh4 = Mesh(np.asarray(jax.devices()[:4]), ("spatial",))
+    with pytest.raises(ValueError, match="not shardable"):
+        spatial_unet.make_spatial_unet_apply(cfg, mesh4)
+
+
+def test_guard_rejects_per_step_output(setup):
+    cfg, _, mesh, _ = setup
+    with pytest.raises(NotImplementedError):
+        spatial_unet.make_spatial_unet_apply(cfg.replace(per_step_output=True), mesh)
