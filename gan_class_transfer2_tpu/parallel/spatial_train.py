@@ -35,6 +35,47 @@ def spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, "spatial"))
 
 
+def make_dp_spatial_mesh(data: int, spatial: int, devices=None) -> Mesh:
+    """2-D mesh combining data parallelism with height sharding — for large
+    resolutions where a full batch shard still overflows HBM."""
+    import numpy as np
+
+    devices = list(devices if devices is not None else jax.devices())
+    n = data * spatial
+    if n > len(devices):
+        raise ValueError(f"mesh {data}x{spatial} needs {n} devices")
+    return Mesh(np.asarray(devices[:n]).reshape(data, spatial), ("data", "spatial"))
+
+
+def dp_spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch over 'data', height over 'spatial'."""
+    return NamedSharding(mesh, P("data", "spatial"))
+
+
+def make_dp_spatial_train_step(cfg, mesh: Mesh):
+    """jit the standard train step over a (data × spatial) mesh: XLA shards
+    the batch across 'data' and every activation's height across 'spatial'
+    (inserting conv halo exchanges), with params replicated."""
+    optimizer = trainer_lib.make_optimizer(cfg)
+
+    def step(state, batch, rng):
+        return trainer_lib.train_step(cfg, optimizer, state, batch, rng)
+
+    rep = NamedSharding(mesh, P())
+    st_sh = jax.tree_util.tree_map(
+        lambda _: rep,
+        jax.eval_shape(
+            lambda r: trainer_lib.init_state(cfg, r), jax.random.PRNGKey(0)
+        ),
+    )
+    return jax.jit(
+        step,
+        in_shardings=(st_sh, dp_spatial_batch_sharding(mesh), rep),
+        out_shardings=(st_sh, rep),
+        donate_argnums=(0,) if cfg.donate_state else (),
+    )
+
+
 def make_spatial_train_step(cfg, mesh: Mesh):
     """jit the standard train step with height-sharded activations."""
     optimizer = trainer_lib.make_optimizer(cfg)
