@@ -66,3 +66,30 @@ def test_save_same_step_twice_is_idempotent(tmp_path):
     p2 = ckpt.save(d, state, cfg, step=7)
     assert p1 == p2
     assert ckpt.latest_step(d) == 7
+
+
+def test_sharded_state_checkpoint_roundtrip(tmp_path):
+    """Save a mesh-sharded TrainState and restore it onto a fresh sharded
+    template (multi-chip checkpoint/resume path)."""
+    from gan_class_transfer2_tpu.parallel import mesh as mesh_lib
+
+    cfg = tiny_test_config(batch_size=4, donate_state=False)
+    m = mesh_lib.make_mesh(data=4, model=2)
+    state = mesh_lib.init_sharded_state(cfg, m, jax.random.PRNGKey(0))
+    d = str(tmp_path / "ckpt")
+    ckpt.save(d, state, cfg)
+
+    template = mesh_lib.init_sharded_state(cfg, m, jax.random.PRNGKey(9))
+    restored = ckpt.restore(d, template)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["head"]["kernel"]),
+        np.asarray(state.params["head"]["kernel"]),
+    )
+    # restored state still trains over the mesh
+    pstep = mesh_lib.make_parallel_train_step(cfg, m)
+    batch = jax.device_put(
+        jnp.zeros((cfg.batch_size, cfg.size, cfg.size, 3)),
+        mesh_lib.batch_sharding(m),
+    )
+    _, loss = pstep(restored, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
