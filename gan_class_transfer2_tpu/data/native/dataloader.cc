@@ -185,10 +185,12 @@ struct Loader {
   int batch = 0;
   int capacity = 0;
   std::atomic<bool> stop{false};
+  std::atomic<bool> error{false};
 
   std::mutex mu;
   std::condition_variable not_full, not_empty;
   std::queue<std::vector<float>> ready;
+  std::string error_message;  // guarded by mu
   std::vector<std::thread> workers;
 
   ~Loader() {
@@ -215,6 +217,13 @@ bool load_file(const std::string& path, std::vector<uint8_t>* out) {
 void worker_main(Loader* L, uint64_t seed) {
   std::mt19937_64 rng(seed);
   const size_t elem = static_cast<size_t>(L->size) * L->size * 3;
+  // Tolerate scattered bad files (TF decoder tolerance), but fail loudly if
+  // NOTHING decodes or fits the crop (e.g. every image smaller than `size`)
+  // instead of hanging dl_next forever. Mirrors the Python pipeline's guard
+  // (pipeline.py consecutive_failures).
+  const long fail_limit =
+      std::max<long>(100, 2 * static_cast<long>(L->files.size()));
+  long consecutive_failures = 0;
   while (!L->stop.load()) {
     std::vector<float> batch(static_cast<size_t>(L->batch) * elem);
     int filled = 0;
@@ -222,9 +231,28 @@ void worker_main(Loader* L, uint64_t seed) {
       const std::string& path = L->files[rng() % L->files.size()];
       std::vector<uint8_t> raw;
       Image img;
-      if (!load_file(path, &raw) || !decode_any(raw.data(), raw.size(), &img))
+      bool ok = load_file(path, &raw) &&
+                decode_any(raw.data(), raw.size(), &img) &&
+                augment_to(img, L->size, &rng, batch.data() + filled * elem);
+      if (!ok) {
+        if (++consecutive_failures >= fail_limit) {
+          {
+            std::lock_guard<std::mutex> lk(L->mu);
+            if (L->error_message.empty())
+              L->error_message = "native loader: " +
+                                 std::to_string(consecutive_failures) +
+                                 " consecutive decode/crop failures (last: " +
+                                 path + ")";
+          }
+          L->error.store(true);
+          L->stop.store(true);
+          L->not_empty.notify_all();
+          L->not_full.notify_all();
+          return;
+        }
         continue;
-      if (!augment_to(img, L->size, &rng, batch.data() + filled * elem)) continue;
+      }
+      consecutive_failures = 0;
       ++filled;
     }
     std::unique_lock<std::mutex> lk(L->mu);
@@ -257,19 +285,28 @@ void* dl_create(const char** files, int n_files, int size, int batch, int worker
 }
 
 // Blocks until a batch is available; copies batch*size*size*3 floats into out.
+// Returns 0 on success, -1 when the loader stopped cleanly, -2 when the
+// worker pool aborted on persistent decode failures (see dl_error).
 int dl_next(void* handle, float* out) {
   Loader* L = static_cast<Loader*>(handle);
   std::vector<float> batch;
   {
     std::unique_lock<std::mutex> lk(L->mu);
     L->not_empty.wait(lk, [L] { return L->stop.load() || !L->ready.empty(); });
-    if (L->ready.empty()) return -1;
+    if (L->ready.empty()) return L->error.load() ? -2 : -1;
     batch = std::move(L->ready.front());
     L->ready.pop();
     L->not_full.notify_one();
   }
   memcpy(out, batch.data(), batch.size() * sizeof(float));
   return 0;
+}
+
+// Error description after dl_next returned -2; valid until dl_destroy.
+const char* dl_error(void* handle) {
+  Loader* L = static_cast<Loader*>(handle);
+  std::lock_guard<std::mutex> lk(L->mu);
+  return L->error_message.c_str();
 }
 
 void dl_destroy(void* handle) { delete static_cast<Loader*>(handle); }

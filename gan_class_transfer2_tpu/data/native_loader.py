@@ -51,6 +51,8 @@ def _load() -> ctypes.CDLL:
         ]
         lib.dl_next.restype = ctypes.c_int
         lib.dl_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+        lib.dl_error.restype = ctypes.c_char_p
+        lib.dl_error.argtypes = [ctypes.c_void_p]
         lib.dl_destroy.argtypes = [ctypes.c_void_p]
         lib.dl_decode_one.restype = ctypes.c_int
         lib.dl_decode_one.argtypes = [
@@ -144,6 +146,12 @@ class NativeImageDataset:
             rc = self._lib.dl_next(
                 self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
             )
+            if rc == -2:
+                # worker pool aborted after persistent decode/crop failures —
+                # surface the hang-prevention guard as a hard error, matching
+                # the Python pipeline's behavior
+                msg = self._lib.dl_error(self._handle) or b""
+                raise RuntimeError(msg.decode() or "native loader failed")
             if rc != 0:
                 return
             yield out

@@ -86,3 +86,19 @@ def test_native_dataset_batches(image_dir):
     assert b1.dtype == np.float32
     assert b1.min() >= -1.0 and b1.max() <= 127 / 128
     assert not np.array_equal(b1, b2)
+
+
+def test_native_dataset_errors_when_nothing_decodes(tmp_path):
+    """All images smaller than the crop size must raise instead of hanging
+    dl_next forever (ADVICE r1: mirror pipeline.py's consecutive-failure
+    guard in worker_main)."""
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        arr = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"small_{i}.png")
+    ds = native_loader.NativeImageDataset(
+        str(tmp_path / "*.png"), size=16, batch_size=2, seed=0, num_workers=2
+    )
+    with pytest.raises(RuntimeError, match="consecutive"):
+        next(iter(ds))
+    ds.close()
