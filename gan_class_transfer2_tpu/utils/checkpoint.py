@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 from typing import Optional, Tuple
 
 import jax
@@ -26,15 +27,25 @@ def _checkpointer():
 
 
 def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None):
-    """Save TrainState (+ config) at ``<ckpt_dir>/step_<N>``."""
+    """Save TrainState (+ config) at ``<ckpt_dir>/step_<N>``.
+
+    Crash-safe: writes to ``step_<N>.tmp`` and renames into place (atomic on
+    POSIX), so a ``step_<N>`` directory that exists is always a complete
+    checkpoint; a crash mid-save leaves only a ``.tmp`` directory, which
+    ``latest_step``'s pattern never matches and the next save sweeps away.
+    """
     step = int(state.step) if step is None else int(step)
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:09d}")
     if os.path.exists(path):
         # same step already persisted (e.g. interrupt right after a periodic
-        # save) — saving again would make orbax raise; the data is identical
+        # save) — committed dirs are complete by construction, skip
         return path
-    _checkpointer().save(path, jax.device_get(state))
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # stale partial write from a crashed save
+    _checkpointer().save(tmp, jax.device_get(state))
+    os.rename(tmp, path)
     with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
     return path

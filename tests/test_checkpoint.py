@@ -93,3 +93,23 @@ def test_sharded_state_checkpoint_roundtrip(tmp_path):
     )
     _, loss = pstep(restored, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
+
+
+def test_partial_save_is_repaired(tmp_path):
+    """A crash mid-save must not leave a step dir that latest_step selects
+    (ADVICE r1): saves go to step_<N>.tmp and rename into place, and a stale
+    .tmp from a crashed save is swept on the next attempt."""
+    cfg = tiny_test_config()
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    # simulate a crashed save: partial tmp dir with junk inside
+    stale = d / "step_000000000.tmp"
+    stale.mkdir()
+    (stale / "garbage").write_text("partial")
+    assert ckpt.latest_step(str(d)) is None  # .tmp never matches
+    ckpt.save(str(d), state, cfg)
+    assert ckpt.latest_step(str(d)) == 0
+    assert not stale.exists()
+    restored = ckpt.restore(str(d), trainer.init_state(cfg, jax.random.PRNGKey(1)))
+    assert int(restored.step) == 0
