@@ -18,6 +18,11 @@ import sys
 # see BASELINE_MEASURED.md for methodology.
 REFERENCE_SEMANTICS_IPS_TPU_V5E = 69.06
 
+# The actual reference TF code, measured with tools/measure_reference_tf.py
+# (256² b1 fp32, CPU — the only hardware here that runs its TF graph; first
+# epoch discarded). External anchor; see BASELINE_MEASURED.md for caveats.
+REFERENCE_TF_MEASURED_IPS_CPU = 0.333
+
 
 def main():
     import os
@@ -57,6 +62,8 @@ def main():
         warmup=3,
         baseline_ips=REFERENCE_SEMANTICS_IPS_TPU_V5E if on_tpu else None,
     )
+    result.extra["reference_tf_measured_ips"] = REFERENCE_TF_MEASURED_IPS_CPU
+    result.extra["reference_tf_measured_hw"] = "CPU (tools/measure_reference_tf.py)"
     print(result.to_json())
 
 
