@@ -54,36 +54,48 @@ class HBMDataset:
     ``images``: (N, H, W, 3) uint8 (H, W ≥ size). Yields float32 augmented
     batches, or raw uint8 batches with ``raw=True`` — the train step then
     fuses crop/flip/normalize into its own program (trainer.diffusion_loss
-    handles uint8 batches), removing the separate augment dispatch."""
+    handles uint8 batches), removing the separate augment dispatch.
+
+    Epoch semantics: shuffle WITHOUT replacement (every image once per
+    epoch), matching the reference's permuted file stream (train.py:318) —
+    the batch indices come from a host-side pipeline.EpochIndexStream (a
+    few hundred int32 per step, negligible next to the batch itself) and the
+    augment RNG is keyed by stream position, so the draw sequence is exactly
+    restorable across restarts via ``state_dict``/``set_state``."""
 
     def __init__(self, images: np.ndarray, size: int, batch_size: int,
                  seed: int = 0, sharding=None, raw: bool = False):
+        from .pipeline import EpochIndexStream
+
         assert images.dtype == np.uint8
         self.size = size
         self.batch_size = batch_size
         dev_images = jnp.asarray(images)
-        n = images.shape[0]
+        base_key = jax.random.PRNGKey(seed)
 
         @jax.jit
-        def draw(rng):
-            r_idx, r_aug = jax.random.split(rng)
-            idx = jax.random.randint(r_idx, (batch_size,), 0, n)
+        def draw(idx, position):
             batch = dev_images[idx]
+            r_aug = jax.random.fold_in(base_key, position)
             out = batch if raw else augment_batch(batch, r_aug, size=size)
             if sharding is not None:
                 out = jax.lax.with_sharding_constraint(out, sharding)
             return out
 
         self._draw = draw
-        self._rng = jax.random.PRNGKey(seed)
+        self._stream = EpochIndexStream(images.shape[0], batch_size, seed)
 
     def __iter__(self):
-        # advance the shared stream so a second iterator (eval pass, restart)
-        # does not replay the identical batch sequence
-        self._rng, rng = jax.random.split(self._rng)
         while True:
-            rng, sub = jax.random.split(rng)
-            yield self._draw(sub)
+            pos = self._stream.position
+            idx = self._stream.next_indices().astype(np.int32)
+            yield self._draw(idx, pos)
+
+    def state_dict(self) -> dict:
+        return self._stream.state_dict()
+
+    def set_state(self, state: dict) -> None:
+        self._stream.set_state(state)
 
     def close(self):
         pass

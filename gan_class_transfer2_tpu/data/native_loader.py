@@ -128,16 +128,42 @@ class NativeImageDataset:
         else:
             files = list(pattern_or_files)
         self._files_keepalive = [f.encode() for f in files]
-        arr = (ctypes.c_char_p * len(files))(*self._files_keepalive)
         self.size = size
         self.batch_size = batch_size
-        lib = _load()
-        self._lib = lib
-        self._handle = lib.dl_create(
-            arr, len(files), size, batch_size, num_workers, prefetch, seed
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self._lib = _load()
+        self._batches_served = 0
+        self._resume_round = 0
+        self._handle = None
+        self._create()
+
+    def _create(self):
+        if self._handle:
+            self._lib.dl_destroy(self._handle)
+        arr = (ctypes.c_char_p * len(self._files_keepalive))(*self._files_keepalive)
+        self._handle = self._lib.dl_create(
+            arr, len(self._files_keepalive), self.size, self.batch_size,
+            self.num_workers, self.prefetch,
+            self.seed + 1_000_003 * self._resume_round,
         )
         if not self._handle:
             raise RuntimeError("dl_create failed")
+
+    def state_dict(self) -> dict:
+        """Stream position for checkpoint/resume; like ImageDataset, resume
+        derives a fresh deterministic stream from the recorded position
+        (threaded decode order is not exactly replayable)."""
+        return {
+            "batches_served": self._batches_served,
+            "resume_round": self._resume_round,
+        }
+
+    def set_state(self, state: dict) -> None:
+        self._batches_served = int(state["batches_served"])
+        self._resume_round = int(state["resume_round"]) + 1
+        self._create()  # restart workers on the resume seed
 
     def __iter__(self) -> Iterator[np.ndarray]:
         elem = self.batch_size * self.size * self.size * 3
@@ -154,6 +180,7 @@ class NativeImageDataset:
                 raise RuntimeError(msg.decode() or "native loader failed")
             if rc != 0:
                 return
+            self._batches_served += 1
             yield out
 
     def close(self):

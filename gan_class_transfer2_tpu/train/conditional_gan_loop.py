@@ -21,9 +21,10 @@ from ..parallel import mesh as mesh_lib
 from ..utils import checkpoint as ckpt_lib
 from ..utils import tensorboard as tb
 from . import conditional_gan as cgan
+from .resilience import ResilientRunnerMixin
 
 
-class ConditionalGANRunner:
+class ConditionalGANRunner(ResilientRunnerMixin):
     def __init__(self, cfg: Config, datasets=None, log_dir=None):
         cfg.validate()
         # class count comes from explicit datasets when given, else patterns
@@ -53,6 +54,7 @@ class ConditionalGANRunner:
         if datasets is None:
             datasets = pipeline.make_datasets(cfg)  # native loader when available
         self.labeled = pipeline.LabeledDataset(datasets)
+        self._restore_data_state()  # resume stream position (sidecar)
         self.data_iter = pipeline.device_iterator(
             self.labeled, mesh_lib.batch_sharding(self.mesh)
         )
@@ -69,11 +71,20 @@ class ConditionalGANRunner:
                 f"transfer_to_{target}", np.asarray(out) * 0.5 + 0.5, epoch, 10
             )
 
+    def _data_sources(self) -> dict:
+        return {"labeled": self.labeled}
+
     def fit(self, epochs: Optional[int] = None, steps_per_epoch: Optional[int] = None,
             log_samples: bool = True):
         cfg = self.cfg
         epochs = cfg.epochs if epochs is None else epochs
         steps_per_epoch = cfg.steps_per_epoch if steps_per_epoch is None else steps_per_epoch
+        return self._fit_interruptible(
+            self._fit_epochs, epochs, steps_per_epoch, log_samples
+        )
+
+    def _fit_epochs(self, epochs, steps_per_epoch, log_samples):
+        cfg = self.cfg
         rng = jax.random.fold_in(self.rng, 31)
         for epoch in range(epochs):
             if log_samples and epoch % cfg.log_images_every == 0:
@@ -88,7 +99,7 @@ class ConditionalGANRunner:
                 acc = {k: acc[k] + metrics[k] for k in acc}
                 global_step += 1
                 if cfg.checkpoint_dir and global_step % cfg.checkpoint_every == 0:
-                    ckpt_lib.save(cfg.checkpoint_dir, self.state, cfg)
+                    self._checkpoint_now()
             vals = {k: float(v) / steps_per_epoch for k, v in acc.items()}
             dt = time.perf_counter() - t0
             for k, v in vals.items():

@@ -21,9 +21,10 @@ from ..parallel import mesh as mesh_lib
 from ..utils import checkpoint as ckpt_lib
 from ..utils import tensorboard as tb
 from . import gan
+from .resilience import ResilientRunnerMixin
 
 
-class GANRunner:
+class GANRunner(ResilientRunnerMixin):
     def __init__(self, cfg: Config, dataset_a=None, dataset_b=None, log_dir=None):
         cfg.validate()
         if dataset_a is None or dataset_b is None:
@@ -42,12 +43,27 @@ class GANRunner:
             self.state = ckpt_lib.restore(cfg.checkpoint_dir, self.state)
         self.train_step = mesh_lib.make_parallel_gan_train_step(cfg, self.mesh)
 
+        # held-out eval split: when datasets are built here from the class
+        # patterns, fid_samples files per class are RESERVED for the FID
+        # metric and never reach the training iterators (train/eval leakage
+        # otherwise — the metric must score generalisation, not memorisation)
+        self._eval_files = {"a": None, "b": None}
         if dataset_a is None or dataset_b is None:
-            built = pipeline.make_datasets(cfg)  # native loader when available
+            patterns = cfg.class_patterns()
+            files, eval_files = [], []
+            for i, p in enumerate(patterns):
+                tr, ev = pipeline.held_out_split(
+                    p, cfg.fid_samples, seed=cfg.seed + i
+                )
+                files.append(tr)
+                eval_files.append(ev)
+            built = pipeline.make_datasets(cfg, files_per_class=files)
             dataset_a = dataset_a if dataset_a is not None else built[0]
             dataset_b = dataset_b if dataset_b is not None else built[1]
+            self._eval_files = {"a": eval_files[0], "b": eval_files[1]}
         self.dataset_a = dataset_a
         self.dataset_b = dataset_b
+        self._restore_data_state()  # resume stream position (sidecar)
         sharding = mesh_lib.batch_sharding(self.mesh)
         self.iter_a = pipeline.device_iterator(self.dataset_a, sharding)
         self.iter_b = pipeline.device_iterator(self.dataset_b, sharding)
@@ -56,6 +72,10 @@ class GANRunner:
         self.writer = tb.SummaryWriter(self.log_dir)
         self._fixed_a = None
         self._fixed_b = None
+        self._eval_cache = {}
+
+    def _data_sources(self) -> dict:
+        return {"a": self.dataset_a, "b": self.dataset_b}
 
     def log_sample(self, epoch: int):
         if self._fixed_a is None:
@@ -71,24 +91,44 @@ class GANRunner:
             self.writer.scalar("transfer_fid_ab", self.transfer_fid("ab"), epoch)
             self.writer.scalar("transfer_fid_ba", self.transfer_fid("ba"), epoch)
 
+    def _eval_set(self, cls: str) -> np.ndarray:
+        """Fixed per-class eval images, disjoint from training data.
+
+        Preferred source: the held-out file split reserved at construction
+        (decoded deterministically, center-of-stream crop, no flip). When the
+        caller supplied prebuilt datasets (no file list to split), falls back
+        to a fixed set drawn ONCE from a dedicated iterator — fixed across
+        evals, though disjointness can then not be guaranteed."""
+        if cls in self._eval_cache:
+            return self._eval_cache[cls]
+        files = self._eval_files[cls]
+        n = max(self.cfg.fid_samples, self.cfg.batch_size)
+        if files:
+            rng = np.random.default_rng(0)  # deterministic crop corners
+            imgs = [
+                pipeline.decode_image(f, self.cfg.size, rng, crop=True)
+                for f in files
+            ]
+            out = np.stack(imgs, 0)
+        else:
+            ds = self.dataset_a if cls == "a" else self.dataset_b
+            it = iter(ds)
+            chunks = []
+            while sum(len(x) for x in chunks) < n:
+                chunks.append(np.asarray(jax.device_get(next(it))))
+            out = np.concatenate(chunks, 0)[:n]
+        self._eval_cache[cls] = out
+        return out
+
     def transfer_fid(self, direction: str = "ab") -> float:
-        """FID of transferred held-out images against the target class —
-        BASELINE.json's "steps-to-fixed-FID on class-transfer pairs" metric
-        (random-feature extractor; utils/metrics.py)."""
+        """FID of transferred HELD-OUT images against the target class's
+        held-out set — BASELINE.json's "steps-to-fixed-FID on class-transfer
+        pairs" metric (random-feature extractor; utils/metrics.py). The eval
+        sets never feed the training iterators (see _eval_set)."""
         from ..utils import metrics
 
-        n = max(self.cfg.fid_samples, self.cfg.batch_size)
-        src_iter = self.iter_a if direction == "ab" else self.iter_b
-        tgt_iter = self.iter_b if direction == "ab" else self.iter_a
-
-        def take(it):
-            out = []
-            while sum(len(x) for x in out) < n:
-                out.append(np.asarray(jax.device_get(next(it))))
-            return np.concatenate(out, 0)[:n]
-
-        src = take(src_iter)
-        tgt = take(tgt_iter)
+        src = self._eval_set("a" if direction == "ab" else "b")
+        tgt = self._eval_set("b" if direction == "ab" else "a")
         fake = np.asarray(gan.transfer(self.cfg, self.state, jnp.asarray(src), direction))
         return metrics.fid(fake, tgt)
 
@@ -97,6 +137,12 @@ class GANRunner:
         cfg = self.cfg
         epochs = cfg.epochs if epochs is None else epochs
         steps_per_epoch = cfg.steps_per_epoch if steps_per_epoch is None else steps_per_epoch
+        return self._fit_interruptible(
+            self._fit_epochs, epochs, steps_per_epoch, log_samples
+        )
+
+    def _fit_epochs(self, epochs, steps_per_epoch, log_samples):
+        cfg = self.cfg
         rng = jax.random.fold_in(self.rng, 23)
         for epoch in range(epochs):
             if log_samples and epoch % cfg.log_images_every == 0:
@@ -112,7 +158,7 @@ class GANRunner:
                 acc = {k: acc[k] + metrics[k] for k in acc}
                 global_step += 1
                 if cfg.checkpoint_dir and global_step % cfg.checkpoint_every == 0:
-                    ckpt_lib.save(cfg.checkpoint_dir, self.state, cfg)
+                    self._checkpoint_now()
             vals = {k: float(v) / steps_per_epoch for k, v in acc.items()}
             dt = time.perf_counter() - t0
             for k, v in vals.items():

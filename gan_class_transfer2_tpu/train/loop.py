@@ -20,9 +20,10 @@ from ..parallel import mesh as mesh_lib
 from ..utils import checkpoint as ckpt_lib
 from ..utils import tensorboard as tb
 from . import trainer as trainer_lib
+from .resilience import ResilientRunnerMixin
 
 
-class Runner:
+class Runner(ResilientRunnerMixin):
     """Owns mesh, state, data, logging, and the epoch loop."""
 
     def __init__(self, cfg: Config, dataset=None, log_dir: Optional[str] = None):
@@ -44,6 +45,7 @@ class Runner:
                 pipeline.LabeledDataset(dsets) if cfg.num_classes > 0 else dsets[0]
             )
         self.dataset = dataset
+        self._restore_data_state()  # resume stream position (sidecar)
         self.data_iter = pipeline.device_iterator(
             self.dataset, mesh_lib.batch_sharding(self.mesh)
         )
@@ -132,16 +134,10 @@ class Runner:
             cfg.steps_per_epoch if steps_per_epoch is None else steps_per_epoch
         )
         step_rng = jax.random.fold_in(self.rng, 17)
-        try:
-            return self._fit_epochs(
-                epochs, steps_per_epoch, on_epoch_begin, log_samples, step_rng
-            )
-        except KeyboardInterrupt:
-            # operational courtesy: keep the work on Ctrl-C
-            if cfg.checkpoint_dir:
-                path = ckpt_lib.save(cfg.checkpoint_dir, self.state, cfg)
-                print(f"interrupted — checkpoint saved to {path}", flush=True)
-            raise
+        return self._fit_interruptible(
+            self._fit_epochs,
+            epochs, steps_per_epoch, on_epoch_begin, log_samples, step_rng,
+        )
 
     def _fit_epochs(self, epochs, steps_per_epoch, on_epoch_begin, log_samples, step_rng):
         cfg = self.cfg
@@ -161,7 +157,7 @@ class Runner:
                 loss_sum = loss_sum + loss
                 global_step += 1
                 if cfg.checkpoint_dir and global_step % cfg.checkpoint_every == 0:
-                    ckpt_lib.save(cfg.checkpoint_dir, self.state, cfg)
+                    self._checkpoint_now()
             loss_sum = float(loss_sum)  # single synchronising fetch
             dt = time.perf_counter() - t0
             ips = steps_per_epoch * cfg.batch_size / dt
@@ -174,32 +170,11 @@ class Runner:
             )
         return self.state
 
-    def fit_resilient(self, max_restarts: int = 3, **fit_kw):
-        """Failure detection + recovery (no reference counterpart — SURVEY §5:
-        a crash loses the reference run entirely). On an exception mid-fit,
-        restore the last checkpoint and continue, up to ``max_restarts``."""
-        if not self.cfg.checkpoint_dir:
-            raise ValueError("fit_resilient requires Config.checkpoint_dir")
-        restarts = 0
-        while True:
-            try:
-                return self.fit(**fit_kw)
-            except KeyboardInterrupt:
-                raise
-            except Exception as e:  # noqa: BLE001 — any step failure
-                restarts += 1
-                if restarts > max_restarts:
-                    raise
-                last = ckpt_lib.latest_step(self.cfg.checkpoint_dir)
-                print(
-                    f"step failed ({type(e).__name__}: {e}); restart "
-                    f"{restarts}/{max_restarts} from checkpoint step {last}",
-                    flush=True,
-                )
-                if last is not None:
-                    self.state = ckpt_lib.restore(
-                        self.cfg.checkpoint_dir, self.state
-                    )
+    def _data_sources(self) -> dict:
+        return {"dataset": self.dataset}
+
+    # fit_resilient comes from ResilientRunnerMixin (SURVEY §5: the reference
+    # has no recovery at all — a crash loses the run)
 
     def close(self):
         self.writer.close()

@@ -26,13 +26,17 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None):
+def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None,
+         extra: Optional[dict] = None):
     """Save TrainState (+ config) at ``<ckpt_dir>/step_<N>``.
 
     Crash-safe: writes to ``step_<N>.tmp`` and renames into place (atomic on
     POSIX), so a ``step_<N>`` directory that exists is always a complete
     checkpoint; a crash mid-save leaves only a ``.tmp`` directory, which
     ``latest_step``'s pattern never matches and the next save sweeps away.
+
+    ``extra``: JSON-serialisable sidecar (e.g. data-iterator position) stored
+    inside the step directory; read back with ``load_extra``.
     """
     step = int(state.step) if step is None else int(step)
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -46,9 +50,28 @@ def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None):
         shutil.rmtree(tmp)  # stale partial write from a crashed save
     _checkpointer().save(tmp, jax.device_get(state))
     os.rename(tmp, path)
+    if extra is not None:
+        # sibling sidecar (not inside the orbax dir, whose layout is orbax's);
+        # written post-commit — a crash here costs only the data position
+        tmp_extra = path + ".extra.json.tmp"
+        with open(tmp_extra, "w") as f:
+            json.dump(extra, f)
+        os.rename(tmp_extra, path + ".extra.json")
     with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
     return path
+
+
+def load_extra(ckpt_dir: str, step: Optional[int] = None) -> Optional[dict]:
+    """Read the JSON sidecar saved alongside ``step_<N>`` (None if absent)."""
+    step = latest_step(ckpt_dir) if step is None else step
+    if step is None:
+        return None
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:09d}.extra.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:

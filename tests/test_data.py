@@ -112,3 +112,54 @@ def test_pipeline_fails_loudly_when_nothing_decodes(tmp_path):
     with pytest.raises(RuntimeError, match="consecutive decode failures"):
         next(iter(ds))
     ds.close()
+
+
+def test_epoch_index_stream_without_replacement():
+    """Every element exactly once per epoch (reference shuffle semantics,
+    train.py:318), across batch boundaries."""
+    from gan_class_transfer2_tpu.data.pipeline import EpochIndexStream
+
+    s = EpochIndexStream(10, 4, seed=3)
+    seen = np.concatenate([s.next_indices() for _ in range(5)])  # 2 epochs
+    assert sorted(seen[:10]) == list(range(10))
+    assert sorted(seen[10:20]) == list(range(10))
+    # epochs are differently permuted
+    assert not np.array_equal(seen[:10], seen[10:20])
+
+
+def test_epoch_index_stream_state_roundtrip():
+    from gan_class_transfer2_tpu.data.pipeline import EpochIndexStream
+
+    a = EpochIndexStream(7, 3, seed=1)
+    for _ in range(4):
+        a.next_indices()
+    state = a.state_dict()
+    want = [a.next_indices() for _ in range(3)]
+
+    b = EpochIndexStream(7, 3, seed=1)
+    b.set_state(state)
+    got = [b.next_indices() for _ in range(3)]
+    np.testing.assert_array_equal(np.concatenate(want), np.concatenate(got))
+
+
+def test_array_dataset_epoch_and_state():
+    from gan_class_transfer2_tpu.data.pipeline import ArrayDataset
+
+    images = np.arange(6, dtype=np.float32).reshape(6, 1, 1, 1) * np.ones(
+        (6, 2, 2, 3), np.float32
+    )
+    ds = ArrayDataset(images, batch_size=2, seed=0, flip=False)
+    it = iter(ds)
+    first_epoch = np.concatenate([next(it) for _ in range(3)])
+    # all 6 images exactly once
+    vals = sorted(first_epoch[:, 0, 0, 0].tolist())
+    assert vals == [0, 1, 2, 3, 4, 5]
+
+    # resume from recorded position reproduces the continuation exactly
+    state = ds.state_dict()
+    want = [next(it) for _ in range(4)]
+    ds2 = ArrayDataset(images, batch_size=2, seed=0, flip=False)
+    ds2.set_state(state)
+    it2 = iter(ds2)
+    got = [next(it2) for _ in range(4)]
+    np.testing.assert_array_equal(np.concatenate(want), np.concatenate(got))

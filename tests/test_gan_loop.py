@@ -93,3 +93,131 @@ def test_steps_to_fixed_fid_harness(tmp_path):
     runner.close()
     assert steps is None and np.isfinite(fid)
     assert int(runner.state.step) == 2
+
+
+def _mk_cfg(tmp_path, **kw):
+    kw.setdefault("steps_per_epoch", 2)
+    kw.setdefault("epochs", 1)
+    kw.setdefault("learning_rate", 1e-4)
+    kw.setdefault("log_dir", str(tmp_path / "logs"))
+    kw.setdefault("checkpoint_dir", str(tmp_path / "ckpt"))
+    kw.setdefault("checkpoint_every", 2)
+    kw.setdefault("donate_state", False)
+    kw.setdefault("classes", ("a", "b"))
+    kw.setdefault("mesh_data", 1)
+    return tiny_test_config(**kw)
+
+
+def _mk_ds(cfg, seed):
+    r = np.random.default_rng(seed)
+    return ArrayDataset(
+        r.integers(0, 256, size=(6, cfg.size, cfg.size, 3), dtype=np.uint8),
+        cfg.batch_size,
+        seed=seed,
+    )
+
+
+def test_gan_fit_resilient_recovers_from_failure(tmp_path):
+    """GANRunner gets the same restart path as the diffusion Runner
+    (VERDICT r1 next #7)."""
+    cfg = _mk_cfg(tmp_path)
+    runner = GANRunner(cfg, dataset_a=_mk_ds(cfg, 0), dataset_b=_mk_ds(cfg, 1))
+    runner.fit(epochs=1, steps_per_epoch=2, log_samples=False)  # ckpt @2
+
+    calls = {"n": 0}
+    real_step = runner.train_step
+
+    def flaky_step(state, a, b, rng):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected fault")
+        return real_step(state, a, b, rng)
+
+    runner.train_step = flaky_step
+    runner.fit_resilient(max_restarts=2, epochs=1, steps_per_epoch=2,
+                         log_samples=False)
+    runner.close()
+    assert calls["n"] >= 3  # failed once, restarted, completed
+
+
+def test_conditional_gan_fit_resilient(tmp_path):
+    from gan_class_transfer2_tpu.train.conditional_gan_loop import (
+        ConditionalGANRunner,
+    )
+
+    cfg = _mk_cfg(tmp_path, classes=("a", "b"), num_classes=2)
+    runner = ConditionalGANRunner(
+        cfg, datasets=[_mk_ds(cfg, 0), _mk_ds(cfg, 1)]
+    )
+    runner.fit(epochs=1, steps_per_epoch=2, log_samples=False)
+
+    calls = {"n": 0}
+    real_step = runner.train_step
+
+    def flaky_step(state, batch, rng):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected fault")
+        return real_step(state, batch, rng)
+
+    runner.train_step = flaky_step
+    runner.fit_resilient(max_restarts=2, epochs=1, steps_per_epoch=2,
+                         log_samples=False)
+    runner.close()
+    assert calls["n"] >= 3
+
+
+def test_gan_keyboard_interrupt_saves_checkpoint(tmp_path):
+    """Ctrl-C mid-GAN-run keeps the work (ADVICE r1)."""
+    from gan_class_transfer2_tpu.utils import checkpoint as ckpt_lib
+
+    cfg = _mk_cfg(tmp_path, checkpoint_every=100)  # no periodic save
+    runner = GANRunner(cfg, dataset_a=_mk_ds(cfg, 0), dataset_b=_mk_ds(cfg, 1))
+
+    real_step = runner.train_step
+    calls = {"n": 0}
+
+    def interrupting_step(state, a, b, rng):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt
+        return real_step(state, a, b, rng)
+
+    runner.train_step = interrupting_step
+    with pytest.raises(KeyboardInterrupt):
+        runner.fit(epochs=1, steps_per_epoch=4, log_samples=False)
+    assert ckpt_lib.latest_step(cfg.checkpoint_dir) == 1
+    runner.close()
+
+
+def test_transfer_fid_uses_held_out_files(tmp_path):
+    """Eval files are reserved at construction and never reach the training
+    datasets (VERDICT r1 next #5 / ADVICE: train-eval leakage)."""
+    from PIL import Image as PILImage
+
+    for cls in ("a", "b"):
+        d = tmp_path / cls
+        d.mkdir()
+        r = np.random.default_rng(0 if cls == "a" else 1)
+        for i in range(8):
+            arr = r.integers(0, 256, size=(20, 20, 3), dtype=np.uint8)
+            PILImage.fromarray(arr).save(d / f"{i}.png")
+
+    cfg = _mk_cfg(
+        tmp_path,
+        classes=(str(tmp_path / "a" / "*.png"), str(tmp_path / "b" / "*.png")),
+        fid_samples=3,
+        checkpoint_dir=None,
+        native_loader=False,
+    )
+    runner = GANRunner(cfg)
+    try:
+        for cls, ds in (("a", runner.dataset_a), ("b", runner.dataset_b)):
+            held = set(runner._eval_files[cls])
+            assert len(held) == 3
+            assert held.isdisjoint(set(ds.files))
+            assert len(ds.files) == 5
+        fid = runner.transfer_fid("ab")
+        assert np.isfinite(fid) and fid >= 0
+    finally:
+        runner.close()
