@@ -83,7 +83,12 @@ class Config:
     # TPU-native equivalent is bf16 compute with fp32 params/loss; no loss
     # scaling needed, but static scaling kept for fp16 semantic parity.
     compute_dtype: str = "float32"  # float32 | bfloat16 | float16
-    loss_scale: float = 0.0  # 0 = off
+    loss_scale: float = 0.0  # 0 = off; with dynamic_loss_scale: initial scale (0 → 2**15)
+    # The reference's LossScaleOptimizer (train.py:82-83) is *dynamic* by
+    # default: scale halves on overflow, doubles after growth_interval clean
+    # steps (TF defaults: initial 2**15, interval 2000, multiplier 2).
+    dynamic_loss_scale: bool = False
+    loss_scale_growth_interval: int = 2000
 
     # -------------------------------------------------------------- training
     batch_size: int = 1  # reference train.py:23 (global batch)

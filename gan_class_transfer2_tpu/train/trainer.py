@@ -36,11 +36,21 @@ from ..models import unet
 from ..ops import image as image_ops
 
 
+class ScaleState(NamedTuple):
+    """Dynamic loss-scaling state (TF LossScaleOptimizer semantics,
+    reference train.py:82-83): halve on non-finite grads and skip the
+    update; double after ``growth_interval`` consecutive finite steps."""
+
+    scale: jnp.ndarray  # scalar float32
+    good_steps: jnp.ndarray  # scalar int32, consecutive finite steps
+
+
 class TrainState(NamedTuple):
     step: jnp.ndarray  # scalar int32
     params: Any
     opt_state: Any
     ema_params: Any  # == params tree, or None when ema_decay == 0
+    scale_state: Any = None  # ScaleState when cfg.dynamic_loss_scale
 
 
 def identity(y_true, y_pred):
@@ -95,7 +105,15 @@ def init_state(cfg, rng) -> TrainState:
     ema = (
         jax.tree_util.tree_map(jnp.copy, params) if cfg.ema_decay > 0 else None
     )
-    return TrainState(jnp.zeros((), jnp.int32), params, opt_state, ema)
+    scale_state = None
+    if cfg.dynamic_loss_scale:
+        init_scale = cfg.loss_scale if cfg.loss_scale > 0 else 2.0**15
+        scale_state = ScaleState(
+            jnp.asarray(init_scale, jnp.float32), jnp.zeros((), jnp.int32)
+        )
+    return TrainState(
+        jnp.zeros((), jnp.int32), params, opt_state, ema, scale_state
+    )
 
 
 def compute_loss(cfg, target, prediction):
@@ -173,26 +191,60 @@ def train_step(cfg, optimizer, state: TrainState, batch, rng) -> Tuple[TrainStat
         else:
             batch = augmented
 
+    dynamic = cfg.dynamic_loss_scale
+    if dynamic:
+        scale = state.scale_state.scale
+    else:
+        scale = cfg.loss_scale if cfg.loss_scale > 0 else None
+
     def loss_fn(params):
         loss = diffusion_loss(cfg, params, batch, rng)
-        if cfg.loss_scale > 0:
-            return loss * cfg.loss_scale
+        if scale is not None:
+            return loss * scale
         return loss
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
-    if cfg.loss_scale > 0:
-        inv = 1.0 / cfg.loss_scale
+    if scale is not None:
+        inv = 1.0 / scale
         loss = loss * inv
         grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
-    updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-    params = optax.apply_updates(state.params, updates)
+
+    scale_state = state.scale_state
+    if dynamic:
+        # TF LossScaleOptimizer semantics: skip the whole update on any
+        # non-finite gradient and halve the scale; double after
+        # growth_interval consecutive clean steps (reference train.py:82-83)
+        finite = jnp.asarray(True)
+        for g in jax.tree_util.tree_leaves(grads):
+            finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+        new_updates, new_opt = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, new_updates)
+        sel = lambda n, o: jnp.where(finite, n, o)
+        params = jax.tree_util.tree_map(sel, new_params, state.params)
+        opt_state = jax.tree_util.tree_map(sel, new_opt, state.opt_state)
+        good = scale_state.good_steps + 1
+        grow = jnp.logical_and(finite, good >= cfg.loss_scale_growth_interval)
+        new_scale = jnp.where(
+            finite,
+            jnp.where(grow, scale * 2.0, scale),
+            jnp.maximum(scale * 0.5, 1.0),
+        )
+        new_good = jnp.where(jnp.logical_and(finite, ~grow), good, 0)
+        scale_state = ScaleState(new_scale, new_good)
+    else:
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
     ema = state.ema_params
     if ema is not None:
         d = cfg.ema_decay
         ema = jax.tree_util.tree_map(
             lambda e, p: e * d + p * (1.0 - d), ema, params
         )
-    return TrainState(state.step + 1, params, opt_state, ema), loss
+    return TrainState(state.step + 1, params, opt_state, ema, scale_state), loss
 
 
 def make_train_step(cfg):

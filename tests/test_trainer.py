@@ -119,3 +119,58 @@ def test_identity_loss_shim():
     """Keras-compat identity loss (reference train.py:171-173)."""
     y_pred = jnp.asarray([1.0, 2.0, 3.0])
     assert float(trainer.identity(None, y_pred)) == pytest.approx(2.0)
+
+
+def test_dynamic_loss_scale_skips_and_halves_on_overflow():
+    """TF LossScaleOptimizer semantics (reference train.py:82-83): a
+    non-finite gradient skips the whole update and halves the scale
+    (VERDICT r1 next #8)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = tiny_test_config(
+        dynamic_loss_scale=True, loss_scale=64.0, donate_state=False
+    )
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    assert float(state.scale_state.scale) == 64.0
+    step = trainer.make_train_step(cfg)
+
+    good = jnp.zeros((cfg.batch_size, cfg.size, cfg.size, 3), jnp.float32)
+    bad = jnp.full_like(good, jnp.inf)  # drives loss/grads non-finite
+
+    s1, _ = step(state, good, jax.random.PRNGKey(1))
+    assert float(s1.scale_state.scale) == 64.0
+    assert int(s1.scale_state.good_steps) == 1
+    p_before = np.asarray(s1.params["head"]["kernel"])
+
+    s2, _ = step(s1, bad, jax.random.PRNGKey(2))
+    assert float(s2.scale_state.scale) == 32.0  # halved
+    assert int(s2.scale_state.good_steps) == 0
+    np.testing.assert_array_equal(
+        np.asarray(s2.params["head"]["kernel"]), p_before  # update skipped
+    )
+    # optimizer state skipped too (adam count unchanged vs s1)
+    c1 = [x for x in jax.tree_util.tree_leaves(s1.opt_state) if x.ndim == 0]
+    c2 = [x for x in jax.tree_util.tree_leaves(s2.opt_state) if x.ndim == 0]
+    for a, b in zip(c1, c2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dynamic_loss_scale_grows_after_interval():
+    import jax
+    import jax.numpy as jnp
+
+    cfg = tiny_test_config(
+        dynamic_loss_scale=True,
+        loss_scale=8.0,
+        loss_scale_growth_interval=2,
+        donate_state=False,
+    )
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    step = trainer.make_train_step(cfg)
+    batch = jnp.zeros((cfg.batch_size, cfg.size, cfg.size, 3), jnp.float32)
+    for i in range(2):
+        state, loss = step(state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(loss))
+    assert float(state.scale_state.scale) == 16.0  # doubled after 2 clean steps
+    assert int(state.scale_state.good_steps) == 0
