@@ -137,3 +137,46 @@ def test_sample_batch_bucketing(server):
     )
     assert status == 200
     assert len(json.loads(body)["images"]) == 3
+
+
+def test_concurrent_samples_coalesce(server):
+    """N concurrent /sample requests trigger <= 2 device sampler invocations
+    (SampleBatcher microbatching — VERDICT r1 next #9)."""
+    import threading
+
+    srv, _ = server
+    # count device invocations by wrapping the service's jitted program
+    svc = srv.service
+    real = svc._sample
+    calls = []
+
+    def counting(p, b):
+        calls.append(int(b.shape[0]))
+        return real(p, b)
+
+    svc._sample = counting
+    try:
+        results = [None] * 6
+        errors = []
+
+        def hit(i):
+            try:
+                status, body = _post(
+                    srv, "/sample", json.dumps({"num": 2, "format": "base64"}).encode()
+                )
+                results[i] = (status, len(json.loads(body)["images"]))
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors
+        assert all(r == (200, 2) for r in results), results
+        # 6 requests x 2 images: coalesced into at most 2 device batches
+        assert len(calls) <= 2, calls
+        assert sum(calls) >= 12  # padded buckets cover all requested images
+    finally:
+        svc._sample = real
