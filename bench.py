@@ -64,6 +64,16 @@ def main():
     )
     result.extra["reference_tf_measured_ips"] = REFERENCE_TF_MEASURED_IPS_CPU
     result.extra["reference_tf_measured_hw"] = "CPU (tools/measure_reference_tf.py)"
+    if on_tpu:
+        # sampler throughput (VERDICT r1 #6): the jitted T-step reverse
+        # diffusion program, batched — vs the reference's 401 eager
+        # dispatches per epoch (train.py:323-496)
+        from gan_class_transfer2_tpu.utils.benchmark import run_sampler_benchmark
+
+        try:
+            result.extra.update(run_sampler_benchmark(cfg, batch=8, iters=3))
+        except Exception as e:  # noqa: BLE001 — bench must still print
+            result.extra["sampler_error"] = f"{type(e).__name__}: {e}"
     print(result.to_json())
 
 

@@ -27,6 +27,8 @@ All kernels are stored HWIO = (kh, kw, in, out) in *dataflow* orientation
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -71,18 +73,14 @@ def conv2d(x, kernel, bias=None, stride: int = 1, relu: bool = False):
     return y
 
 
-def conv2d_transpose(x, kernel, bias=None, stride: int = 2, relu: bool = False):
-    """TF Conv2DTranspose 'SAME' semantics (exact gradient-of-conv).
-
-    kernel HWIO with I = input channels of this op, O = output channels.
-    Output spatial = input · stride.
-    """
+def _convt_raw(x, kernel, stride: int):
+    """The lhs-dilated lowering of the transposed conv (forward only)."""
     kh, kw = kernel.shape[0], kernel.shape[1]
     out_h, out_w = x.shape[1] * stride, x.shape[2] * stride
     # Forward conv (whose gradient this is): out_h -> x.shape[1] with SAME pads.
     ph = _same_pads(out_h, kh, stride)
     pw = _same_pads(out_w, kw, stride)
-    y = lax.conv_general_dilated(
+    return lax.conv_general_dilated(
         x,
         jnp.flip(kernel, (0, 1)).astype(x.dtype),
         window_strides=(1, 1),
@@ -94,6 +92,70 @@ def conv2d_transpose(x, kernel, bias=None, stride: int = 2, relu: bool = False):
         dimension_numbers=DN,
         precision=_precision(x),
     )
+
+
+def _conv_strided_raw(x, kernel, stride: int):
+    """Plain TF-SAME strided conv (no bias/act) — shared by conv2d and the
+    transposed conv's hand-written adjoint."""
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    pads = (
+        _same_pads(x.shape[1], kh, stride),
+        _same_pads(x.shape[2], kw, stride),
+    )
+    return lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=pads,
+        dimension_numbers=DN,
+        precision=_precision(x),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _convt_core(x, kernel, stride: int):
+    """Transposed conv with a hand-written adjoint.
+
+    XLA's autodiff transpose of the lhs-dilated lowering spatially REVERSES
+    the upstream gradient (a full activation-sized HBM round trip per
+    up-conv — profiled at ~6 ms/step total on the 256² b128 workload,
+    tools/trace_step.py). The adjoint pair is instead expressed directly as
+    clean strided convs, which XLA emits with its efficient strided-conv
+    weight-grad emitters and zero reverses (verified exact vs autodiff):
+      dx = conv2d(g, swap_io(K), stride, SAME)
+      dK = swap_io(weight-grad of conv2d(g, ·, stride) at cotangent x)
+    """
+    return _convt_raw(x, kernel, stride)
+
+
+def _convt_fwd(x, kernel, stride):
+    return _convt_raw(x, kernel, stride), (x, kernel)
+
+
+def _convt_bwd(stride, residuals, g):
+    x, kernel = residuals
+    k_swap = jnp.transpose(kernel, (0, 1, 3, 2))
+    dx = _conv_strided_raw(g, k_swap, stride)
+
+    def dot(ks):
+        return jnp.vdot(_conv_strided_raw(g, ks, stride), x)
+
+    dk_swap = jax.grad(dot)(jnp.zeros_like(k_swap))
+    return dx.astype(x.dtype), jnp.transpose(dk_swap, (0, 1, 3, 2)).astype(kernel.dtype)
+
+
+_convt_core.defvjp(_convt_fwd, _convt_bwd)
+
+
+def conv2d_transpose(x, kernel, bias=None, stride: int = 2, relu: bool = False):
+    """TF Conv2DTranspose 'SAME' semantics (exact gradient-of-conv).
+
+    kernel HWIO with I = input channels of this op, O = output channels.
+    Output spatial = input · stride. Backward runs through the hand-written
+    adjoint (_convt_core) — value- and gradient-identical to autodiff, minus
+    the activation reverses.
+    """
+    y = _convt_core(x, kernel, stride)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     if relu:

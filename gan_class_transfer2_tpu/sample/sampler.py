@@ -156,10 +156,16 @@ def make_eval_fn(cfg):
 
     Returns ``eval_fn(params, example_image, noise_bank, dictionary)`` →
     dict of arrays matching the reference's TensorBoard artifacts
-    (tags: denoised, example loss, step_1/0.75/0.5/0.25, fake)."""
+    (tags: denoised, example loss, step_1/0.75/0.5/0.25, fake).
+
+    Batched: ``example_image`` may be (B, H, W, 3) for any B — the reference
+    runs this at B=1 (train.py:305) but every stage here is batch-general,
+    so multi-image eval costs one program instead of B (VERDICT r1 next #6).
+    The sampler stage then runs on a (2 + 4·B)-image batch."""
 
     def eval_fn(params, example_image, noise_bank, dictionary):
-        denoised, rmse = preview(cfg, params, example_image, noise_bank[:1])
+        preview_noise = jnp.broadcast_to(noise_bank[:1], example_image.shape)
+        denoised, rmse = preview(cfg, params, example_image, preview_noise)
         x_theta, epsilon_theta = invert(cfg, params, example_image)
         batch = edit_noise(cfg, epsilon_theta, dictionary, noise_bank)
         result = sample(cfg, params, batch)

@@ -105,3 +105,31 @@ def run_benchmark(cfg, steps: int = 30, warmup: int = 3, baseline_ips: float | N
         },
     )
     return result
+
+
+def run_sampler_benchmark(cfg, batch: int = 8, iters: int = 3) -> dict:
+    """Throughput of the jitted reverse-diffusion sampler (T-step lax.scan,
+    sample/sampler.py) — the program the reference runs as 401 eager
+    dispatches per epoch (train.py:323-496). Returns {"sampler_images_per_sec",
+    "sampler_batch", "sampler_steps"}."""
+    from ..sample import sampler
+    from ..train import trainer as trainer_lib
+
+    state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
+    fn = jax.jit(lambda p, b: sampler.sample(cfg, p, b).images)
+    r = np.random.default_rng(0)
+    init = jnp.asarray(
+        r.normal(size=(batch, cfg.size, cfg.size, 3)).astype(np.float32)
+    )
+    imgs = fn(state.params, init)
+    float(jnp.sum(imgs))  # compile + sync (value fetch — axon rule)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        imgs = fn(state.params, init)
+    float(jnp.sum(imgs))
+    dt = time.perf_counter() - t0
+    return {
+        "sampler_images_per_sec": round(batch * iters / dt, 3),
+        "sampler_batch": batch,
+        "sampler_steps": cfg.steps,
+    }

@@ -89,3 +89,30 @@ def test_dense(rng):
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(x) @ np.asarray(k) + np.asarray(b), atol=1e-5
     )
+
+
+def test_convt_custom_vjp_matches_autodiff():
+    """The hand-written transposed-conv adjoint (no activation reverses —
+    see ops/conv._convt_core) must match autodiff of the raw lowering."""
+    import jax
+    import jax.numpy as jnp
+
+    from gan_class_transfer2_tpu.ops import conv as C
+
+    r = np.random.default_rng(3)
+    x = jnp.asarray(r.normal(size=(2, 6, 4, 5)).astype(np.float32))
+    k = jnp.asarray(r.normal(size=(4, 4, 5, 7)).astype(np.float32))
+    b = jnp.asarray(r.normal(size=(7,)).astype(np.float32))
+
+    def f_custom(x, k, b):
+        return jnp.sum(C.conv2d_transpose(x, k, b, stride=2, relu=True) ** 2)
+
+    def f_raw(x, k, b):
+        y = C._convt_raw(x, k, 2) + b
+        return jnp.sum(jax.nn.relu(y) ** 2)
+
+    v1, g1 = jax.value_and_grad(f_custom, argnums=(0, 1, 2))(x, k, b)
+    v2, g2 = jax.value_and_grad(f_raw, argnums=(0, 1, 2))(x, k, b)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-4, rtol=1e-5)

@@ -135,3 +135,29 @@ def test_edit_image_api(setup):
     assert not np.allclose(
         np.asarray(out["pixelate"]), np.asarray(out["shift"])
     )
+
+
+def test_eval_fn_is_batched():
+    """make_eval_fn accepts B>1 examples: one program evals several images
+    (VERDICT r1 next #6 — the reference hardcodes B=1, train.py:305)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.models import unet
+    from gan_class_transfer2_tpu.sample import sampler
+
+    cfg = tiny_test_config(steps=3)
+    params = unet.init_unet(jax.random.PRNGKey(0), cfg)
+    r = np.random.default_rng(0)
+    B = 3
+    examples = jnp.asarray(r.uniform(-1, 1, (B, cfg.size, cfg.size, 3)).astype(np.float32))
+    noise = jnp.asarray(r.normal(size=(2, cfg.size, cfg.size, 3)).astype(np.float32))
+    dictionary = jnp.asarray(
+        r.normal(size=(cfg.size, cfg.size, 2**cfg.bits_per_pixel, 3)).astype(np.float32)
+    )
+    out = sampler.make_eval_fn(cfg)(params, examples, noise, dictionary)
+    assert out["denoised"].shape == (B, cfg.size, cfg.size, 3)
+    assert out["fake"].shape == (2 + 4 * B, cfg.size, cfg.size, 3)
+    assert np.isfinite(float(out["example_loss"]))
