@@ -90,6 +90,13 @@ class Config:
     dynamic_loss_scale: bool = False
     loss_scale_growth_interval: int = 2000
 
+    # --------------------------------------------------------- optimizer ZeRO
+    # ZeRO-1: shard Adam moments over the data axis (1/data per rank); XLA
+    # reduce-scatters grads into the shards and all-gathers updates. Frees
+    # ~2x params x 4 B of HBM per rank at >=512^2 scale (SURVEY §2.3 was
+    # "not needed" at 41.7 M params on one chip; this is the big-run knob).
+    zero1: bool = False
+
     # -------------------------------------------------------------- training
     batch_size: int = 1  # reference train.py:23 (global batch)
     steps_per_epoch: int = 1000  # reference train.py:517

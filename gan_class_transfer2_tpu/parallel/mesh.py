@@ -55,19 +55,46 @@ def _leaf_spec(leaf, model_size: int) -> P:
     return P()
 
 
-def state_shardings(state: Any, mesh: Mesh):
-    """Sharding tree matching a TrainState (params + optimizer state + EMA)."""
+def _zero1_spec(leaf, mesh: Mesh) -> P:
+    """ZeRO-1 rule for optimizer-state leaves: shard the output-channel
+    (last) axis over the 'data' axis (stacked with 'model' for 4-D kernels
+    that the TP rule also splits). Each DP rank then stores 1/data of the
+    Adam moments; XLA reduce-scatters gradients into the moment shards and
+    all-gathers the updates back onto the replicated params."""
+    data, model = mesh.shape["data"], mesh.shape["model"]
+    if not hasattr(leaf, "ndim") or leaf.ndim == 0 or data <= 1:
+        return _leaf_spec(leaf, model)
+    last = leaf.shape[-1]
+    if leaf.ndim == 4 and model > 1 and last % (data * model) == 0:
+        return P(None, None, None, ("data", "model"))
+    if last % data == 0 and last >= 2 * data:
+        return P(*([None] * (leaf.ndim - 1)), "data")
+    return _leaf_spec(leaf, model)
+
+
+def state_shardings(state: Any, mesh: Mesh, zero1: bool = False):
+    """Sharding tree matching a TrainState (params + optimizer state + EMA).
+
+    ``zero1``: apply the ZeRO-1 rule to every leaf under an ``*opt_state*``
+    field (optimizer moments), leaving params/EMA on the TP rule."""
     model_size = mesh.shape["model"]
-    return jax.tree_util.tree_map(
-        lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, model_size)), state
-    )
+
+    def spec(path, leaf):
+        in_opt = any(
+            "opt" in str(getattr(entry, "name", "")) for entry in path
+        )
+        if zero1 and in_opt:
+            return NamedSharding(mesh, _zero1_spec(leaf, mesh))
+        return NamedSharding(mesh, _leaf_spec(leaf, model_size))
+
+    return jax.tree_util.tree_map_with_path(spec, state)
 
 
 def init_sharded_state(cfg, mesh: Mesh, rng) -> trainer_lib.TrainState:
     """Initialise TrainState directly with the mesh shardings (weights are
     created on-device, already placed — no host round-trip)."""
     abstract = jax.eval_shape(lambda r: trainer_lib.init_state(cfg, r), rng)
-    shardings = state_shardings(abstract, mesh)
+    shardings = state_shardings(abstract, mesh, zero1=cfg.zero1)
     return jax.jit(
         lambda r: trainer_lib.init_state(cfg, r), out_shardings=shardings
     )(rng)
@@ -87,7 +114,7 @@ def make_parallel_train_step(cfg, mesh: Mesh, example_state=None):
         example_state = jax.eval_shape(
             lambda r: trainer_lib.init_state(cfg, r), jax.random.PRNGKey(0)
         )
-    st_sh = state_shardings(example_state, mesh)
+    st_sh = state_shardings(example_state, mesh, zero1=cfg.zero1)
     b_sh = batch_sharding(mesh)
     rep = NamedSharding(mesh, P())
     return jax.jit(

