@@ -25,7 +25,11 @@ from .resilience import ResilientRunnerMixin
 
 
 class GANRunner(ResilientRunnerMixin):
-    def __init__(self, cfg: Config, dataset_a=None, dataset_b=None, log_dir=None):
+    def __init__(self, cfg: Config, dataset_a=None, dataset_b=None, log_dir=None,
+                 eval_a=None, eval_b=None):
+        """``eval_a``/``eval_b``: optional explicit held-out eval image arrays
+        (N, size, size, 3) for the FID metric — use when datasets are passed
+        in directly and the file-split reservation below cannot apply."""
         cfg.validate()
         if dataset_a is None or dataset_b is None:
             patterns = cfg.class_patterns()
@@ -73,6 +77,10 @@ class GANRunner(ResilientRunnerMixin):
         self._fixed_a = None
         self._fixed_b = None
         self._eval_cache = {}
+        if eval_a is not None:
+            self._eval_cache["a"] = np.asarray(eval_a, np.float32)
+        if eval_b is not None:
+            self._eval_cache["b"] = np.asarray(eval_b, np.float32)
 
     def _data_sources(self) -> dict:
         return {"a": self.dataset_a, "b": self.dataset_b}

@@ -116,3 +116,38 @@ def test_convt_custom_vjp_matches_autodiff():
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
     for a, c in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-4, rtol=1e-5)
+
+
+def test_pallas_down_conv_interpret_matches_lax():
+    """Fused down-conv kernel (ops/pallas_conv.py): fwd + all grads match
+    the lax strided conv (CPU interpret mode; no PRNG involved)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gan_class_transfer2_tpu.ops import conv as C
+    from gan_class_transfer2_tpu.ops import pallas_conv as PC
+
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(2, 16, 16, 128)).astype(np.float32))
+    k = jnp.asarray((r.normal(size=(4, 4, 128, 256)) * 0.05).astype(np.float32))
+    b = jnp.asarray(r.normal(size=(256,)).astype(np.float32))
+    assert PC.supported(x.shape, k.shape)
+
+    y1 = PC.down_conv_fused(x, k, b, True, True)
+    y2 = C.conv2d(x, k, b, stride=2, relu=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+    g1 = jax.grad(lambda x, k, b: jnp.sum(
+        PC.down_conv_fused(x, k, b, True, True) ** 2), argnums=(0, 1, 2))(x, k, b)
+    g2 = jax.grad(lambda x, k, b: jnp.sum(
+        C.conv2d(x, k, b, stride=2, relu=True) ** 2), argnums=(0, 1, 2))(x, k, b)
+    for a, c in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=5e-4)
+
+
+def test_pallas_down_conv_supported_gate():
+    from gan_class_transfer2_tpu.ops import pallas_conv as PC
+
+    assert not PC.supported((2, 256, 256, 3), (4, 4, 3, 128))  # stem: C=3
+    assert not PC.supported((2, 8, 8, 512), (4, 4, 512, 512))  # bottleneck
+    assert PC.supported((2, 128, 128, 128), (4, 4, 128, 256))
