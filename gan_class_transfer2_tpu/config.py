@@ -119,7 +119,7 @@ class Config:
     patch_discriminator: bool = True  # PatchGAN logits vs single logit
 
     # ----------------------------------------------------- TPU / performance
-    conv_impl: str = "auto"  # lax | shuffle | auto (see ops/conv.py)
+    conv_impl: str = "auto"  # lax | shuffle | pallas | auto (see ops/conv.py)
     # Never materialise concat-skip buffers: consumers split their kernels
     # along input channels instead (value-identical; saves ~GBs/step of HBM
     # traffic at large batch — models/unet.py).

@@ -274,7 +274,20 @@ def conv2d_down_shuffle(x, kernel, bias=None, relu: bool = False):
 
 
 def down_conv(x, kernel, bias, impl: str = "auto", relu: bool = True):
-    """DownShuffle op (reference train.py:158-169): 4×4/s2 SAME conv + ReLU."""
+    """DownShuffle op (reference train.py:158-169): 4×4/s2 SAME conv + ReLU.
+
+    impl: 'auto' (lax — measured fastest), 'lax', 'shuffle' (space-to-depth
+    reformulation), 'pallas' (fused phase-split kernel, ops/pallas_conv.py;
+    falls back to lax on unsupported shapes or non-TPU backends)."""
+    if impl == "pallas" and bias is not None:
+        from . import pallas_conv
+
+        if (
+            pallas_conv.supported(x.shape, kernel.shape)
+            and jax.default_backend() == "tpu"
+        ):
+            return pallas_conv.down_conv_fused(x, kernel, bias, relu, False)
+        return conv2d(x, kernel, bias, stride=2, relu=relu)
     if impl == "shuffle" or (impl == "auto" and _prefer_shuffle()):
         return conv2d_down_shuffle(x, kernel, bias, relu=relu)
     return conv2d(x, kernel, bias, stride=2, relu=relu)
