@@ -71,6 +71,12 @@ def main(argv=None):
             "always wins)",
         )
         _add_config_args(p)
+        if cmd in ("train", "gan-train", "cgan-train"):
+            p.add_argument(
+                "--resilient", type=int, default=0, metavar="N",
+                help="restart up to N times from the last checkpoint on a "
+                "step failure (requires --checkpoint-dir)",
+            )
         if cmd == "sample":
             p.add_argument("--out", type=str, default="samples")
             p.add_argument("--num", type=int, default=6)
@@ -103,7 +109,10 @@ def main(argv=None):
 
         runner = Runner(cfg)
         try:
-            runner.fit()
+            if getattr(args, "resilient", 0) > 0:
+                runner.fit_resilient(max_restarts=args.resilient)
+            else:
+                runner.fit()
         finally:
             runner.close()
         return 0
@@ -113,7 +122,10 @@ def main(argv=None):
 
         runner = GANRunner(cfg)
         try:
-            runner.fit()
+            if getattr(args, "resilient", 0) > 0:
+                runner.fit_resilient(max_restarts=args.resilient)
+            else:
+                runner.fit()
         finally:
             runner.close()
         return 0
@@ -123,7 +135,10 @@ def main(argv=None):
 
         runner = ConditionalGANRunner(cfg)
         try:
-            runner.fit()
+            if getattr(args, "resilient", 0) > 0:
+                runner.fit_resilient(max_restarts=args.resilient)
+            else:
+                runner.fit()
         finally:
             runner.close()
         return 0

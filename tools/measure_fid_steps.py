@@ -50,7 +50,7 @@ def main():
         batch_size=64, learning_rate=2e-4, warm_up=0,
         gan_loss="lsgan", cycle_weight=5.0, identity_weight=0.5,
         ema_decay=0.99, compute_dtype="float32", fused_diffusion=False,
-        classes=("circles", "crosses"), log_dir=None, checkpoint_dir=None,
+        classes=("circles", "crosses"), log_dir="/tmp/fid_logs", checkpoint_dir=None,
         mesh_data=1, fid_samples=64, donate_state=False,
     ).validate()
 
