@@ -117,6 +117,10 @@ class Config:
     d_pixel_size: int = 0  # 0 -> pixel_size
     d_octaves: int = 0  # 0 -> octaves
     patch_discriminator: bool = True  # PatchGAN logits vs single logit
+    # normalization (GAN-mode; the reference model has NONE — parity default
+    # keeps both off): none | instance (Pallas-fused on TPU) | batch
+    d_norm: str = "none"
+    g_norm: str = "none"
 
     # ----------------------------------------------------- TPU / performance
     conv_impl: str = "auto"  # lax | shuffle | pallas | auto (see ops/conv.py)
@@ -176,6 +180,9 @@ class Config:
             raise ValueError(f"unknown schedule {self.schedule!r}")
         if self.loss not in ("mse", "l1", "dct", "mse_multiscale"):
             raise ValueError(f"unknown loss {self.loss!r}")
+        for knob in (self.d_norm, self.g_norm):
+            if knob not in ("none", "instance", "batch"):
+                raise ValueError(f"unknown norm {knob!r}")
         return self
 
     # --------------------------------------------------------- serialization

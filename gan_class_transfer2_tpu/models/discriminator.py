@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..ops import conv as conv_ops
 from ..ops import init as init_ops
+from ..ops import norm as norm_ops
 
 Params = Dict[str, Any]
 
@@ -37,12 +38,14 @@ def init_discriminator(key, cfg, in_channels: int = 3, num_classes: int = 0) -> 
     for i in range(_d_octaves(cfg)):
         f = _d_filters(cfg, i)
         key, k1 = jax.random.split(key)
-        params["convs"].append(
-            {
-                "kernel": init_ops.conv_kernel(k1, 4, 4, c, f),
-                "bias": init_ops.zeros((f,)),
-            }
-        )
+        layer = {
+            "kernel": init_ops.conv_kernel(k1, 4, 4, c, f),
+            "bias": init_ops.zeros((f,)),
+        }
+        # CycleGAN convention: normalize every D layer except the first
+        if cfg.d_norm != "none" and i > 0:
+            layer["norm"] = norm_ops.init_norm(f)
+        params["convs"].append(layer)
         c = f
     key, kh = jax.random.split(key)
     params["head"] = {
@@ -65,6 +68,8 @@ def discriminator_apply(cfg, params: Params, x, class_idx=None):
         h = conv_ops.down_conv(
             h, layer["kernel"], layer["bias"], cfg.conv_impl, relu=False
         )
+        if "norm" in layer:
+            h = norm_ops.apply_norm(cfg.d_norm, h, layer["norm"])
         h = jax.nn.leaky_relu(h, 0.2)
     logits = conv_ops.dense(h, params["head"]["kernel"], params["head"]["bias"])
     if not cfg.patch_discriminator:

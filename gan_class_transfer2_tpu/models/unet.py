@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from ..ops import conv as conv_ops
 from ..ops import init as init_ops
+from ..ops import norm as norm_ops
 
 Params = Dict[str, Any]
 
@@ -82,6 +83,8 @@ def init_unet(key, cfg, in_channels: int = 3, out_channels: int | None = None) -
                 "bias": init_ops.zeros((f,)),
             }
         }
+        if cfg.g_norm != "none":  # GAN-mode knob; reference model has none
+            level["down_norm"] = norm_ops.init_norm(f)
         key, sub = jax.random.split(key)
         level["block_in"], c = _init_block(sub, f, f, cfg.block_depth)
         octaves.append(level)
@@ -100,6 +103,8 @@ def init_unet(key, cfg, in_channels: int = 3, out_channels: int | None = None) -
             "kernel": init_ops.conv_kernel(ku, 4, 4, c, u, transpose=True),
             "bias": init_ops.zeros((u,)),
         }
+        if cfg.g_norm != "none":
+            level["up_norm"] = norm_ops.init_norm(u)
         c = u
         if cfg.skip_mode == "concat":
             c = c + skip_channels[i]
@@ -137,14 +142,15 @@ def _pair_block_conv(h, kernel, bias, impl):
     return jax.nn.relu(ya + yb)
 
 
-def _pair_up_conv(h, kernel, bias, impl):
+def _pair_up_conv(h, kernel, bias, impl, relu: bool = True):
     if not isinstance(h, tuple):
-        return conv_ops.up_conv(h, kernel, bias, impl)
+        return conv_ops.up_conv(h, kernel, bias, impl, relu=relu)
     a, b = h
     ca = a.shape[-1]
     ya = conv_ops.up_conv(a, kernel[:, :, :ca], None, impl, relu=False)
     yb = conv_ops.up_conv(b, kernel[:, :, ca:], bias, impl, relu=False)
-    return jax.nn.relu(ya + yb)
+    s = ya + yb
+    return jax.nn.relu(s) if relu else s
 
 
 def _pair_dense(h, kernel, bias):
@@ -172,7 +178,16 @@ def unet_apply(cfg, params: Params, x, t=None):
     def rec(i, h):
         level = params["octaves"][i]
         inp = h  # always a plain array (pre_block / block_in output)
-        h = conv_ops.down_conv(h, level["down"]["kernel"], level["down"]["bias"], impl)
+        if cfg.g_norm != "none":
+            h = conv_ops.down_conv(
+                h, level["down"]["kernel"], level["down"]["bias"], impl, relu=False
+            )
+            h = norm_ops.apply_norm(cfg.g_norm, h, level["down_norm"])
+            h = jax.nn.relu(h)
+        else:
+            h = conv_ops.down_conv(
+                h, level["down"]["kernel"], level["down"]["bias"], impl
+            )
         for layer in level["block_in"]:
             h = conv_ops.conv2d(h, layer["kernel"], layer["bias"], stride=1, relu=True)
         if i + 1 < cfg.octaves:
@@ -186,7 +201,14 @@ def unet_apply(cfg, params: Params, x, t=None):
         for layer in level["block_out"]:
             h = _pair_block_conv(h, layer["kernel"], layer["bias"], impl) if first else conv_ops.conv2d(h, layer["kernel"], layer["bias"], stride=1, relu=True)
             first = False
-        h = _pair_up_conv(h, level["up"]["kernel"], level["up"]["bias"], impl)
+        if cfg.g_norm != "none":
+            h = _pair_up_conv(
+                h, level["up"]["kernel"], level["up"]["bias"], impl, relu=False
+            )
+            h = norm_ops.apply_norm(cfg.g_norm, h, level["up_norm"])
+            h = jax.nn.relu(h)
+        else:
+            h = _pair_up_conv(h, level["up"]["kernel"], level["up"]["bias"], impl)
         if cfg.skip_mode == "concat":
             h = h.astype(inp.dtype)  # branch cast (reference train.py:113-119)
             if elide:
