@@ -7,7 +7,7 @@ MSE, Adam) — see BASELINE.md. The reference publishes no numbers, so
 encodes) measured on the same chip with this framework: 69.06 img/s/chip on
 TPU v5e (see BASELINE_MEASURED.md).
 
-The reported operating point is the TPU-native one: bf16 compute, batch 128,
+The reported operating point is the TPU-native one: bf16 compute, batch 256,
 fused Pallas forward-diffusion, XLA lax convs (measured fastest — see
 BASELINE_MEASURED.md implementation findings).
 """
@@ -27,6 +27,15 @@ REFERENCE_TF_MEASURED_IPS_CPU = 0.333
 def main():
     import os
 
+    # Operating-point sweep (tools/bench_sweep.py, BASELINE_MEASURED.md):
+    # raising XLA's scoped-VMEM limit to 32 MiB lets the conv emitters pick
+    # larger tiles (+2-3%); must be set before the TPU backend initialises.
+    if "--xla_tpu_scoped_vmem_limit_kib" not in os.environ.get("LIBTPU_INIT_ARGS", ""):
+        os.environ["LIBTPU_INIT_ARGS"] = (
+            os.environ.get("LIBTPU_INIT_ARGS", "")
+            + " --xla_tpu_scoped_vmem_limit_kib=32768"
+        ).strip()
+
     from gan_class_transfer2_tpu.config import Config
     from gan_class_transfer2_tpu.utils.benchmark import run_benchmark
 
@@ -45,7 +54,7 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     cfg = Config(
         compute_dtype="bfloat16" if on_tpu else "float32",
-        batch_size=128 if on_tpu else 2,
+        batch_size=256 if on_tpu else 2,
         size=256 if on_tpu else 32,
         pixel_size=128 if on_tpu else 8,
         max_size=512 if on_tpu else 16,
