@@ -136,6 +136,7 @@ class Config:
     # Mesh axis sizes; 0 = use all remaining devices on that axis.
     mesh_data: int = 0
     mesh_model: int = 1
+    mesh_slice: int = 1  # >1: multi-slice pod (DCN axis; see parallel/mesh.py)
 
     # -------------------------------------------------------------------- io
     log_dir: str = "logs"  # reference train.py:499-503 layout logs/<day>/<time>

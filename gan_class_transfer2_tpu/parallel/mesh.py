@@ -20,25 +20,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..train import trainer as trainer_lib
 
 
-def make_mesh(cfg=None, devices=None, data: int = 0, model: int = 1) -> Mesh:
-    """Build a (data, model) mesh. ``data=0`` → all remaining devices."""
+def make_mesh(cfg=None, devices=None, data: int = 0, model: int = 1,
+              slices: int = 1) -> Mesh:
+    """Build a (data, model) mesh — or (slice, data, model) when
+    ``slices > 1`` for multi-slice pods. ``data=0`` → all remaining devices.
+
+    The 'slice' axis is the DCN dimension: batches shard over
+    ('slice', 'data') so per-slice gradient reduction rides ICI and only the
+    cross-slice partial sums cross DCN (XLA's hierarchical all-reduce does
+    this automatically from the shardings on real pod topologies); params
+    and optimizer state never shard over 'slice'."""
     devices = list(devices if devices is not None else jax.devices())
     if cfg is not None:
         data = cfg.mesh_data
         model = cfg.mesh_model
+        slices = getattr(cfg, "mesh_slice", 1)
     model = max(model, 1)
+    slices = max(slices, 1)
     if data <= 0:
-        data = max(len(devices) // model, 1)
-    n = data * model
+        data = max(len(devices) // (model * slices), 1)
+    n = slices * data * model
     if n > len(devices):
         raise ValueError(
-            f"mesh {data}x{model} needs {n} devices, have {len(devices)}"
+            f"mesh {slices}x{data}x{model} needs {n} devices, have {len(devices)}"
         )
+    if slices > 1:
+        arr = np.asarray(devices[:n]).reshape(slices, data, model)
+        return Mesh(arr, ("slice", "data", "model"))
     arr = np.asarray(devices[:n]).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
+    if "slice" in mesh.axis_names:
+        return NamedSharding(mesh, P(("slice", "data")))
     return NamedSharding(mesh, P("data"))
 
 

@@ -178,3 +178,33 @@ def test_zero1_large_config_compiles_sharded():
     # lowering succeeded with the ZeRO shardings; full compile of the 512^2
     # graph is minutes on this 1-core host, so stop at StableHLO here
     assert lowered is not None
+
+
+def test_multi_slice_mesh_step_matches_flat_dp():
+    """3-D (slice, data, model) mesh: batch shards over ('slice','data'),
+    params never shard over 'slice', and one step is numerically identical
+    to the flat 8-way DP step (the DCN axis is semantics-preserving)."""
+    cfg = tiny_test_config(batch_size=8, donate_state=False, mesh_slice=2,
+                           mesh_data=2, mesh_model=2)
+    m = mesh_lib.make_mesh(cfg)
+    assert m.shape == {"slice": 2, "data": 2, "model": 2}
+    assert "slice" in str(mesh_lib.batch_sharding(m).spec)
+
+    state = mesh_lib.init_sharded_state(cfg, m, jax.random.PRNGKey(0))
+    for x in jax.tree_util.tree_leaves(state.params):
+        assert "slice" not in str(x.sharding.spec)
+    step = mesh_lib.make_parallel_train_step(cfg, m)
+    batch = jax.device_put(_batch(cfg), mesh_lib.batch_sharding(m))
+    new_state, loss = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+    cfg0 = tiny_test_config(batch_size=8, donate_state=False, mesh_data=8)
+    m0 = mesh_lib.make_mesh(cfg0)
+    state0 = mesh_lib.init_sharded_state(cfg0, m0, jax.random.PRNGKey(0))
+    step0 = mesh_lib.make_parallel_train_step(cfg0, m0)
+    batch0 = jax.device_put(_batch(cfg0), mesh_lib.batch_sharding(m0))
+    new_state0, loss0 = step0(state0, batch0, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(loss), float(loss0), rtol=2e-5)
+    a = np.asarray(jax.device_get(new_state.params["head"]["kernel"]))
+    b = np.asarray(jax.device_get(new_state0.params["head"]["kernel"]))
+    np.testing.assert_allclose(a, b, atol=2e-5)
