@@ -117,6 +117,49 @@ def sample(cfg, params, init_batch, class_idx=None) -> SampleResult:
     return SampleResult(x_theta, snaps)
 
 
+def make_segment_fn(cfg, class_idx=None):
+    """Jitted partial reverse-diffusion: advance (x̂, ε̂) over an explicit
+    ``ts`` array (traced, so one compile serves every segment of the same
+    length). Enables streaming intermediate states (serve/server.py)."""
+
+    @jax.jit
+    def seg(params, x_theta, epsilon_theta, ts):
+        def body(carry, t):
+            x_theta, epsilon_theta = carry
+            tf_ = t.astype(jnp.float32)
+            fake = diffusion.renoise(cfg, x_theta, epsilon_theta, tf_)
+            prediction = _denoise_call(cfg, params, fake, tf_, class_idx)
+            x_theta, epsilon_theta = diffusion.step_update(
+                cfg, prediction, fake, epsilon_theta, tf_
+            )
+            return (x_theta, epsilon_theta), None
+
+        (x_theta, epsilon_theta), _ = lax.scan(
+            body, (x_theta, epsilon_theta), ts
+        )
+        return x_theta, epsilon_theta
+
+    return seg
+
+
+def sample_stream(cfg, params, init_batch, segments: int = 4, class_idx=None):
+    """Generator over intermediate x̂ states of the reverse diffusion:
+    yields ``segments`` arrays, the last being the final sample batch
+    (value-identical to ``sample(...).images``)."""
+    import numpy as np
+
+    seg = make_segment_fn(cfg, class_idx)
+    ts_all = np.arange(cfg.steps, 0, -1)
+    x_theta = epsilon_theta = init_batch
+    for ts in np.array_split(ts_all, max(segments, 1)):
+        if len(ts) == 0:
+            continue
+        x_theta, epsilon_theta = seg(
+            params, x_theta, epsilon_theta, jnp.asarray(ts)
+        )
+        yield np.asarray(x_theta)
+
+
 def edit_image(cfg, params, image, edits=("pixelate", "shift", "quantise"),
                dictionary=None, rng=None, class_idx=None):
     """The reference's signature workflow as a user-facing API: invert a real

@@ -32,10 +32,11 @@ import numpy as np
 
 
 class _BatchRequest:
-    __slots__ = ("num", "event", "result", "error")
+    __slots__ = ("num", "payload", "event", "result", "error")
 
-    def __init__(self, num: int):
+    def __init__(self, num: int, payload=None):
         self.num = num
+        self.payload = payload  # optional input array (image endpoints)
         self.event = threading.Event()
         self.result = None
         self.error = None
@@ -61,8 +62,8 @@ class SampleBatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, num: int) -> np.ndarray:
-        req = _BatchRequest(num)
+    def submit(self, num: int, payload=None) -> np.ndarray:
+        req = _BatchRequest(num, payload)
         with self._cv:
             self._pending.append(req)
             self._cv.notify_all()
@@ -70,6 +71,10 @@ class SampleBatcher:
         if req.error is not None:
             raise req.error
         return req.result
+
+    def _execute(self, batch):
+        total = sum(r.num for r in batch)
+        return self._run(total)
 
     def close(self):
         with self._cv:
@@ -108,9 +113,8 @@ class SampleBatcher:
                         break
                     self._cv.wait(timeout=remaining)
                 batch = self._take_batch()
-            total = sum(r.num for r in batch)
             try:
-                images = self._run(total)
+                images = self._execute(batch)
                 off = 0
                 for r in batch:
                     r.result = images[off : off + r.num]
@@ -140,6 +144,24 @@ def _decode_png(data: bytes, size: int) -> np.ndarray:
     return np.asarray(img, np.float32)[None] / 128.0 - 1.0
 
 
+class ImageBatcher(SampleBatcher):
+    """Image-in/image-out coalescing (denoise, transfer): stacks the
+    collection window's input images, runs ONE device call, slices results.
+    Payload order is carried on the request objects, so caller/result
+    pairing is race-free."""
+
+    def __init__(self, stack_run_fn, max_batch: int = 16, max_wait_s: float = 0.01):
+        super().__init__(None, max_batch, max_wait_s)
+        self._stack_run = stack_run_fn  # (N,H,W,C) -> (N,H,W,C)
+
+    def submit_image(self, img: np.ndarray) -> np.ndarray:
+        return self.submit(img.shape[0], payload=img)
+
+    def _execute(self, batch):
+        stacked = np.concatenate([r.payload for r in batch], axis=0)
+        return self._stack_run(stacked)
+
+
 class ModelService:
     """Owns params + jitted programs; thread-safe."""
 
@@ -162,7 +184,18 @@ class ModelService:
             self._params = params
             self._sample = jax.jit(lambda p, b: sampler.sample(cfg, p, b).images)
             self._preview = jax.jit(lambda p, x, n: sampler.preview(cfg, p, x, n))
+            self._segment = sampler.make_segment_fn(cfg)  # streaming
             self._batcher = SampleBatcher(self._run_sample)
+            self._denoise_batcher = ImageBatcher(self._run_denoise)
+        if gan_state is not None:
+            from ..train import gan
+
+            self._transfer_batchers = {
+                d: ImageBatcher(
+                    lambda imgs, d=d: self._run_transfer(imgs, d)
+                )
+                for d in ("ab", "ba")
+            }
 
     def _run_sample(self, num: int) -> np.ndarray:
         """One coalesced device invocation for ``num`` images."""
@@ -192,30 +225,74 @@ class ModelService:
         # concurrent requests coalesce into one device batch (SampleBatcher)
         return self._batcher.submit(num)
 
-    def close(self):
-        if getattr(self, "_batcher", None) is not None:
-            self._batcher.close()
-
-    def denoise(self, image: np.ndarray) -> np.ndarray:
+    def sample_stream(self, num: int, segments: int = 4):
+        """Generator of intermediate reverse-diffusion states: yields
+        ``segments`` (num, H, W, 3) arrays, the last being the final batch.
+        Holds the device for the whole stream (no coalescing)."""
         import jax
+        import jax.numpy as jnp
 
         if self.state is None:
             raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
+        padded = 1
+        while padded < num:
+            padded *= 2
+        ts_all = np.arange(self.cfg.steps, 0, -1)
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
-            noise = jax.random.normal(sub, image.shape, dtype=np.float32)
-            denoised, _ = self._preview(self._params, image, noise)
-            return np.asarray(denoised)
+            x = e = jax.random.normal(
+                sub, (padded, self.cfg.size, self.cfg.size, 3), dtype=np.float32
+            )
+            for ts in np.array_split(ts_all, max(segments, 1)):
+                if len(ts) == 0:
+                    continue
+                x, e = self._segment(self._params, x, e, jnp.asarray(ts))
+                yield np.asarray(x)[:num]
 
-    def transfer(self, image: np.ndarray, direction: str = "ab") -> np.ndarray:
+    def _pad_pow2(self, imgs: np.ndarray):
+        padded = 1
+        while padded < imgs.shape[0]:
+            padded *= 2
+        if padded == imgs.shape[0]:
+            return imgs, imgs.shape[0]
+        pad = np.zeros((padded - imgs.shape[0],) + imgs.shape[1:], imgs.dtype)
+        return np.concatenate([imgs, pad], 0), imgs.shape[0]
+
+    def _run_denoise(self, imgs: np.ndarray) -> np.ndarray:
+        import jax
+
+        x, n = self._pad_pow2(imgs)
+        with self._lock:
+            self._rng, sub = jax.random.split(self._rng)
+            noise = jax.random.normal(sub, x.shape, dtype=np.float32)
+            denoised, _ = self._preview(self._params, x, noise)
+            return np.asarray(denoised)[:n]
+
+    def _run_transfer(self, imgs: np.ndarray, direction: str) -> np.ndarray:
         from ..train import gan
 
-        if self.gan_state is None:
-            raise ValueError("no GAN checkpoint loaded")
+        x, n = self._pad_pow2(imgs)
         with self._lock:
             return np.asarray(
-                gan.transfer(self.cfg, self.gan_state, image, direction)
-            )
+                gan.transfer(self.cfg, self.gan_state, x, direction)
+            )[:n]
+
+    def close(self):
+        for b in ("_batcher", "_denoise_batcher"):
+            if getattr(self, b, None) is not None:
+                getattr(self, b).close()
+        for b in getattr(self, "_transfer_batchers", {}).values():
+            b.close()
+
+    def denoise(self, image: np.ndarray) -> np.ndarray:
+        if self.state is None:
+            raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
+        return self._denoise_batcher.submit_image(image)
+
+    def transfer(self, image: np.ndarray, direction: str = "ab") -> np.ndarray:
+        if self.gan_state is None:
+            raise ValueError("no GAN checkpoint loaded")
+        return self._transfer_batchers[direction].submit_image(image)
 
 
 def make_handler(service: ModelService):
@@ -248,6 +325,26 @@ def make_handler(service: ModelService):
             length = int(self.headers.get("Content-Length", 0))
             return self.rfile.read(length)
 
+        def _stream_sample(self, num: int, segments: int):
+            """Chunked multipart stream of intermediate diffusion states
+            (image 0 of the batch per segment; final part = finished image)."""
+            boundary = "gct2frame"
+            self.send_response(200)
+            self.send_header(
+                "Content-Type", f"multipart/x-mixed-replace; boundary={boundary}"
+            )
+            self.end_headers()
+            for snapshot in service.sample_stream(num, segments=segments):
+                body = _png_bytes(snapshot[0])
+                self.wfile.write(
+                    f"--{boundary}\r\nContent-Type: image/png\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n".encode()
+                )
+                self.wfile.write(body)
+                self.wfile.write(b"\r\n")
+                self.wfile.flush()
+            self.wfile.write(f"--{boundary}--\r\n".encode())
+
         def do_POST(self):
             try:
                 path, _, query = self.path.partition("?")
@@ -256,6 +353,10 @@ def make_handler(service: ModelService):
                     num = int(req.get("num", 1))
                     if not 1 <= num <= 64:
                         return self._json(400, {"error": "num must be in [1, 64]"})
+                    if req.get("stream"):
+                        return self._stream_sample(
+                            num, int(req.get("segments", 4))
+                        )
                     images = service.sample(num)
                     if req.get("format") == "base64":
                         return self._json(

@@ -180,3 +180,81 @@ def test_concurrent_samples_coalesce(server):
         assert sum(calls) >= 12  # padded buckets cover all requested images
     finally:
         svc._sample = real
+
+
+def test_sample_stream_yields_progression(server):
+    """Streaming endpoint: chunked multipart of intermediate diffusion
+    states; last part equals the finished sample resolution."""
+    srv, cfg = server
+    status, body = _post(
+        srv, "/sample", json.dumps({"num": 1, "stream": True, "segments": 3}).encode()
+    )
+    assert status == 200
+    parts = body.split(b"--gct2frame")
+    pngs = [p.split(b"\r\n\r\n", 1)[1] for p in parts if b"image/png" in p]
+    assert len(pngs) == 3
+    for p in pngs:
+        img = Image.open(io.BytesIO(p.rstrip(b"\r\n")))
+        assert img.size == (cfg.size, cfg.size)
+    # intermediate states differ from the final one
+    assert pngs[0] != pngs[-1]
+
+
+def test_concurrent_denoise_coalesce(server):
+    """N concurrent /denoise requests trigger <= 2 preview invocations."""
+    import threading
+
+    srv, cfg = server
+    svc = srv.service
+    real = svc._preview
+    calls = []
+
+    def counting(p, x, n):
+        calls.append(int(x.shape[0]))
+        return real(p, x, n)
+
+    svc._preview = counting
+    try:
+        rng = np.random.default_rng(0)
+        arr = np.clip(
+            (rng.uniform(-1, 1, (cfg.size, cfg.size, 3)) * 0.5 + 0.5) * 255,
+            0, 255,
+        ).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        png = buf.getvalue()
+        results, errors = [None] * 5, []
+
+        def hit(i):
+            try:
+                results[i] = _post(srv, "/denoise", png)[0]
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(5)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors and all(r == 200 for r in results), (results, errors)
+        assert len(calls) <= 2, calls
+    finally:
+        svc._preview = real
+
+
+def test_sample_stream_matches_full_sampler():
+    """sample_stream's final state is value-identical to sample().images."""
+    import jax
+    import jax.numpy as jnp
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.models import unet
+    from gan_class_transfer2_tpu.sample import sampler
+
+    cfg = tiny_test_config(steps=6)
+    params = unet.init_unet(jax.random.PRNGKey(0), cfg)
+    r = np.random.default_rng(0)
+    init = jnp.asarray(r.normal(size=(2, cfg.size, cfg.size, 3)).astype(np.float32))
+    full = np.asarray(sampler.sample(cfg, params, init).images)
+    *_, last = sampler.sample_stream(cfg, params, init, segments=3)
+    np.testing.assert_allclose(last, full, atol=1e-5)
