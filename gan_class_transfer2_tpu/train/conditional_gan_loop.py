@@ -25,7 +25,11 @@ from .resilience import ResilientRunnerMixin
 
 
 class ConditionalGANRunner(ResilientRunnerMixin):
-    def __init__(self, cfg: Config, datasets=None, log_dir=None):
+    def __init__(self, cfg: Config, datasets=None, log_dir=None, eval_sets=None):
+        """``eval_sets``: optional list of per-class held-out image arrays
+        for the FID metric (used when ``datasets`` are passed in directly;
+        when built from ``cfg.classes`` patterns, ``cfg.fid_samples`` files
+        per class are reserved automatically and never reach training)."""
         cfg.validate()
         # class count comes from explicit datasets when given, else patterns
         n_sources = len(datasets) if datasets is not None else len(cfg.class_patterns())
@@ -51,8 +55,31 @@ class ConditionalGANRunner(ResilientRunnerMixin):
             cfg, self.mesh
         )
 
+        self._eval_sets = list(eval_sets) if eval_sets is not None else None
         if datasets is None:
-            datasets = pipeline.make_datasets(cfg)  # native loader when available
+            # reserve fid_samples held-out files per class (FID hygiene)
+            files, eval_files = [], []
+            for i, p in enumerate(cfg.class_patterns()):
+                tr, ev = pipeline.held_out_split(
+                    p, cfg.fid_samples, seed=cfg.seed + i
+                )
+                files.append(tr)
+                eval_files.append(ev)
+            datasets = pipeline.make_datasets(cfg, files_per_class=files)
+            if self._eval_sets is None and cfg.fid_samples > 0:
+                rng = np.random.default_rng(0)
+                self._eval_sets = [
+                    np.stack(
+                        [
+                            pipeline.decode_image(f, cfg.size, rng, crop=True)
+                            for f in ev
+                        ],
+                        0,
+                    )
+                    if ev
+                    else None
+                    for ev in eval_files
+                ]
         self.labeled = pipeline.LabeledDataset(datasets)
         self._restore_data_state()  # resume stream position (sidecar)
         self.data_iter = pipeline.device_iterator(
@@ -70,6 +97,34 @@ class ConditionalGANRunner(ResilientRunnerMixin):
             self.writer.image(
                 f"transfer_to_{target}", np.asarray(out) * 0.5 + 0.5, epoch, 10
             )
+        if self.cfg.fid_samples > 0 and self._eval_sets:
+            for src in range(self.cfg.num_classes):
+                for tgt in range(self.cfg.num_classes):
+                    if src == tgt:
+                        continue
+                    fid = self.transfer_fid(src, tgt)
+                    if fid is not None:
+                        self.writer.scalar(
+                            f"transfer_fid_{src}_to_{tgt}", fid, epoch
+                        )
+
+    def transfer_fid(self, src: int, tgt: int):
+        """FID of held-out class-``src`` images transferred to class ``tgt``
+        against the held-out ``tgt`` set (None when eval sets are missing).
+        Same hygiene as GANRunner.transfer_fid: eval images never feed the
+        training iterators."""
+        from ..utils import metrics
+
+        if not self._eval_sets:
+            return None
+        src_imgs = self._eval_sets[src]
+        tgt_imgs = self._eval_sets[tgt]
+        if src_imgs is None or tgt_imgs is None:
+            return None
+        fake = np.asarray(
+            cgan.transfer(self.cfg, self.state, jnp.asarray(src_imgs), tgt)
+        )
+        return metrics.fid(fake, np.asarray(tgt_imgs))
 
     def _data_sources(self) -> dict:
         return {"labeled": self.labeled}

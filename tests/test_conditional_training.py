@@ -87,3 +87,44 @@ def test_runner_auto_labels_multiclass(tmp_path):
     runner.close()
     assert int(runner.state.step) == 2
     assert "embed" in runner.state.params  # conditional model was built
+
+
+def test_conditional_transfer_fid_heldout(tmp_path):
+    """Per-class-pair FID on held-out eval sets (same hygiene as GANRunner)."""
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.train.conditional_gan_loop import (
+        ConditionalGANRunner,
+    )
+    from gan_class_transfer2_tpu.utils import tensorboard as tb
+
+    r = np.random.default_rng(0)
+    patterns = []
+    for cls in range(2):
+        d = tmp_path / f"c{cls}"
+        d.mkdir()
+        for i in range(8):
+            arr = r.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+            PILImage.fromarray(arr).save(d / f"{i}.png")
+        patterns.append(str(d / "*.png"))
+
+    cfg = tiny_test_config(
+        classes=tuple(patterns), num_classes=2, fid_samples=3,
+        steps_per_epoch=1, epochs=1, learning_rate=1e-4,
+        log_dir=str(tmp_path / "logs"), checkpoint_dir=None,
+        donate_state=False, mesh_data=1, native_loader=False,
+    )
+    runner = ConditionalGANRunner(cfg)
+    try:
+        assert runner._eval_sets and len(runner._eval_sets) == 2
+        assert runner._eval_sets[0].shape[0] == 3
+        fid = runner.transfer_fid(0, 1)
+        assert fid is not None and np.isfinite(fid)
+        runner.fit(epochs=1, steps_per_epoch=1)
+        tags = {e[1] for e in tb.read_events(runner.writer.path)}
+        assert "transfer_fid_0_to_1" in tags, tags
+        assert "transfer_fid_1_to_0" in tags
+    finally:
+        runner.close()
