@@ -58,7 +58,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(prog="gan_class_transfer2_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
-    for cmd in ("train", "gan-train", "cgan-train", "sample", "edit", "bench", "serve"):
+    for cmd in ("train", "gan-train", "cgan-train", "sample", "edit", "bench",
+                "serve", "build-cache"):
         p = sub.add_parser(cmd)
         p.add_argument("--config", type=str, default=None, help="config JSON")
         p.add_argument(
@@ -89,6 +90,11 @@ def main(argv=None):
             )
         if cmd == "bench":
             p.add_argument("--bench-steps", type=int, default=30)
+        if cmd == "build-cache":
+            p.add_argument("--out", type=str, required=True,
+                           help="cache file path")
+            p.add_argument("--store", type=int, default=0,
+                           help="stored image side (default: size + size/8)")
         if cmd == "serve":
             p.add_argument("--host", type=str, default="127.0.0.1")
             p.add_argument("--port", type=int, default=8080)
@@ -154,6 +160,14 @@ def main(argv=None):
 
         result = run_benchmark(cfg, steps=args.bench_steps)
         print(result.to_json())
+        return 0
+
+    if args.command == "build-cache":
+        from .data import native_loader
+
+        store = args.store or cfg.size + cfg.size // 8
+        n = native_loader.build_cache(cfg.dataset_pattern, store, args.out)
+        print(f"wrote {n} records ({store}x{store}x3 uint8) to {args.out}")
         return 0
 
     if args.command == "serve":

@@ -20,6 +20,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <algorithm>
 #include <atomic>
 #include <condition_variable>
 #include <mutex>
@@ -265,9 +266,81 @@ void worker_main(Loader* L, uint64_t seed) {
   }
 }
 
+// ------------------------------------------------------------ resize -------
+
+// bilinear shortest-side resize to `target` then center-crop target×target
+void resize_center_crop(const Image& img, int target, uint8_t* out) {
+  double scale = static_cast<double>(target) /
+                 std::min(img.h, img.w);
+  int rh = std::max(target, static_cast<int>(img.h * scale + 0.5));
+  int rw = std::max(target, static_cast<int>(img.w * scale + 0.5));
+  int off_h = (rh - target) / 2, off_w = (rw - target) / 2;
+  for (int i = 0; i < target; ++i) {
+    // map output row (in resized space) back to source coordinates
+    double sy = (i + off_h + 0.5) * img.h / rh - 0.5;
+    int y0 = std::max(0, std::min(img.h - 1, static_cast<int>(sy)));
+    int y1 = std::min(img.h - 1, y0 + 1);
+    double fy = std::max(0.0, std::min(1.0, sy - y0));
+    for (int j = 0; j < target; ++j) {
+      double sx = (j + off_w + 0.5) * img.w / rw - 0.5;
+      int x0 = std::max(0, std::min(img.w - 1, static_cast<int>(sx)));
+      int x1 = std::min(img.w - 1, x0 + 1);
+      double fx = std::max(0.0, std::min(1.0, sx - x0));
+      for (int c = 0; c < 3; ++c) {
+        double v00 = img.data[(static_cast<size_t>(y0) * img.w + x0) * 3 + c];
+        double v01 = img.data[(static_cast<size_t>(y0) * img.w + x1) * 3 + c];
+        double v10 = img.data[(static_cast<size_t>(y1) * img.w + x0) * 3 + c];
+        double v11 = img.data[(static_cast<size_t>(y1) * img.w + x1) * 3 + c];
+        double v = v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx +
+                   v10 * fy * (1 - fx) + v11 * fy * fx;
+        out[(static_cast<size_t>(i) * target + j) * 3 + c] =
+            static_cast<uint8_t>(v + 0.5);
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Build a packed uint8 dataset cache: header (magic, version, count, store)
+// + count records of store*store*3 bytes (decode → bilinear shortest-side
+// resize → center crop). Decode-once path for datasets read many times;
+// the reader side is a zero-copy numpy memmap (data/cache.py).
+// Returns the number of records written, or -1 on I/O failure.
+int dl_cache_build(const char** files, int n_files, int store,
+                   const char* out_path) {
+  if (store <= 0 || n_files <= 0) return -1;
+  FILE* f = fopen(out_path, "wb");
+  if (!f) return -1;
+  uint32_t header[4] = {0x47435432u /*'GCT2'*/, 1u, 0u,
+                        static_cast<uint32_t>(store)};
+  if (fwrite(header, sizeof(header), 1, f) != 1) {
+    fclose(f);
+    return -1;
+  }
+  std::vector<uint8_t> rec(static_cast<size_t>(store) * store * 3);
+  uint32_t written = 0;
+  for (int i = 0; i < n_files; ++i) {
+    std::vector<uint8_t> raw;
+    Image img;
+    if (!load_file(files[i], &raw) || !decode_any(raw.data(), raw.size(), &img))
+      continue;  // tolerate scattered bad files
+    if (img.h < 1 || img.w < 1) continue;
+    resize_center_crop(img, store, rec.data());
+    if (fwrite(rec.data(), rec.size(), 1, f) != 1) {
+      fclose(f);
+      return -1;
+    }
+    ++written;
+  }
+  // back-patch the record count
+  fseek(f, 2 * sizeof(uint32_t), SEEK_SET);
+  fwrite(&written, sizeof(written), 1, f);
+  fclose(f);
+  return static_cast<int>(written);
+}
 
 void* dl_create(const char** files, int n_files, int size, int batch, int workers,
                 int capacity, uint64_t seed) {

@@ -54,6 +54,13 @@ def _load() -> ctypes.CDLL:
         lib.dl_error.restype = ctypes.c_char_p
         lib.dl_error.argtypes = [ctypes.c_void_p]
         lib.dl_destroy.argtypes = [ctypes.c_void_p]
+        lib.dl_cache_build.restype = ctypes.c_int
+        lib.dl_cache_build.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_char_p,
+        ]
         lib.dl_decode_one.restype = ctypes.c_int
         lib.dl_decode_one.argtypes = [
             ctypes.c_char_p,
@@ -74,6 +81,28 @@ def available() -> bool:
         return True
     except Exception:
         return False
+
+
+def build_cache(pattern_or_files, store: int, out_path: str) -> int:
+    """Decode every file once (C++), bilinear shortest-side resize to
+    ``store``, center-crop, and pack into a uint8 cache file readable by
+    data/cache.CachedDataset (zero-copy memmap). Returns records written."""
+    from .pipeline import list_files
+
+    files = (
+        list_files(pattern_or_files)
+        if isinstance(pattern_or_files, str)
+        else list(pattern_or_files)
+    )
+    lib = _load()
+    keep = [f.encode() for f in files]
+    arr = (ctypes.c_char_p * len(keep))(*keep)
+    n = lib.dl_cache_build(arr, len(keep), store, out_path.encode())
+    if n < 0:
+        raise RuntimeError(f"cache build failed for {out_path!r}")
+    if n == 0:
+        raise RuntimeError("cache build: no file decoded")
+    return n
 
 
 def decode_one(path: str, size: int, seed: int = 0, augment: bool = True):

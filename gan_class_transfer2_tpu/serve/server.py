@@ -404,6 +404,7 @@ class Server:
     def stop(self):
         self.httpd.shutdown()
         self.httpd.server_close()
+        self.service.close()
 
 
 def serve_from_checkpoint(
