@@ -243,11 +243,14 @@ class ModelService:
             x = e = jax.random.normal(
                 sub, (padded, self.cfg.size, self.cfg.size, 3), dtype=np.float32
             )
-            for ts in np.array_split(ts_all, max(segments, 1)):
-                if len(ts) == 0:
-                    continue
+        for ts in np.array_split(ts_all, max(segments, 1)):
+            if len(ts) == 0:
+                continue
+            # lock per segment: a slow client draining a chunk between
+            # segments must not stall the other endpoints
+            with self._lock:
                 x, e = self._segment(self._params, x, e, jnp.asarray(ts))
-                yield np.asarray(x)[:num]
+            yield np.asarray(x)[:num]
 
     def _pad_pow2(self, imgs: np.ndarray):
         padded = 1
