@@ -221,3 +221,19 @@ def test_transfer_fid_uses_held_out_files(tmp_path):
         assert np.isfinite(fid) and fid >= 0
     finally:
         runner.close()
+
+
+def test_gan_data_position_restored_across_restart(tmp_path):
+    """Both class streams' positions ride the checkpoint sidecar."""
+    cfg = _mk_cfg(tmp_path, checkpoint_every=2)
+    ds_a, ds_b = _mk_ds(cfg, 0), _mk_ds(cfg, 1)
+    runner = GANRunner(cfg, dataset_a=ds_a, dataset_b=ds_b)
+    runner.fit(epochs=1, steps_per_epoch=2, log_samples=False)  # ckpt @2
+    runner.close()
+
+    ds_a2, ds_b2 = _mk_ds(cfg, 0), _mk_ds(cfg, 1)
+    runner2 = GANRunner(cfg, dataset_a=ds_a2, dataset_b=ds_b2)
+    # prefetch keeps the recorded position within one batch of consumption
+    assert abs(ds_a2.state_dict()["position"] - 2) <= 1
+    assert abs(ds_b2.state_dict()["position"] - 2) <= 1
+    runner2.close()
