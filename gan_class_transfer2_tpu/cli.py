@@ -41,15 +41,33 @@ def _add_config_args(p: argparse.ArgumentParser):
             p.add_argument(name, type=str, default=None)
 
 
-def config_from_args(args) -> Config:
+def config_from_args(args, checkpoint_config: bool = False) -> Config:
+    """Resolve the effective Config: explicit CLI flags > --config JSON >
+    (for checkpoint-reading commands) the config.json the train command
+    saved next to the checkpoints > dataclass defaults.
+
+    ``checkpoint_config`` matters for restore correctness: sample/edit/serve
+    must rebuild the exact TrainState *structure* the checkpoint was written
+    with (e.g. ``optimizer="adam_tf"`` has a different opt-state tree than
+    "adam"), so the saved train-time config — not the defaults — is the
+    right base when the user doesn't pass every flag."""
+    import os
+
     overrides = {}
     for f in dataclasses.fields(Config):
         v = getattr(args, f.name, None)
         if v is not None:
             overrides[f.name] = tuple(v) if f.name == "classes" else v
+    base = None
     if getattr(args, "config", None):
         with open(args.config) as fh:
             base = Config.from_json(fh.read())
+    elif checkpoint_config and overrides.get("checkpoint_dir"):
+        saved = os.path.join(overrides["checkpoint_dir"], "config.json")
+        if os.path.exists(saved):
+            with open(saved) as fh:
+                base = Config.from_json(fh.read())
+    if base is not None:
         return base.replace(**overrides).validate()
     return Config(**overrides).validate()
 
@@ -108,7 +126,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    cfg = config_from_args(args)
+    cfg = config_from_args(
+        args, checkpoint_config=args.command in ("sample", "edit", "serve")
+    )
 
     if args.command == "train":
         from .train.loop import Runner

@@ -66,7 +66,7 @@ class Config:
     # ------------------------------------------------------------- optimizer
     # reference train.py:67-78: Adam active, SGD/momentum/sign-SGD/RMSprop
     # preserved as options.
-    optimizer: str = "adam"  # adam | sgd | momentum | sign_sgd | rmsprop
+    optimizer: str = "adam"  # adam | adam_tf | sgd | momentum | sign_sgd | rmsprop
     learning_rate: float = 2e-5  # reference train.py:75
     warm_up: int = 2_000  # reference train.py:36
     lr_schedule: str = "warmup"  # warmup | inverse_time_decay | constant

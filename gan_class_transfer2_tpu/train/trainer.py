@@ -72,6 +72,52 @@ def _sign_gradient_transform() -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
+def _scale_by_adam_tf(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-7
+) -> optax.GradientTransformation:
+    """Keras/TF Adam update math *exactly* (reference train.py:75).
+
+    TF adds ``eps`` AFTER ``sqrt(v)`` — not after ``sqrt(v_hat)`` as optax's
+    ``scale_by_adam`` does — and folds the bias correction into the step
+    size::
+
+        local_step = iterations + 1
+        alpha      = sqrt(1 - b2**local_step) / (1 - b1**local_step)
+        m          = b1*m + (1-b1)*g
+        v          = b2*v + (1-b2)*g**2
+        var       -= lr * alpha * m / (sqrt(v) + eps)
+
+    The two formulations differ by an effective-epsilon factor of
+    ``1/sqrt(1 - b2**t)`` (≈32× at step 1 with b2=0.999), so bit-level
+    training-step parity with the reference requires this variant
+    (``Config.optimizer = "adam_tf"``; tests/test_step_parity.py).
+    """
+
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(jnp.zeros_like, params),
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
+
+    def update(updates, state, params=None):
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates
+        )
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g), state.nu, updates
+        )
+        alpha = jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
+        out = jax.tree_util.tree_map(
+            lambda m, v: alpha * m / (jnp.sqrt(v) + eps), mu, nu
+        )
+        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg) -> optax.GradientTransformation:
     lr = make_lr_schedule(cfg)
     chain = []
@@ -83,6 +129,11 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
         chain.append(optax.add_decayed_weights(2.0 * cfg.weight_decay))
     if cfg.optimizer == "adam":
         chain.append(optax.adam(lr, eps=cfg.adam_eps))
+    elif cfg.optimizer == "adam_tf":
+        # exact Keras Adam update math for bit-level step parity with the
+        # reference optimizer (train.py:75); see _scale_by_adam_tf
+        chain.append(_scale_by_adam_tf(eps=cfg.adam_eps))
+        chain.append(optax.scale_by_learning_rate(lr))
     elif cfg.optimizer == "sgd":
         chain.append(optax.sgd(lr))
     elif cfg.optimizer == "momentum":
@@ -136,21 +187,30 @@ def compute_loss(cfg, target, prediction):
     raise ValueError(f"unknown loss {cfg.loss!r}")
 
 
-def diffusion_loss(cfg, params, batch, rng):
+def diffusion_loss(cfg, params, batch, rng, *, t_int=None, epsilon_in=None):
     """Sample (t, ε), noise the batch, predict, and compute the loss.
 
     ``batch`` is either an image array or a dict {"image", "label"} for
-    class-conditional training (BASELINE config 5)."""
+    class-conditional training (BASELINE config 5).
+
+    ``t_int``/``epsilon_in`` optionally inject the randomness instead of
+    drawing it from ``rng`` — used by the bit-level step-parity harness
+    (tests/test_step_parity.py) to feed both this step and a live TF
+    reference step the identical (t, ε) draws."""
     label = None
     if isinstance(batch, dict):
         label = batch.get("label")
         batch = batch["image"]
     rng_t, rng_eps = jax.random.split(rng)
     b = batch.shape[0]
-    t_int = jax.random.randint(rng_t, (b, 1, 1, 1), 1, cfg.steps + 1)
+    if t_int is None:
+        t_int = jax.random.randint(rng_t, (b, 1, 1, 1), 1, cfg.steps + 1)
+    else:
+        t_int = jnp.reshape(jnp.asarray(t_int, jnp.int32), (b, 1, 1, 1))
     t = t_int.astype(batch.dtype)
     use_fused = (
-        cfg.fused_diffusion
+        epsilon_in is None
+        and cfg.fused_diffusion
         and cfg.parameterization == "x"  # ε unused downstream (target = x)
         and jax.default_backend() == "tpu"
         # kernel requires lane-aligned flattened samples; fall back otherwise
@@ -162,7 +222,10 @@ def diffusion_loss(cfg, params, batch, rng):
         noised = kernels.forward_diffuse_fused(cfg, batch, t, rng_eps)
         epsilon = None  # never materialised in HBM
     else:
-        epsilon = jax.random.normal(rng_eps, batch.shape, batch.dtype)
+        if epsilon_in is None:
+            epsilon = jax.random.normal(rng_eps, batch.shape, batch.dtype)
+        else:
+            epsilon = jnp.asarray(epsilon_in, batch.dtype)
         noised = diffusion.forward_diffuse(cfg, batch, epsilon, t)
     prediction = model_api.apply_denoiser(
         cfg, params, noised, t_int[:, 0, 0, 0], class_idx=label
@@ -245,6 +308,40 @@ def train_step(cfg, optimizer, state: TrainState, batch, rng) -> Tuple[TrainStat
             lambda e, p: e * d + p * (1.0 - d), ema, params
         )
     return TrainState(state.step + 1, params, opt_state, ema, scale_state), loss
+
+
+def make_injected_train_step(cfg):
+    """Jitted train step with externally supplied randomness.
+
+    Takes ``(state, batch, t_int, epsilon)`` instead of an RNG key —
+    the bit-level step-parity harness feeds the identical (t, ε) draws to
+    this step and to a live TF/Keras reference step and compares losses and
+    post-step weights (tests/test_step_parity.py). No augmentation, loss
+    scaling, or EMA: pure reference Trainer semantics
+    (reference train.py:217-280)."""
+    optimizer = make_optimizer(cfg)
+
+    def step(state, batch, t_int, epsilon):
+        loss, grads = jax.value_and_grad(
+            lambda p: diffusion_loss(
+                cfg,
+                p,
+                batch,
+                jax.random.PRNGKey(0),  # unused: both draws are injected
+                t_int=t_int,
+                epsilon_in=epsilon,
+            )
+        )(state.params)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            state.step + 1, params, opt_state, state.ema_params, state.scale_state
+        )
+        return new_state, loss
+
+    return jax.jit(step)
 
 
 def make_train_step(cfg):
