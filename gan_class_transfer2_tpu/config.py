@@ -66,7 +66,10 @@ class Config:
     # ------------------------------------------------------------- optimizer
     # reference train.py:67-78: Adam active, SGD/momentum/sign-SGD/RMSprop
     # preserved as options.
-    optimizer: str = "adam"  # adam | adam_tf | sgd | momentum | sign_sgd | rmsprop
+    optimizer: str = "adam"  # adam | adam_tf | adam_fused | sgd | momentum | sign_sgd | rmsprop
+    # Moment storage dtype for adam_tf/adam_fused (math is always fp32);
+    # "bfloat16" halves optimizer HBM (ops/adam_kernel.py).
+    moment_dtype: str = "float32"
     learning_rate: float = 2e-5  # reference train.py:75
     warm_up: int = 2_000  # reference train.py:36
     lr_schedule: str = "warmup"  # warmup | inverse_time_decay | constant

@@ -123,7 +123,9 @@ def make_parallel_train_step(cfg, mesh: Mesh, example_state=None):
     optimizer = trainer_lib.make_optimizer(cfg)
 
     def step(state, batch, rng):
-        return trainer_lib.train_step(cfg, optimizer, state, batch, rng)
+        return trainer_lib.train_step(
+            cfg, optimizer, state, batch, rng, mesh_size=mesh.size
+        )
 
     if example_state is None:
         example_state = jax.eval_shape(

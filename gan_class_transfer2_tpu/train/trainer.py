@@ -73,7 +73,10 @@ def _sign_gradient_transform() -> optax.GradientTransformation:
 
 
 def _scale_by_adam_tf(
-    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-7
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-7,
+    moment_dtype=None,
 ) -> optax.GradientTransformation:
     """Keras/TF Adam update math *exactly* (reference train.py:75).
 
@@ -93,27 +96,45 @@ def _scale_by_adam_tf(
     (``Config.optimizer = "adam_tf"``; tests/test_step_parity.py).
     """
 
+    def zeros(p):
+        return jnp.zeros(p.shape, moment_dtype or p.dtype)
+
     def init(params):
         return optax.ScaleByAdamState(
             count=jnp.zeros([], jnp.int32),
-            mu=jax.tree_util.tree_map(jnp.zeros_like, params),
-            nu=jax.tree_util.tree_map(jnp.zeros_like, params),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params),
         )
 
     def update(updates, state, params=None):
         count = state.count + 1
         t = count.astype(jnp.float32)
-        mu = jax.tree_util.tree_map(
-            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates
+        # math in fp32 regardless of the moment storage dtype
+        mu32 = jax.tree_util.tree_map(
+            lambda m, g: b1 * m.astype(jnp.float32)
+            + (1.0 - b1) * g.astype(jnp.float32),
+            state.mu,
+            updates,
         )
-        nu = jax.tree_util.tree_map(
-            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g), state.nu, updates
+        nu32 = jax.tree_util.tree_map(
+            lambda v, g: b2 * v.astype(jnp.float32)
+            + (1.0 - b2) * jnp.square(g.astype(jnp.float32)),
+            state.nu,
+            updates,
         )
         alpha = jnp.sqrt(1.0 - b2**t) / (1.0 - b1**t)
         out = jax.tree_util.tree_map(
-            lambda m, v: alpha * m / (jnp.sqrt(v) + eps), mu, nu
+            lambda m, v, g: (alpha * m / (jnp.sqrt(v) + eps)).astype(g.dtype),
+            mu32,
+            nu32,
+            updates,
         )
-        return out, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+        store = lambda t32, old: jax.tree_util.tree_map(
+            lambda x, o: x.astype(o.dtype), t32, old
+        )
+        return out, optax.ScaleByAdamState(
+            count=count, mu=store(mu32, state.mu), nu=store(nu32, state.nu)
+        )
 
     return optax.GradientTransformation(init, update)
 
@@ -129,10 +150,19 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
         chain.append(optax.add_decayed_weights(2.0 * cfg.weight_decay))
     if cfg.optimizer == "adam":
         chain.append(optax.adam(lr, eps=cfg.adam_eps))
-    elif cfg.optimizer == "adam_tf":
+    elif cfg.optimizer in ("adam_tf", "adam_fused"):
         # exact Keras Adam update math for bit-level step parity with the
-        # reference optimizer (train.py:75); see _scale_by_adam_tf
-        chain.append(_scale_by_adam_tf(eps=cfg.adam_eps))
+        # reference optimizer (train.py:75); see _scale_by_adam_tf.
+        # adam_fused shares this optax path as its fallback — train_step
+        # swaps in the one-pass Pallas kernel (ops/adam_kernel.py) when
+        # fused_adam_ok(cfg); both paths use the same opt-state structure,
+        # so checkpoints are interchangeable.
+        moment_dtype = (
+            jnp.bfloat16 if cfg.moment_dtype == "bfloat16" else None
+        )
+        chain.append(
+            _scale_by_adam_tf(eps=cfg.adam_eps, moment_dtype=moment_dtype)
+        )
         chain.append(optax.scale_by_learning_rate(lr))
     elif cfg.optimizer == "sgd":
         chain.append(optax.sgd(lr))
@@ -235,8 +265,12 @@ def diffusion_loss(cfg, params, batch, rng, *, t_int=None, epsilon_in=None):
     return compute_loss(cfg, target, prediction)
 
 
-def train_step(cfg, optimizer, state: TrainState, batch, rng) -> Tuple[TrainState, jnp.ndarray]:
-    """One optimizer step. Pure; jit/pjit-compiled by the caller."""
+def train_step(
+    cfg, optimizer, state: TrainState, batch, rng, mesh_size: int = 1
+) -> Tuple[TrainState, jnp.ndarray]:
+    """One optimizer step. Pure; jit/pjit-compiled by the caller.
+    ``mesh_size`` is the device count of the compiling mesh (gates the
+    fused-Adam kernel, which is single-device only)."""
     rng = jax.random.fold_in(rng, state.step)
 
     raw = batch["image"] if isinstance(batch, dict) else batch
@@ -297,10 +331,22 @@ def train_step(cfg, optimizer, state: TrainState, batch, rng) -> Tuple[TrainStat
         new_good = jnp.where(jnp.logical_and(finite, ~grow), good, 0)
         scale_state = ScaleState(new_scale, new_good)
     else:
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.params
-        )
-        params = optax.apply_updates(state.params, updates)
+        from ..ops import adam_kernel
+
+        if (
+            adam_kernel.fused_adam_ok(cfg, mesh_size)
+            and jax.default_backend() == "tpu"
+        ):
+            # one-pass Pallas Adam: moments + bias correction + param write
+            # in a single HBM sweep per leaf (ops/adam_kernel.py)
+            params, opt_state = adam_kernel.fused_adam_apply(
+                cfg, state.params, state.opt_state, grads
+            )
+        else:
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
     ema = state.ema_params
     if ema is not None:
         d = cfg.ema_decay

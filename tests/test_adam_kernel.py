@@ -1,0 +1,140 @@
+"""Fused Pallas Adam kernel (ops/adam_kernel.py) — interpret mode on CPU.
+
+Unlike the fused-diffusion kernel, the Adam kernel has no in-kernel PRNG, so
+interpret mode is exact and the whole module is testable without TPU
+hardware. Value parity oracle: the optax fallback path that
+make_optimizer(optimizer="adam_fused") builds (identical Keras-Adam math,
+tests/test_step_parity.py ties THAT to live TF).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gan_class_transfer2_tpu.config import tiny_test_config
+from gan_class_transfer2_tpu.ops import adam_kernel
+from gan_class_transfer2_tpu.train import trainer as trainer_mod
+
+
+def _cfg(**kw):
+    return tiny_test_config(optimizer="adam_fused", learning_rate=1e-3, **kw)
+
+
+def _tree(rng):
+    # aligned leaves (multiples of 128) + a misaligned one (XLA fallback)
+    return {
+        "conv": jnp.asarray(rng.normal(size=(4, 4, 8, 16)), jnp.float32),
+        "wide": jnp.asarray(rng.normal(size=(1024,)), jnp.float32),
+        "head": jnp.asarray(rng.normal(size=(3,)), jnp.float32),
+    }
+
+
+def _run_both(cfg, n_steps=3):
+    rng = np.random.default_rng(0)
+    params = _tree(rng)
+    opt = trainer_mod.make_optimizer(cfg)
+    state_opt = opt.init(params)
+
+    p_ref, s_ref = params, state_opt
+    p_ker, s_ker = params, state_opt
+    for i in range(n_steps):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                np.random.default_rng(i).normal(size=p.shape), jnp.float32
+            ),
+            params,
+        )
+        upd, s_ref = opt.update(grads, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, upd)
+        p_ker, s_ker = adam_kernel.fused_adam_apply(
+            cfg, p_ker, s_ker, grads, interpret=True
+        )
+    return (p_ref, s_ref), (p_ker, s_ker)
+
+
+def test_kernel_matches_optax_fallback():
+    (p_ref, s_ref), (p_ker, s_ker) = _run_both(_cfg())
+    # kernel computes (lr·alpha)·m/(√v+ε); the fallback scales by lr after —
+    # same math, different fp32 rounding order, so a few-ulp tolerance
+    for k in p_ref:
+        np.testing.assert_allclose(
+            np.asarray(p_ker[k]), np.asarray(p_ref[k]), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_ker[0].mu[k]), np.asarray(s_ref[0].mu[k]),
+            rtol=1e-5, atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_ker[0].nu[k]), np.asarray(s_ref[0].nu[k]),
+            rtol=1e-5, atol=1e-7,
+        )
+    assert int(s_ker[0].count) == int(s_ref[0].count) == 3
+    assert int(s_ker[1].count) == int(s_ref[1].count) == 3
+
+
+def test_bfloat16_moments():
+    cfg = _cfg(moment_dtype="bfloat16")
+    (p_ref, s_ref), (p_ker, s_ker) = _run_both(cfg)
+    for st in (s_ref, s_ker):
+        for leaf in jax.tree_util.tree_leaves(st[0].mu):
+            assert leaf.dtype == jnp.bfloat16
+    # params still track the fp32-moment run loosely (bf16 moment rounding)
+    (p32, _), _ = _run_both(_cfg())
+    for k in p_ref:
+        np.testing.assert_allclose(
+            np.asarray(p_ker[k]), np.asarray(p_ref[k]), rtol=2e-2, atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(p_ref[k]), np.asarray(p32[k]), rtol=2e-1, atol=2e-2
+        )
+
+
+def test_fused_adam_ok_gating():
+    assert adam_kernel.fused_adam_ok(_cfg())
+    assert not adam_kernel.fused_adam_ok(_cfg(grad_clip_norm=1.0))
+    assert not adam_kernel.fused_adam_ok(_cfg(weight_decay=1e-6))
+    assert not adam_kernel.fused_adam_ok(_cfg(dynamic_loss_scale=True))
+    assert not adam_kernel.fused_adam_ok(_cfg(zero1=True))
+    assert not adam_kernel.fused_adam_ok(_cfg(), mesh_size=8)
+    assert not adam_kernel.fused_adam_ok(
+        tiny_test_config(optimizer="adam")
+    )
+
+
+def test_train_step_integration():
+    """optimizer="adam_fused" trains end-to-end (CPU uses the optax
+    fallback inside train_step; the kernel itself is covered above)."""
+    cfg = _cfg(donate_state=False)
+    state = trainer_mod.init_state(cfg, jax.random.PRNGKey(0))
+    step = trainer_mod.make_train_step(cfg)
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(
+        rng.uniform(-1, 1, (cfg.batch_size, cfg.size, cfg.size, 3)), jnp.float32
+    )
+    losses = []
+    for i in range(5):
+        state, loss = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert int(state.step) == 5
+
+
+def test_fused_apply_in_jit_with_donation():
+    """The kernel path composes with jit + donated buffers (the flagship
+    train-step configuration)."""
+    cfg = _cfg()
+    rng = np.random.default_rng(1)
+    params = _tree(rng)
+    opt_state = trainer_mod.make_optimizer(cfg).init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    @jax.jit
+    def apply(p, s, g):
+        return adam_kernel.fused_adam_apply(cfg, p, s, g, interpret=True)
+
+    p2, s2 = apply(params, opt_state, grads)
+    assert int(s2[0].count) == 1
+    for k in params:
+        assert not np.allclose(np.asarray(p2[k]), np.asarray(params[k]))
