@@ -20,6 +20,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batches", default="16,32,64")
+    ap.add_argument("--moment-dtype", default="float32",
+                    help="Adam moment storage (float32|bfloat16; bfloat16 "
+                    "requires --optimizer adam_tf/adam_fused)")
+    ap.add_argument("--optimizer", default="adam")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +43,9 @@ def main():
             cfg = Config(size=args.size, batch_size=b,
                          compute_dtype="bfloat16", remat=remat,
                          fused_diffusion=True, warm_up=0,
-                         checkpoint_dir=None, donate_state=True)
+                         checkpoint_dir=None, donate_state=True,
+                         optimizer=args.optimizer,
+                         moment_dtype=args.moment_dtype)
             optimizer = trainer_lib.make_optimizer(cfg)
 
             def step(state, batch, rng):
