@@ -137,3 +137,95 @@ def forward_diffuse_fused(cfg, x, t, rng, interpret: bool | None = None):
     flat = x.reshape(b, n)
     out = fused_forward_diffuse(flat, ss, sn, interpret, seed=seed)
     return out.reshape(x.shape)
+
+
+# ------------------------------------------------------- multi-chip variant
+
+
+def _spec_entry(spec, i):
+    """i-th PartitionSpec entry (specs are implicitly None-padded)."""
+    return spec[i] if i < len(spec) else None
+
+
+def _entry_axes(entry):
+    if entry is None:
+        return []
+    if isinstance(entry, (tuple, list)):
+        return list(entry)
+    return [entry]
+
+
+def _local_shape(shape, spec, mesh):
+    """Per-device block shape of a global array under ``spec``; None when
+    some dimension is not divisible by its mesh-axis product."""
+    local = []
+    for i, dim in enumerate(shape):
+        k = 1
+        for ax in _entry_axes(_spec_entry(spec, i)):
+            k *= mesh.shape[ax]
+        if dim % k != 0:
+            return None
+        local.append(dim // k)
+    return tuple(local)
+
+
+def fused_sharded_ok(cfg, x_shape, mesh, batch_spec) -> bool:
+    """Whether the shard_map fused-diffusion island applies: every sharded
+    dim divides evenly and the per-device flattened sample stays
+    lane-aligned (the kernel's %128 requirement on LOCAL shapes)."""
+    local = _local_shape(x_shape, batch_spec, mesh)
+    if local is None:
+        return False
+    return (local[1] * local[2] * local[3]) % 128 == 0
+
+
+def forward_diffuse_fused_sharded(cfg, x, t, rng, mesh, batch_spec):
+    """Fused forward diffusion on a multi-device mesh.
+
+    Mosaic kernels cannot be auto-partitioned by GSPMD (JAX raises
+    "Please wrap the call in a shard_map", jax/_src/tpu_custom_call.py) —
+    so on a >1-device mesh the kernel runs inside a shard_map island: each
+    device diffuses its local (batch × height) block, with the PRNG stream
+    decorrelated per device by folding the linearised mesh position into
+    the seed (the in-kernel fold only decorrelates per LOCAL
+    (sample, block), which repeats identically on every device).
+
+    ``batch_spec`` is the PartitionSpec of ``x`` (e.g. P('data'),
+    P(('slice','data')), P(None,'spatial'), P('data','spatial')). The
+    per-sample ᾱ scales shard with the batch dimension only.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..core.schedule import alpha_dash
+
+    ad = alpha_dash(t[:, 0, 0, 0], cfg.steps, cfg.schedule).astype(jnp.float32)
+    ss = jnp.sqrt(ad)
+    sn = jnp.sqrt(1.0 - ad)
+    seed = jax.random.randint(rng, (), 0, 2**31 - 1, jnp.int32)
+
+    axes = []
+    for i in range(4):
+        axes.extend(_entry_axes(_spec_entry(batch_spec, i)))
+    sample_spec = P(_spec_entry(batch_spec, 0))
+
+    def local(x_l, ss_l, sn_l, seed_l):
+        lin = jnp.int32(0)
+        for ax in axes:
+            lin = lin * jnp.int32(mesh.shape[ax]) + jax.lax.axis_index(ax)
+        # Knuth multiplicative hash of (device position + 1), int32 wraparound
+        s = seed_l ^ ((lin + jnp.int32(1)) * jnp.int32(-1640531527))
+        b_l = x_l.shape[0]
+        n_l = x_l.shape[1] * x_l.shape[2] * x_l.shape[3]
+        out = fused_forward_diffuse(
+            x_l.reshape(b_l, n_l), ss_l, sn_l, False, seed=s
+        )
+        return out.reshape(x_l.shape)
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(batch_spec, sample_spec, sample_spec, P()),
+        out_specs=batch_spec,
+        check_vma=False,
+    )
+    return fn(x, ss, sn, seed)

@@ -124,7 +124,14 @@ def make_parallel_train_step(cfg, mesh: Mesh, example_state=None):
 
     def step(state, batch, rng):
         return trainer_lib.train_step(
-            cfg, optimizer, state, batch, rng, mesh_size=mesh.size
+            cfg,
+            optimizer,
+            state,
+            batch,
+            rng,
+            mesh_size=mesh.size,
+            mesh=mesh,
+            batch_spec=batch_sharding(mesh).spec,
         )
 
     if example_state is None:

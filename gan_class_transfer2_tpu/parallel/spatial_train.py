@@ -59,7 +59,16 @@ def make_dp_spatial_train_step(cfg, mesh: Mesh):
     optimizer = trainer_lib.make_optimizer(cfg)
 
     def step(state, batch, rng):
-        return trainer_lib.train_step(cfg, optimizer, state, batch, rng)
+        return trainer_lib.train_step(
+            cfg,
+            optimizer,
+            state,
+            batch,
+            rng,
+            mesh_size=mesh.size,
+            mesh=mesh,
+            batch_spec=dp_spatial_batch_sharding(mesh).spec,
+        )
 
     rep = NamedSharding(mesh, P())
     st_sh = jax.tree_util.tree_map(
@@ -81,7 +90,16 @@ def make_spatial_train_step(cfg, mesh: Mesh):
     optimizer = trainer_lib.make_optimizer(cfg)
 
     def step(state, batch, rng):
-        return trainer_lib.train_step(cfg, optimizer, state, batch, rng)
+        return trainer_lib.train_step(
+            cfg,
+            optimizer,
+            state,
+            batch,
+            rng,
+            mesh_size=mesh.size,
+            mesh=mesh,
+            batch_spec=spatial_batch_sharding(mesh).spec,
+        )
 
     rep = NamedSharding(mesh, P())
     st_sh = jax.tree_util.tree_map(

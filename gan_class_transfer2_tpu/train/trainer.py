@@ -217,7 +217,17 @@ def compute_loss(cfg, target, prediction):
     raise ValueError(f"unknown loss {cfg.loss!r}")
 
 
-def diffusion_loss(cfg, params, batch, rng, *, t_int=None, epsilon_in=None):
+def diffusion_loss(
+    cfg,
+    params,
+    batch,
+    rng,
+    *,
+    t_int=None,
+    epsilon_in=None,
+    mesh=None,
+    batch_spec=None,
+):
     """Sample (t, ε), noise the batch, predict, and compute the loss.
 
     ``batch`` is either an image array or a dict {"image", "label"} for
@@ -226,7 +236,13 @@ def diffusion_loss(cfg, params, batch, rng, *, t_int=None, epsilon_in=None):
     ``t_int``/``epsilon_in`` optionally inject the randomness instead of
     drawing it from ``rng`` — used by the bit-level step-parity harness
     (tests/test_step_parity.py) to feed both this step and a live TF
-    reference step the identical (t, ε) draws."""
+    reference step the identical (t, ε) draws.
+
+    ``mesh``/``batch_spec`` (from the parallel step builders): Mosaic
+    kernels cannot be GSPMD-partitioned, so on a >1-device mesh the fused
+    diffusion kernel must run in a shard_map island keyed by the batch's
+    partition spec (ops/kernels.forward_diffuse_fused_sharded); without
+    the spec the fused path is disabled on multi-device meshes."""
     label = None
     if isinstance(batch, dict):
         label = batch.get("label")
@@ -238,6 +254,7 @@ def diffusion_loss(cfg, params, batch, rng, *, t_int=None, epsilon_in=None):
     else:
         t_int = jnp.reshape(jnp.asarray(t_int, jnp.int32), (b, 1, 1, 1))
     t = t_int.astype(batch.dtype)
+    multi_device = mesh is not None and mesh.size > 1
     use_fused = (
         epsilon_in is None
         and cfg.fused_diffusion
@@ -246,7 +263,21 @@ def diffusion_loss(cfg, params, batch, rng, *, t_int=None, epsilon_in=None):
         # kernel requires lane-aligned flattened samples; fall back otherwise
         and (batch.shape[1] * batch.shape[2] * batch.shape[3]) % 128 == 0
     )
-    if use_fused:
+    if use_fused and multi_device:
+        from ..ops import kernels
+
+        # lane alignment must hold on the per-device LOCAL shape
+        use_fused = batch_spec is not None and kernels.fused_sharded_ok(
+            cfg, batch.shape, mesh, batch_spec
+        )
+    if use_fused and multi_device:
+        from ..ops import kernels
+
+        noised = kernels.forward_diffuse_fused_sharded(
+            cfg, batch, t, rng_eps, mesh, batch_spec
+        )
+        epsilon = None
+    elif use_fused:
         from ..ops import kernels
 
         noised = kernels.forward_diffuse_fused(cfg, batch, t, rng_eps)
@@ -266,11 +297,20 @@ def diffusion_loss(cfg, params, batch, rng, *, t_int=None, epsilon_in=None):
 
 
 def train_step(
-    cfg, optimizer, state: TrainState, batch, rng, mesh_size: int = 1
+    cfg,
+    optimizer,
+    state: TrainState,
+    batch,
+    rng,
+    mesh_size: int = 1,
+    mesh=None,
+    batch_spec=None,
 ) -> Tuple[TrainState, jnp.ndarray]:
     """One optimizer step. Pure; jit/pjit-compiled by the caller.
     ``mesh_size`` is the device count of the compiling mesh (gates the
-    fused-Adam kernel, which is single-device only)."""
+    fused-Adam kernel, which is single-device only); ``mesh``/``batch_spec``
+    route the fused diffusion kernel through a shard_map island on
+    multi-device meshes (see diffusion_loss)."""
     rng = jax.random.fold_in(rng, state.step)
 
     raw = batch["image"] if isinstance(batch, dict) else batch
@@ -295,7 +335,9 @@ def train_step(
         scale = cfg.loss_scale if cfg.loss_scale > 0 else None
 
     def loss_fn(params):
-        loss = diffusion_loss(cfg, params, batch, rng)
+        loss = diffusion_loss(
+            cfg, params, batch, rng, mesh=mesh, batch_spec=batch_spec
+        )
         if scale is not None:
             return loss * scale
         return loss
