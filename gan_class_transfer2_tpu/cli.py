@@ -120,6 +120,13 @@ def main(argv=None):
                 "--model", type=str, default="diffusion",
                 choices=("diffusion", "gan"),
             )
+            p.add_argument(
+                "--frontend", type=str, default="threaded",
+                choices=("threaded", "aio"),
+                help="threaded = http.server thread-per-connection; aio = "
+                "asyncio event loop (scales to many slow/idle clients; "
+                "device batching identical)",
+            )
 
     args = parser.parse_args(argv)
     if getattr(args, "platform", None):
@@ -193,7 +200,13 @@ def main(argv=None):
     if args.command == "serve":
         from .serve.server import serve_from_checkpoint
 
-        serve_from_checkpoint(cfg, host=args.host, port=args.port, model=args.model)
+        serve_from_checkpoint(
+            cfg,
+            host=args.host,
+            port=args.port,
+            model=args.model,
+            frontend=args.frontend,
+        )
         return 0
 
     return 1

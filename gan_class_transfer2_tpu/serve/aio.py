@@ -1,0 +1,241 @@
+"""Async serving frontend (stdlib asyncio) over the same ModelService.
+
+The threaded frontend (server.py) spends one OS thread per connection —
+fine for a handful of clients, wasteful for many slow/idle ones. This
+frontend multiplexes all connections on one event loop; only the actual
+device work (which blocks in the batchers) runs on a small thread pool, so
+thousands of concurrent clients still coalesce into the same device batches
+(SampleBatcher/ImageBatcher, server.py:45-162).
+
+Same endpoints and wire format as server.py: /healthz, /sample (including
+chunked multipart streaming), /denoise, /transfer. Selected with
+``serve --frontend aio``. No third-party dependencies (zero-egress
+environment): HTTP/1.1 parsing is hand-rolled on asyncio streams;
+connections are Connection: close.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import json
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional
+from urllib.parse import parse_qs
+
+import numpy as np
+
+from .server import ModelService, _decode_png, _png_bytes
+
+
+def _response(code: int, content_type: str, body: bytes) -> bytes:
+    reason = {200: "OK", 400: "Bad Request", 404: "Not Found",
+              500: "Internal Server Error"}.get(code, "OK")
+    return (
+        f"HTTP/1.1 {code} {reason}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "Connection: close\r\n\r\n"
+    ).encode() + body
+
+
+def _json_response(code: int, obj) -> bytes:
+    return _response(code, "application/json", json.dumps(obj).encode())
+
+
+class AsyncServer:
+    """asyncio HTTP frontend; device work delegated to a thread pool."""
+
+    def __init__(self, service: ModelService, host: str = "127.0.0.1",
+                 port: int = 0, max_workers: int = 8):
+        self.service = service
+        self.host = host
+        self.port = port
+        self._server: Optional[asyncio.AbstractServer] = None
+        self._pool = ThreadPoolExecutor(max_workers=max_workers,
+                                        thread_name_prefix="gct2-aio")
+
+    # ------------------------------------------------------------ plumbing
+
+    async def _read_request(self, reader):
+        request_line = await asyncio.wait_for(reader.readline(), 30)
+        parts = request_line.decode("latin-1").split()
+        if len(parts) < 2:
+            raise ValueError("malformed request line")
+        method, target = parts[0], parts[1]
+        headers = {}
+        while True:
+            line = await asyncio.wait_for(reader.readline(), 30)
+            if line in (b"\r\n", b"\n", b""):
+                break
+            k, _, v = line.decode("latin-1").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers.get("content-length", 0))
+        body = await reader.readexactly(length) if length > 0 else b""
+        return method, target, headers, body
+
+    async def _run_blocking(self, fn, *args):
+        return await asyncio.get_running_loop().run_in_executor(
+            self._pool, fn, *args
+        )
+
+    # ------------------------------------------------------------- routing
+
+    async def _handle_stream(self, writer, num: int, segments: int):
+        """Chunked multipart stream of intermediate diffusion states —
+        the blocking generator runs on the pool and feeds an async queue."""
+        boundary = "gct2frame"
+        writer.write(
+            (
+                "HTTP/1.1 200 OK\r\n"
+                f"Content-Type: multipart/x-mixed-replace; boundary={boundary}\r\n"
+                "Connection: close\r\n\r\n"
+            ).encode()
+        )
+        loop = asyncio.get_running_loop()
+        queue: asyncio.Queue = asyncio.Queue()
+
+        def produce():
+            try:
+                for snapshot in self.service.sample_stream(num, segments=segments):
+                    loop.call_soon_threadsafe(queue.put_nowait, snapshot)
+                loop.call_soon_threadsafe(queue.put_nowait, None)
+            except Exception as e:  # noqa: BLE001 — surfaced to the drain loop
+                loop.call_soon_threadsafe(queue.put_nowait, e)
+
+        producer = loop.run_in_executor(self._pool, produce)
+        while True:
+            item = await queue.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            body = _png_bytes(item[0])
+            writer.write(
+                f"--{boundary}\r\nContent-Type: image/png\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n".encode()
+                + body + b"\r\n"
+            )
+            await writer.drain()
+        writer.write(f"--{boundary}--\r\n".encode())
+        await producer
+
+    async def _route(self, method, target, body, writer) -> Optional[bytes]:
+        service = self.service
+        path, _, query = target.partition("?")
+        if method == "GET":
+            if path == "/healthz":
+                return _json_response(200, {"status": "ok", "step": service.step,
+                                            "frontend": "aio"})
+            return _json_response(404, {"error": f"unknown path {path}"})
+        if method != "POST":
+            return _json_response(404, {"error": f"unsupported method {method}"})
+        if path == "/sample":
+            req = json.loads(body or b"{}")
+            num = int(req.get("num", 1))
+            if not 1 <= num <= 64:
+                return _json_response(400, {"error": "num must be in [1, 64]"})
+            if req.get("stream"):
+                await self._handle_stream(writer, num, int(req.get("segments", 4)))
+                return None  # response already written
+            images = await self._run_blocking(service.sample, num)
+            if req.get("format") == "base64":
+                return _json_response(200, {
+                    "images": [base64.b64encode(_png_bytes(im)).decode()
+                               for im in images]
+                })
+            return _response(200, "image/png", _png_bytes(images[0]))
+        if path == "/denoise":
+            img = _decode_png(body, service.cfg.size)
+            out = await self._run_blocking(service.denoise, img)
+            return _response(200, "image/png", _png_bytes(out[0]))
+        if path == "/transfer":
+            direction = parse_qs(query).get("direction", ["ab"])[0]
+            if direction not in ("ab", "ba"):
+                return _json_response(400, {"error": "direction must be ab|ba"})
+            img = _decode_png(body, service.cfg.size)
+            out = await self._run_blocking(service.transfer, img, direction)
+            return _response(200, "image/png", _png_bytes(out[0]))
+        return _json_response(404, {"error": f"unknown path {path}"})
+
+    async def _handle(self, reader, writer):
+        try:
+            method, target, _headers, body = await self._read_request(reader)
+            try:
+                resp = await self._route(method, target, body, writer)
+            except ValueError as e:
+                resp = _json_response(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — fault barrier per request
+                resp = _json_response(500, {"error": f"{type(e).__name__}: {e}"})
+            if resp is not None:
+                writer.write(resp)
+            await writer.drain()
+        except (asyncio.IncompleteReadError, asyncio.TimeoutError,
+                ConnectionError, ValueError):
+            pass  # client went away / malformed request — drop quietly
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except Exception:  # noqa: BLE001
+                pass
+
+    # ----------------------------------------------------------- lifecycle
+
+    async def _serve(self, ready: Optional[asyncio.Event] = None):
+        self._server = await asyncio.start_server(
+            self._handle, self.host, self.port
+        )
+        self.port = self._server.sockets[0].getsockname()[1]
+        if ready is not None:
+            ready.set()
+        async with self._server:
+            await self._server.serve_forever()
+
+    def run_forever(self):
+        """Blocking entry (CLI)."""
+        try:
+            asyncio.run(self._serve())
+        finally:
+            self._pool.shutdown(wait=False)
+            self.service.close()
+
+    # Threaded wrapper so tests can drive it like server.Server
+    def start(self):
+        import threading
+
+        self._loop = asyncio.new_event_loop()
+        started = __import__("threading").Event()
+
+        def runner():
+            asyncio.set_event_loop(self._loop)
+            ready = asyncio.Event()
+
+            async def main():
+                task = asyncio.ensure_future(self._serve(ready))
+                await ready.wait()
+                started.set()
+                await task
+
+            try:
+                self._loop.run_until_complete(main())
+            except asyncio.CancelledError:
+                pass
+
+        self._thread = threading.Thread(target=runner, daemon=True)
+        self._thread.start()
+        if not started.wait(timeout=30):
+            raise RuntimeError("async server failed to start")
+        return self
+
+    def stop(self):
+        def cancel_all():
+            if self._server is not None:
+                self._server.close()
+            for task in asyncio.all_tasks(self._loop):
+                task.cancel()
+
+        self._loop.call_soon_threadsafe(cancel_all)
+        self._thread.join(timeout=10)
+        self._pool.shutdown(wait=False)
+        self.service.close()

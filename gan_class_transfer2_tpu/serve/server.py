@@ -411,12 +411,18 @@ class Server:
 
 
 def serve_from_checkpoint(
-    cfg, host: str = "127.0.0.1", port: int = 8080, model: str = "diffusion"
+    cfg,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    model: str = "diffusion",
+    frontend: str = "threaded",
 ):
     """Load the latest checkpoint and serve forever (CLI entry).
 
     model='diffusion' serves /sample and /denoise; model='gan' additionally
-    serves /transfer from a cycle-GAN checkpoint."""
+    serves /transfer from a cycle-GAN checkpoint. frontend='aio' swaps the
+    thread-per-connection http.server for the asyncio event loop
+    (serve/aio.py) — same endpoints and device batching."""
     import jax
 
     from ..train import gan as gan_lib
@@ -442,6 +448,16 @@ def serve_from_checkpoint(
         if has_ckpt:
             state = ckpt_lib.restore(cfg.checkpoint_dir, state)
         service = ModelService(cfg, state=state)
+    if frontend == "aio":
+        from .aio import AsyncServer
+
+        aserver = AsyncServer(service, host, port)
+        print(
+            f"serving on {host}:{port} (step {service.step}, asyncio)",
+            flush=True,
+        )
+        aserver.run_forever()
+        return
     server = Server(service, host, port)
     print(f"serving on {host}:{server.port} (step {service.step})", flush=True)
     server.httpd.serve_forever()

@@ -1,0 +1,155 @@
+"""Async (asyncio) serving frontend — same API surface as the threaded one.
+
+Drives serve/aio.AsyncServer over a real socket with the stdlib client and
+checks the endpoints, the multipart stream, and that concurrent requests
+still coalesce through the shared device batchers.
+"""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from gan_class_transfer2_tpu.config import tiny_test_config
+from gan_class_transfer2_tpu.serve.aio import AsyncServer
+from gan_class_transfer2_tpu.serve.server import ModelService
+from gan_class_transfer2_tpu.train import gan, trainer
+
+
+@pytest.fixture(scope="module")
+def aserver():
+    cfg = tiny_test_config()
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    gan_state = gan.init_gan_state(cfg, jax.random.PRNGKey(1))
+    service = ModelService(cfg, state=state, gan_state=gan_state)
+    srv = AsyncServer(service).start()
+    yield srv, cfg
+    srv.stop()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}") as r:
+        return r.status, r.read()
+
+
+def _post(srv, path, data, headers=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", data=data, headers=headers or {}
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_healthz_reports_aio(aserver):
+    srv, _ = aserver
+    status, body = _get(srv, "/healthz")
+    assert status == 200
+    obj = json.loads(body)
+    assert obj["status"] == "ok"
+    assert obj["frontend"] == "aio"
+
+
+def test_sample_png(aserver):
+    srv, cfg = aserver
+    status, body = _post(srv, "/sample", json.dumps({"num": 2}).encode())
+    assert status == 200
+    img = Image.open(io.BytesIO(body))
+    assert img.size == (cfg.size, cfg.size)
+
+
+def test_sample_base64_batch(aserver):
+    srv, _ = aserver
+    status, body = _post(
+        srv, "/sample", json.dumps({"num": 3, "format": "base64"}).encode()
+    )
+    assert status == 200
+    assert len(json.loads(body)["images"]) == 3
+
+
+def test_bad_num_rejected(aserver):
+    srv, _ = aserver
+    status, body = _post(srv, "/sample", json.dumps({"num": 0}).encode())
+    assert status == 400
+
+
+def test_unknown_path_404(aserver):
+    srv, _ = aserver
+    status, _ = _post(srv, "/nope", b"")
+    assert status == 404
+
+
+def test_denoise_roundtrip(aserver):
+    srv, cfg = aserver
+    arr = np.random.default_rng(0).integers(
+        0, 256, (cfg.size, cfg.size, 3), dtype=np.uint8
+    )
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    status, body = _post(srv, "/denoise", buf.getvalue())
+    assert status == 200
+    assert Image.open(io.BytesIO(body)).size == (cfg.size, cfg.size)
+
+
+def test_transfer_direction(aserver):
+    srv, cfg = aserver
+    arr = np.zeros((cfg.size, cfg.size, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    status, _ = _post(srv, "/transfer?direction=ba", buf.getvalue())
+    assert status == 200
+    status, body = _post(srv, "/transfer?direction=zz", buf.getvalue())
+    assert status == 400
+
+
+def test_stream_multipart(aserver):
+    srv, _ = aserver
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}/sample",
+        data=json.dumps({"num": 1, "stream": True, "segments": 3}).encode(),
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert "multipart/x-mixed-replace" in r.headers["Content-Type"]
+        payload = r.read()
+    assert payload.count(b"--gct2frame") >= 4  # 3 frames + terminator
+    assert payload.count(b"Content-Type: image/png") == 3
+
+
+def test_concurrent_requests_coalesce(aserver):
+    """N parallel /sample requests must share device batches through the
+    SampleBatcher even on the async frontend."""
+    srv, _ = aserver
+    service = srv.service
+
+    # count device invocations by wrapping the batcher's run fn
+    n_calls = []
+    orig = service._batcher._run
+
+    def counting(num):
+        n_calls.append(num)
+        return orig(num)
+
+    service._batcher._run = counting
+    try:
+        results = [None] * 6
+        def worker(i):
+            results[i] = _post(
+                srv, "/sample", json.dumps({"num": 1}).encode()
+            )
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(r[0] == 200 for r in results)
+        assert len(n_calls) <= 3, f"expected coalescing, got calls {n_calls}"
+    finally:
+        service._batcher._run = orig
