@@ -99,6 +99,11 @@ def main(argv=None):
         if cmd == "sample":
             p.add_argument("--out", type=str, default="samples")
             p.add_argument("--num", type=int, default=6)
+            p.add_argument(
+                "--class-idx", type=int, default=None,
+                help="class to sample from (conditional checkpoints, "
+                "num_classes > 0)",
+            )
         if cmd == "edit":
             p.add_argument("--input", type=str, required=True, help="image path")
             p.add_argument("--out", type=str, default="edited")
@@ -238,7 +243,20 @@ def _sample(cfg: Config, args) -> int:
     batch = jax.numpy.asarray(
         rng.normal(size=(args.num, cfg.size, cfg.size, 3)).astype(np.float32)
     )
-    result = jax.jit(lambda p, b: sampler.sample(cfg, p, b))(params, batch)
+    class_idx = None
+    if getattr(args, "class_idx", None) is not None:
+        if cfg.num_classes <= 0:
+            raise SystemExit(
+                "--class-idx requires a conditional checkpoint (num_classes > 0)"
+            )
+        if not 0 <= args.class_idx < cfg.num_classes:
+            raise SystemExit(
+                f"--class-idx must be in [0, {cfg.num_classes})"
+            )
+        class_idx = jax.numpy.full((args.num,), args.class_idx, jax.numpy.int32)
+    result = jax.jit(
+        lambda p, b, c: sampler.sample(cfg, p, b, class_idx=c)
+    )(params, batch, class_idx)
     images = np.asarray(result.images)
     os.makedirs(args.out, exist_ok=True)
     for i, img in enumerate(images):

@@ -138,7 +138,12 @@ class AsyncServer:
             if req.get("stream"):
                 await self._handle_stream(writer, num, int(req.get("segments", 4)))
                 return None  # response already written
-            images = await self._run_blocking(service.sample, num)
+            class_idx = req.get("class")
+            images = await self._run_blocking(
+                service.sample,
+                num,
+                None if class_idx is None else int(class_idx),
+            )
             if req.get("format") == "base64":
                 return _json_response(200, {
                     "images": [base64.b64encode(_png_bytes(im)).decode()

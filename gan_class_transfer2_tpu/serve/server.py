@@ -74,6 +74,13 @@ class SampleBatcher:
 
     def _execute(self, batch):
         total = sum(r.num for r in batch)
+        if any(r.payload is not None for r in batch):
+            # conditional sampling: per-request class indices concatenate
+            # into one mixed-class device batch (class_idx is per-sample)
+            classes = np.concatenate(
+                [np.full((r.num,), r.payload or 0, np.int32) for r in batch]
+            )
+            return self._run(total, classes)
         return self._run(total)
 
     def close(self):
@@ -182,7 +189,9 @@ class ModelService:
         if state is not None:
             params = state.ema_params if state.ema_params is not None else state.params
             self._params = params
-            self._sample = jax.jit(lambda p, b: sampler.sample(cfg, p, b).images)
+            self._sample = jax.jit(
+                lambda p, b, c: sampler.sample(cfg, p, b, class_idx=c).images
+            )
             self._preview = jax.jit(lambda p, x, n: sampler.preview(cfg, p, x, n))
             self._segment = sampler.make_segment_fn(cfg)  # streaming
             self._batcher = SampleBatcher(self._run_sample)
@@ -197,8 +206,9 @@ class ModelService:
                 for d in ("ab", "ba")
             }
 
-    def _run_sample(self, num: int) -> np.ndarray:
-        """One coalesced device invocation for ``num`` images."""
+    def _run_sample(self, num: int, classes=None) -> np.ndarray:
+        """One coalesced device invocation for ``num`` images; ``classes``
+        is a per-sample int32 class vector for conditional checkpoints."""
         import jax
 
         # bucket the batch to a power of two: each distinct shape would
@@ -207,23 +217,35 @@ class ModelService:
         padded = 1
         while padded < num:
             padded *= 2
+        c = None
+        if classes is not None or self.cfg.num_classes > 0:
+            c = np.zeros((padded,), np.int32)
+            if classes is not None:
+                c[:num] = classes
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
             init = jax.random.normal(
                 sub, (padded, self.cfg.size, self.cfg.size, 3), dtype=np.float32
             )
-            return np.asarray(self._sample(self._params, init))[:num]
+            return np.asarray(self._sample(self._params, init, c))[:num]
 
     @property
     def step(self) -> int:
         st = self.state if self.state is not None else self.gan_state
         return int(st.step)
 
-    def sample(self, num: int) -> np.ndarray:
+    def sample(self, num: int, class_idx: Optional[int] = None) -> np.ndarray:
         if self.state is None:
             raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
+        if class_idx is not None:
+            if self.cfg.num_classes <= 0:
+                raise ValueError("this checkpoint is unconditional (no classes)")
+            if not 0 <= class_idx < self.cfg.num_classes:
+                raise ValueError(
+                    f"class must be in [0, {self.cfg.num_classes})"
+                )
         # concurrent requests coalesce into one device batch (SampleBatcher)
-        return self._batcher.submit(num)
+        return self._batcher.submit(num, payload=class_idx)
 
     def sample_stream(self, num: int, segments: int = 4):
         """Generator of intermediate reverse-diffusion states: yields
@@ -360,7 +382,11 @@ def make_handler(service: ModelService):
                         return self._stream_sample(
                             num, int(req.get("segments", 4))
                         )
-                    images = service.sample(num)
+                    class_idx = req.get("class")
+                    images = service.sample(
+                        num,
+                        class_idx=None if class_idx is None else int(class_idx),
+                    )
                     if req.get("format") == "base64":
                         return self._json(
                             200,

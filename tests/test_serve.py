@@ -150,9 +150,9 @@ def test_concurrent_samples_coalesce(server):
     real = svc._sample
     calls = []
 
-    def counting(p, b):
+    def counting(p, b, c=None):
         calls.append(int(b.shape[0]))
-        return real(p, b)
+        return real(p, b, c)
 
     svc._sample = counting
     try:
