@@ -154,6 +154,15 @@ class AsyncServer:
             img = _decode_png(body, service.cfg.size)
             out = await self._run_blocking(service.denoise, img)
             return _response(200, "image/png", _png_bytes(out[0]))
+        if path == "/edit":
+            raw = parse_qs(query).get("edits", ["pixelate,shift,quantise"])
+            edits = tuple(e for e in raw[0].split(",") if e)
+            img = _decode_png(body, service.cfg.size)
+            out = await self._run_blocking(service.edit, img, edits)
+            return _json_response(200, {
+                k: base64.b64encode(_png_bytes(v[0])).decode()
+                for k, v in out.items()
+            })
         if path == "/transfer":
             direction = parse_qs(query).get("direction", ["ab"])[0]
             if direction not in ("ab", "ba"):

@@ -12,6 +12,10 @@ Endpoints (JSON unless noted):
   POST /transfer  body=PNG   → class-transferred image (GAN checkpoints),
                                query: direction=ab|ba
   POST /denoise   body=PNG   → single-step denoise preview of the input
+  POST /edit      body=PNG   → invert → edit-noise → decode (the reference's
+                               signature workflow, train.py:364-496); query:
+                               edits=pixelate,shift,quantise; returns JSON
+                               {edit name: base64 PNG} incl. reconstruction
 
 Built on http.server (stdlib) with a lock around device calls — throughput
 serving would swap in a real async frontend; the device-side batching path
@@ -196,6 +200,7 @@ class ModelService:
             self._segment = sampler.make_segment_fn(cfg)  # streaming
             self._batcher = SampleBatcher(self._run_sample)
             self._denoise_batcher = ImageBatcher(self._run_denoise)
+            self._edit_fns = {}  # edits tuple -> jitted invert+edit+decode
         if gan_state is not None:
             from ..train import gan
 
@@ -309,6 +314,35 @@ class ModelService:
         for b in getattr(self, "_transfer_batchers", {}).values():
             b.close()
 
+    EDIT_NAMES = ("pixelate", "shift", "quantise")
+
+    def edit(self, image: np.ndarray, edits=EDIT_NAMES) -> dict:
+        """The reference's signature invert → edit-noise → decode workflow
+        (reference train.py:364-496) as a serving endpoint. Heavy program
+        (2·T denoiser steps) — runs single-flight under the device lock.
+        Returns {edit name: (1,H,W,3)} incl. 'reconstruction'."""
+        import jax
+
+        from ..sample import sampler
+
+        if self.state is None:
+            raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
+        bad = [e for e in edits if e not in self.EDIT_NAMES]
+        if bad:
+            raise ValueError(
+                f"unknown edits {bad}; valid: {', '.join(self.EDIT_NAMES)}"
+            )
+        key = tuple(sorted(set(edits)))
+        with self._lock:
+            fn = self._edit_fns.get(key)
+            if fn is None:
+                fn = jax.jit(
+                    lambda p, x: sampler.edit_image(self.cfg, p, x, key)
+                )
+                self._edit_fns[key] = fn
+            out = fn(self._params, image)
+            return {k: np.asarray(v) for k, v in out.items()}
+
     def denoise(self, image: np.ndarray) -> np.ndarray:
         if self.state is None:
             raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
@@ -401,6 +435,20 @@ def make_handler(service: ModelService):
                 if path == "/denoise":
                     img = _decode_png(self._body(), service.cfg.size)
                     return self._png(service.denoise(img)[0])
+                if path == "/edit":
+                    from urllib.parse import parse_qs
+
+                    raw = parse_qs(query).get("edits", ["pixelate,shift,quantise"])
+                    edits = tuple(e for e in raw[0].split(",") if e)
+                    img = _decode_png(self._body(), service.cfg.size)
+                    out = service.edit(img, edits)
+                    return self._json(
+                        200,
+                        {
+                            k: base64.b64encode(_png_bytes(v[0])).decode()
+                            for k, v in out.items()
+                        },
+                    )
                 if path == "/transfer":
                     from urllib.parse import parse_qs
 

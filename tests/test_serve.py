@@ -78,6 +78,29 @@ def test_denoise_roundtrip(server):
     assert out.size == (cfg.size, cfg.size)
 
 
+def test_edit_endpoint(server):
+    """The reference's invert → edit-noise → decode workflow over HTTP
+    (reference train.py:364-496)."""
+    import base64
+
+    srv, cfg = server
+    arr = np.random.default_rng(2).integers(
+        0, 256, (cfg.size, cfg.size, 3), dtype=np.uint8
+    )
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    status, body = _post(srv, "/edit?edits=pixelate,shift", buf.getvalue())
+    assert status == 200
+    out = json.loads(body)
+    assert sorted(out) == ["pixelate", "reconstruction", "shift"]
+    img = Image.open(io.BytesIO(base64.b64decode(out["pixelate"])))
+    assert img.size == (cfg.size, cfg.size)
+    # invalid edit name → named 400
+    status, body = _post(srv, "/edit?edits=sharpen", buf.getvalue())
+    assert status == 400
+    assert "sharpen" in json.loads(body)["error"]
+
+
 def test_transfer_directions(server):
     srv, cfg = server
     arr = np.random.default_rng(1).integers(

@@ -109,6 +109,22 @@ def test_transfer_direction(aserver):
     assert status == 400
 
 
+def test_edit_endpoint(aserver):
+    import base64
+
+    srv, cfg = aserver
+    arr = np.zeros((cfg.size, cfg.size, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    status, body = _post(srv, "/edit?edits=shift", buf.getvalue())
+    assert status == 200
+    out = json.loads(body)
+    assert sorted(out) == ["reconstruction", "shift"]
+    assert Image.open(
+        io.BytesIO(base64.b64decode(out["shift"]))
+    ).size == (cfg.size, cfg.size)
+
+
 def test_stream_multipart(aserver):
     srv, _ = aserver
     req = urllib.request.Request(
