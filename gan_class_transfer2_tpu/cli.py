@@ -54,7 +54,10 @@ def config_from_args(args, checkpoint_config: bool = False) -> Config:
     import os
 
     overrides = {}
+    default_ckpt_dir = None
     for f in dataclasses.fields(Config):
+        if f.name == "checkpoint_dir":
+            default_ckpt_dir = f.default
         v = getattr(args, f.name, None)
         if v is not None:
             overrides[f.name] = tuple(v) if f.name == "classes" else v
@@ -62,11 +65,14 @@ def config_from_args(args, checkpoint_config: bool = False) -> Config:
     if getattr(args, "config", None):
         with open(args.config) as fh:
             base = Config.from_json(fh.read())
-    elif checkpoint_config and overrides.get("checkpoint_dir"):
-        saved = os.path.join(overrides["checkpoint_dir"], "config.json")
-        if os.path.exists(saved):
-            with open(saved) as fh:
-                base = Config.from_json(fh.read())
+    elif checkpoint_config:
+        # the DEFAULT checkpoint dir counts too: sample/serve with no flags
+        # must still rebuild the train-time state structure
+        ckpt_dir = overrides.get("checkpoint_dir", default_ckpt_dir)
+        if ckpt_dir and os.path.exists(os.path.join(ckpt_dir, "config.json")):
+            from .utils.checkpoint import load_config
+
+            base = load_config(ckpt_dir)
     if base is not None:
         return base.replace(**overrides).validate()
     return Config(**overrides).validate()

@@ -187,6 +187,11 @@ class Config:
         for knob in (self.d_norm, self.g_norm):
             if knob not in ("none", "instance", "batch"):
                 raise ValueError(f"unknown norm {knob!r}")
+        if self.moment_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"unknown moment_dtype {self.moment_dtype!r} "
+                "(float32 | bfloat16)"
+            )
         return self
 
     # --------------------------------------------------------- serialization

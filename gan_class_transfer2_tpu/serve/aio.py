@@ -57,6 +57,9 @@ class AsyncServer:
 
     # ------------------------------------------------------------ plumbing
 
+    MAX_HEADERS = 100
+    MAX_BODY = 64 * 1024 * 1024  # PNG uploads; far above any valid request
+
     async def _read_request(self, reader):
         request_line = await asyncio.wait_for(reader.readline(), 30)
         parts = request_line.decode("latin-1").split()
@@ -64,14 +67,24 @@ class AsyncServer:
             raise ValueError("malformed request line")
         method, target = parts[0], parts[1]
         headers = {}
-        while True:
+        for _ in range(self.MAX_HEADERS):
             line = await asyncio.wait_for(reader.readline(), 30)
             if line in (b"\r\n", b"\n", b""):
                 break
             k, _, v = line.decode("latin-1").partition(":")
             headers[k.strip().lower()] = v.strip()
+        else:
+            raise ValueError("too many headers")
         length = int(headers.get("content-length", 0))
-        body = await reader.readexactly(length) if length > 0 else b""
+        if length > self.MAX_BODY:
+            raise ValueError(f"body too large ({length} > {self.MAX_BODY})")
+        # bound the whole body read: a trickling client must not hold the
+        # connection (and its buffer) forever
+        body = (
+            await asyncio.wait_for(reader.readexactly(length), 120)
+            if length > 0
+            else b""
+        )
         return method, target, headers, body
 
     async def _run_blocking(self, fn, *args):
@@ -81,9 +94,14 @@ class AsyncServer:
 
     # ------------------------------------------------------------- routing
 
-    async def _handle_stream(self, writer, num: int, segments: int):
+    async def _handle_stream(self, writer, num: int, segments: int,
+                             class_idx=None):
         """Chunked multipart stream of intermediate diffusion states —
-        the blocking generator runs on the pool and feeds an async queue."""
+        the blocking generator runs on the pool and feeds an async queue.
+
+        Preconditions are validated by the caller (check_streamable) BEFORE
+        the 200 header goes out; a mid-stream failure can only terminate
+        the multipart body early (never append a second status line)."""
         boundary = "gct2frame"
         writer.write(
             (
@@ -97,28 +115,33 @@ class AsyncServer:
 
         def produce():
             try:
-                for snapshot in self.service.sample_stream(num, segments=segments):
+                for snapshot in self.service.sample_stream(
+                    num, segments=segments, class_idx=class_idx
+                ):
                     loop.call_soon_threadsafe(queue.put_nowait, snapshot)
                 loop.call_soon_threadsafe(queue.put_nowait, None)
             except Exception as e:  # noqa: BLE001 — surfaced to the drain loop
                 loop.call_soon_threadsafe(queue.put_nowait, e)
 
         producer = loop.run_in_executor(self._pool, produce)
-        while True:
-            item = await queue.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                raise item
-            body = _png_bytes(item[0])
-            writer.write(
-                f"--{boundary}\r\nContent-Type: image/png\r\n"
-                f"Content-Length: {len(body)}\r\n\r\n".encode()
-                + body + b"\r\n"
-            )
-            await writer.drain()
-        writer.write(f"--{boundary}--\r\n".encode())
-        await producer
+        try:
+            while True:
+                item = await queue.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    # header already committed: end the multipart body early
+                    break
+                body = _png_bytes(item[0])
+                writer.write(
+                    f"--{boundary}\r\nContent-Type: image/png\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n".encode()
+                    + body + b"\r\n"
+                )
+                await writer.drain()
+            writer.write(f"--{boundary}--\r\n".encode())
+        finally:
+            await producer
 
     async def _route(self, method, target, body, writer) -> Optional[bytes]:
         service = self.service
@@ -135,15 +158,15 @@ class AsyncServer:
             num = int(req.get("num", 1))
             if not 1 <= num <= 64:
                 return _json_response(400, {"error": "num must be in [1, 64]"})
-            if req.get("stream"):
-                await self._handle_stream(writer, num, int(req.get("segments", 4)))
-                return None  # response already written
             class_idx = req.get("class")
-            images = await self._run_blocking(
-                service.sample,
-                num,
-                None if class_idx is None else int(class_idx),
-            )
+            class_idx = None if class_idx is None else int(class_idx)
+            if req.get("stream"):
+                service.check_streamable(class_idx)  # errors pre-header
+                await self._handle_stream(
+                    writer, num, int(req.get("segments", 4)), class_idx
+                )
+                return None  # response already written
+            images = await self._run_blocking(service.sample, num, class_idx)
             if req.get("format") == "base64":
                 return _json_response(200, {
                     "images": [base64.b64encode(_png_bytes(im)).decode()
@@ -196,20 +219,28 @@ class AsyncServer:
 
     # ----------------------------------------------------------- lifecycle
 
-    async def _serve(self, ready: Optional[asyncio.Event] = None):
+    async def _serve(self, ready: Optional[asyncio.Event] = None,
+                     announce: bool = False):
         self._server = await asyncio.start_server(
             self._handle, self.host, self.port
         )
         self.port = self._server.sockets[0].getsockname()[1]
+        if announce:
+            # print the BOUND port (matters for --port 0 / ephemeral)
+            print(
+                f"serving on {self.host}:{self.port} "
+                f"(step {self.service.step}, asyncio)",
+                flush=True,
+            )
         if ready is not None:
             ready.set()
         async with self._server:
             await self._server.serve_forever()
 
-    def run_forever(self):
+    def run_forever(self, announce: bool = True):
         """Blocking entry (CLI)."""
         try:
-            asyncio.run(self._serve())
+            asyncio.run(self._serve(announce=announce))
         finally:
             self._pool.shutdown(wait=False)
             self.service.close()
@@ -219,7 +250,7 @@ class AsyncServer:
         import threading
 
         self._loop = asyncio.new_event_loop()
-        started = __import__("threading").Event()
+        started = threading.Event()
 
         def runner():
             asyncio.set_event_loop(self._loop)

@@ -252,18 +252,43 @@ class ModelService:
         # concurrent requests coalesce into one device batch (SampleBatcher)
         return self._batcher.submit(num, payload=class_idx)
 
-    def sample_stream(self, num: int, segments: int = 4):
+    def check_streamable(self, class_idx: Optional[int] = None):
+        """Raise the errors sample_stream would — BEFORE the HTTP layer has
+        committed a 200 multipart header (a generator raises lazily, which
+        would otherwise corrupt the response mid-stream)."""
+        if self.state is None:
+            raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
+        if class_idx is not None:
+            if self.cfg.num_classes <= 0:
+                raise ValueError("this checkpoint is unconditional (no classes)")
+            if not 0 <= class_idx < self.cfg.num_classes:
+                raise ValueError(f"class must be in [0, {self.cfg.num_classes})")
+
+    def sample_stream(self, num: int, segments: int = 4,
+                      class_idx: Optional[int] = None):
         """Generator of intermediate reverse-diffusion states: yields
         ``segments`` (num, H, W, 3) arrays, the last being the final batch.
         Holds the device for the whole stream (no coalescing)."""
         import jax
         import jax.numpy as jnp
 
-        if self.state is None:
-            raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
+        from ..sample import sampler
+
+        self.check_streamable(class_idx)
         padded = 1
         while padded < num:
             padded *= 2
+        seg = self._segment
+        if class_idx is not None:
+            # per-(class, batch) segment programs are cached (both small)
+            if not hasattr(self, "_segment_by_class"):
+                self._segment_by_class = {}
+            key = (class_idx, padded)
+            seg = self._segment_by_class.get(key)
+            if seg is None:
+                c = jnp.full((padded,), class_idx, jnp.int32)
+                seg = sampler.make_segment_fn(self.cfg, class_idx=c)
+                self._segment_by_class[key] = seg
         ts_all = np.arange(self.cfg.steps, 0, -1)
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
@@ -276,7 +301,7 @@ class ModelService:
             # lock per segment: a slow client draining a chunk between
             # segments must not stall the other endpoints
             with self._lock:
-                x, e = self._segment(self._params, x, e, jnp.asarray(ts))
+                x, e = seg(self._params, x, e, jnp.asarray(ts))
             yield np.asarray(x)[:num]
 
     def _pad_pow2(self, imgs: np.ndarray):
@@ -384,16 +409,20 @@ def make_handler(service: ModelService):
             length = int(self.headers.get("Content-Length", 0))
             return self.rfile.read(length)
 
-        def _stream_sample(self, num: int, segments: int):
+        def _stream_sample(self, num: int, segments: int, class_idx=None):
             """Chunked multipart stream of intermediate diffusion states
-            (image 0 of the batch per segment; final part = finished image)."""
+            (image 0 of the batch per segment; final part = finished image).
+            Preconditions were checked by the caller (check_streamable) —
+            after the 200 multipart header no error can be reported."""
             boundary = "gct2frame"
             self.send_response(200)
             self.send_header(
                 "Content-Type", f"multipart/x-mixed-replace; boundary={boundary}"
             )
             self.end_headers()
-            for snapshot in service.sample_stream(num, segments=segments):
+            for snapshot in service.sample_stream(
+                num, segments=segments, class_idx=class_idx
+            ):
                 body = _png_bytes(snapshot[0])
                 self.wfile.write(
                     f"--{boundary}\r\nContent-Type: image/png\r\n"
@@ -412,15 +441,14 @@ def make_handler(service: ModelService):
                     num = int(req.get("num", 1))
                     if not 1 <= num <= 64:
                         return self._json(400, {"error": "num must be in [1, 64]"})
-                    if req.get("stream"):
-                        return self._stream_sample(
-                            num, int(req.get("segments", 4))
-                        )
                     class_idx = req.get("class")
-                    images = service.sample(
-                        num,
-                        class_idx=None if class_idx is None else int(class_idx),
-                    )
+                    class_idx = None if class_idx is None else int(class_idx)
+                    if req.get("stream"):
+                        service.check_streamable(class_idx)  # errors pre-header
+                        return self._stream_sample(
+                            num, int(req.get("segments", 4)), class_idx
+                        )
+                    images = service.sample(num, class_idx=class_idx)
                     if req.get("format") == "base64":
                         return self._json(
                             200,
@@ -525,12 +553,8 @@ def serve_from_checkpoint(
     if frontend == "aio":
         from .aio import AsyncServer
 
-        aserver = AsyncServer(service, host, port)
-        print(
-            f"serving on {host}:{port} (step {service.step}, asyncio)",
-            flush=True,
-        )
-        aserver.run_forever()
+        # AsyncServer announces the BOUND port itself once the socket is up
+        AsyncServer(service, host, port).run_forever()
         return
     server = Server(service, host, port)
     print(f"serving on {host}:{server.port} (step {service.step})", flush=True)

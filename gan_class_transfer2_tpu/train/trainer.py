@@ -267,22 +267,21 @@ def diffusion_loss(
         from ..ops import kernels
 
         # lane alignment must hold on the per-device LOCAL shape
-        use_fused = batch_spec is not None and kernels.fused_sharded_ok(
+        if batch_spec is not None and kernels.fused_sharded_ok(
             cfg, batch.shape, mesh, batch_spec
-        )
-    if use_fused and multi_device:
-        from ..ops import kernels
-
-        noised = kernels.forward_diffuse_fused_sharded(
-            cfg, batch, t, rng_eps, mesh, batch_spec
-        )
-        epsilon = None
+        ):
+            noised = kernels.forward_diffuse_fused_sharded(
+                cfg, batch, t, rng_eps, mesh, batch_spec
+            )
+            epsilon = None
+        else:
+            use_fused = False
     elif use_fused:
         from ..ops import kernels
 
         noised = kernels.forward_diffuse_fused(cfg, batch, t, rng_eps)
         epsilon = None  # never materialised in HBM
-    else:
+    if not use_fused:
         if epsilon_in is None:
             epsilon = jax.random.normal(rng_eps, batch.shape, batch.dtype)
         else:

@@ -91,6 +91,36 @@ def test_bfloat16_moments():
         )
 
 
+def test_bf16_tiling_row_blocks():
+    """bf16 moments pack in (16,128) Mosaic tiles: row blocks must be
+    16-divisible or the whole array (code-review r2 finding). rows=24
+    (a 4x4x3x64 conv leaf) must fall back to the whole-array block."""
+    assert adam_kernel._pick_rows_tiled(24, 16) == 24  # whole array
+    assert adam_kernel._pick_rows_tiled(24, 8) == 8
+    assert adam_kernel._pick_rows_tiled(48, 16) == 16
+    assert adam_kernel._pick_rows_tiled(1024, 16) == 512
+    # and the update stays exact through the fallback path (rows=24, bf16)
+    cfg = _cfg(moment_dtype="bfloat16")
+    rng = np.random.default_rng(3)
+    params = {"k": jnp.asarray(rng.normal(size=(4, 4, 3, 64)), jnp.float32)}
+    opt = trainer_mod.make_optimizer(cfg)
+    s = opt.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    p_k, s_k = adam_kernel.fused_adam_apply(cfg, params, s, grads, interpret=True)
+    upd, s_r = opt.update(grads, s, params)
+    p_r = optax.apply_updates(params, upd)
+    np.testing.assert_allclose(
+        np.asarray(p_k["k"]), np.asarray(p_r["k"]), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_moment_dtype_validated():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="moment_dtype"):
+        tiny_test_config(moment_dtype="bf16")
+
+
 def test_fused_adam_ok_gating():
     assert adam_kernel.fused_adam_ok(_cfg())
     assert not adam_kernel.fused_adam_ok(_cfg(grad_clip_norm=1.0))

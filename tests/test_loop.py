@@ -87,6 +87,39 @@ def test_cli_config_construction():
     assert c.size == 32 and c.batch_size == 4 and c.parameterization == "epsilon"
 
 
+def test_cli_inherits_default_checkpoint_dir_config(tmp_path, monkeypatch):
+    """sample/edit/serve with NO --checkpoint-dir must still pick up the
+    config.json under the DEFAULT checkpoint dir, or restores rebuild the
+    wrong state structure (code-review r2 finding)."""
+    import argparse
+
+    from gan_class_transfer2_tpu import cli
+    from gan_class_transfer2_tpu.config import Config
+
+    ckpt = tmp_path / "checkpoints"  # the Config default dir name
+    ckpt.mkdir()
+    saved = Config(optimizer="adam_tf", num_classes=3, schedule="cosine2")
+    (ckpt / "config.json").write_text(saved.to_json())
+    monkeypatch.chdir(tmp_path)
+
+    parser = argparse.ArgumentParser()
+    cli._add_config_args(parser)
+    args = parser.parse_args([])  # no flags at all
+    args.config = None
+    c = cli.config_from_args(args, checkpoint_config=True)
+    assert c.optimizer == "adam_tf"
+    assert c.num_classes == 3
+    assert c.schedule == "cosine2"
+    # explicit flags still win over the saved config
+    args2 = parser.parse_args(["--schedule", "quadratic"])
+    args2.config = None
+    c2 = cli.config_from_args(args2, checkpoint_config=True)
+    assert c2.schedule == "quadratic" and c2.optimizer == "adam_tf"
+    # train commands do NOT inherit (checkpoint_config=False)
+    c3 = cli.config_from_args(args, checkpoint_config=False)
+    assert c3.optimizer == "adam"
+
+
 def test_fit_resilient_recovers_from_failure(cfg):
     runner = Runner(cfg, dataset=_dataset(cfg))
     runner.fit(epochs=1, steps_per_epoch=3, log_samples=False)  # checkpoint @3

@@ -139,6 +139,47 @@ def test_stream_multipart(aserver):
     assert payload.count(b"Content-Type: image/png") == 3
 
 
+def test_stream_on_gan_only_service_is_clean_400():
+    """A stream precondition failure must be a JSON 400, never a 200
+    multipart header followed by an embedded error (the header is only
+    written after check_streamable passes)."""
+    from gan_class_transfer2_tpu.train import gan as gan_lib
+
+    cfg = tiny_test_config()
+    gan_state = gan_lib.init_gan_state(cfg, jax.random.PRNGKey(0))
+    srv = AsyncServer(ModelService(cfg, gan_state=gan_state)).start()
+    try:
+        status, body = _post(
+            srv, "/sample", json.dumps({"num": 1, "stream": True}).encode()
+        )
+        assert status == 400
+        assert "diffusion" in json.loads(body)["error"]
+    finally:
+        srv.stop()
+
+
+def test_oversize_body_rejected_without_buffering(aserver):
+    """A huge Content-Length must not be buffered; the connection drops and
+    the server stays healthy for the next request."""
+    import http.client
+
+    srv, _ = aserver
+    conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=10)
+    try:
+        conn.putrequest("POST", "/denoise")
+        conn.putheader("Content-Length", str(10 * 1024 * 1024 * 1024))
+        conn.endheaders()
+        try:
+            conn.send(b"x" * 10)
+            conn.getresponse().read()
+        except Exception:
+            pass  # dropped connection is the expected outcome
+    finally:
+        conn.close()
+    status, _ = _get(srv, "/healthz")
+    assert status == 200  # server alive after the abusive client
+
+
 def test_concurrent_requests_coalesce(aserver):
     """N parallel /sample requests must share device batches through the
     SampleBatcher even on the async frontend."""

@@ -65,6 +65,25 @@ def test_class_on_unconditional_rejected():
         srv.stop()
 
 
+def test_conditional_stream(cond_server):
+    """stream + class must produce class-conditioned frames (not silently
+    fall back to class 0) and bad classes must fail BEFORE the multipart
+    header goes out (clean JSON 400, no corrupt 200)."""
+    srv, _ = cond_server
+    status, body = _post(
+        srv, "/sample",
+        json.dumps({"num": 1, "stream": True, "segments": 2, "class": 1}).encode(),
+    )
+    assert status == 200
+    assert body.count(b"Content-Type: image/png") == 2
+    status, body = _post(
+        srv, "/sample",
+        json.dumps({"num": 1, "stream": True, "class": 9}).encode(),
+    )
+    assert status == 400
+    assert "class" in json.loads(body)["error"]
+
+
 def test_mixed_classes_coalesce_into_one_batch(cond_server):
     """Concurrent requests for different classes must share ONE device call
     with the right per-sample class vector."""
