@@ -140,6 +140,32 @@ def test_zero1_shards_opt_state_and_matches_unsharded():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_zero1_with_bf16_moments():
+    """ZeRO-1 composes with bf16 moment storage (adam_tf + moment_dtype):
+    moments are both sharded over 'data' AND stored bf16 — the two memory
+    levers stack (BASELINE_MEASURED 'memory frontier')."""
+    import jax.numpy as jnp
+
+    cfg = tiny_test_config(batch_size=8, donate_state=False, zero1=True,
+                           pixel_size=8, max_size=16,
+                           optimizer="adam_tf", moment_dtype="bfloat16")
+    m = mesh_lib.make_mesh(data=4, model=2)
+    state = mesh_lib.init_sharded_state(cfg, m, jax.random.PRNGKey(0))
+    moment_leaves = [
+        x for x in jax.tree_util.tree_leaves(state.opt_state)
+        if hasattr(x, "ndim") and x.ndim == 4
+    ]
+    assert moment_leaves
+    assert all(x.dtype == jnp.bfloat16 for x in moment_leaves)
+    assert any("data" in str(x.sharding.spec) for x in moment_leaves)
+    step = mesh_lib.make_parallel_train_step(cfg, m)
+    batch = jax.device_put(_batch(cfg), mesh_lib.batch_sharding(m))
+    state, loss = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    state, loss2 = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss2))
+
+
 def test_zero1_large_config_compiles_sharded():
     """The >=512^2 regime the knob exists for: compile (no execute) the
     512^2 b64 step over the 8-device mesh and assert the compiled opt-state
