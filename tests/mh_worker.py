@@ -1,0 +1,89 @@
+"""Worker process for the REAL multi-process validation test.
+
+Each process owns 2 virtual CPU devices; two processes form a 4-device
+global mesh coordinated over jax.distributed (Gloo collectives — the CPU
+stand-in for ICI/DCN). Runs the actual parallel training step with
+host-local batch loading via parallel/multihost.py and prints a loss +
+replicated-param checksum that must match across processes bit-for-bit.
+
+Not a test module — spawned by tests/test_multihost_real.py:
+    python mh_worker.py <process_id> <num_processes> <coordinator_port>
+"""
+
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8", ""
+    ).strip()
+    + " --xla_force_host_platform_device_count=2"
+).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+    from gan_class_transfer2_tpu.parallel import multihost
+
+    # MUST precede any backend touch (see multihost.initialize docstring)
+    idx = multihost.initialize(
+        f"127.0.0.1:{port}", num_processes=n, process_id=pid
+    )
+    assert idx == pid
+
+    import numpy as np
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.parallel import mesh as mesh_lib
+
+    assert jax.process_count() == n
+    assert jax.device_count() == 2 * n
+    assert jax.local_device_count() == 2
+
+    cfg = tiny_test_config(
+        batch_size=8, mesh_data=2 * n, donate_state=False,
+        pixel_size=8, max_size=16,
+    )
+    mesh = mesh_lib.make_mesh(cfg)
+    state = mesh_lib.init_sharded_state(cfg, mesh, jax.random.PRNGKey(0))
+    step = mesh_lib.make_parallel_train_step(cfg, mesh)
+
+    # deterministic GLOBAL batch; each host materialises only its slice
+    r = np.random.default_rng(0)
+    global_batch = r.uniform(
+        -1, 1, (cfg.batch_size, cfg.size, cfg.size, 3)
+    ).astype(np.float32)
+    local_bs = multihost.host_local_batch_size(cfg.batch_size)
+    local = global_batch[pid * local_bs : (pid + 1) * local_bs]
+    batch = multihost.global_batch_from_host_local(
+        local, mesh_lib.batch_sharding(mesh)
+    )
+
+    losses = []
+    for i in range(3):
+        state, loss = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+
+    # replicated leaves are fully addressable on every process — identical
+    # updates on all hosts is exactly what the DP all-reduce guarantees
+    kernel = np.asarray(jax.device_get(state.params["head"]["kernel"]))
+    checksum = float(np.sum(np.abs(kernel)))
+    print(
+        f"RESULT pid={pid} coordinator={multihost.is_coordinator()} "
+        f"losses={','.join(f'{x:.8f}' for x in losses)} "
+        f"checksum={checksum:.10f}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
