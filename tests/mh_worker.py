@@ -84,6 +84,40 @@ def main():
         flush=True,
     )
 
+    # ---- multi-slice stage: each PROCESS is one slice -------------------
+    # (slice=n, data=2, model=1): the slice axis crosses the process
+    # boundary exactly like DCN crosses pod slices; per-slice reduction is
+    # process-local, cross-slice partials ride the inter-process transport.
+    # jax.devices() orders by process index, so reshape(n, 2, 1) puts each
+    # process's 2 local devices in its own slice row.
+    s_cfg = cfg.replace(mesh_slice=n, mesh_data=2, mesh_model=1)
+    s_mesh = mesh_lib.make_mesh(s_cfg)
+    assert s_mesh.shape == {"slice": n, "data": 2, "model": 1}
+    local_dev_procs = {
+        d.process_index for d in s_mesh.devices[pid].reshape(-1)
+    }
+    assert local_dev_procs == {pid}, (
+        f"slice row {pid} must hold only this process's devices: "
+        f"{local_dev_procs}"
+    )
+    s_state = mesh_lib.init_sharded_state(s_cfg, s_mesh, jax.random.PRNGKey(0))
+    s_step = mesh_lib.make_parallel_train_step(s_cfg, s_mesh)
+    s_local_bs = multihost.host_local_batch_size(s_cfg.batch_size)
+    s_local = global_batch[pid * s_local_bs : (pid + 1) * s_local_bs]
+    s_batch = multihost.global_batch_from_host_local(
+        s_local, mesh_lib.batch_sharding(s_mesh)
+    )
+    s_losses = []
+    for i in range(2):
+        s_state, s_loss = s_step(s_state, s_batch, jax.random.PRNGKey(i))
+        s_losses.append(float(s_loss))
+    s_kernel = np.asarray(jax.device_get(s_state.params["head"]["kernel"]))
+    print(
+        f"SLICE pid={pid} losses={','.join(f'{x:.8f}' for x in s_losses)} "
+        f"checksum={float(np.sum(np.abs(s_kernel))):.10f}",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()

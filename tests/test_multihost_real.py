@@ -68,3 +68,12 @@ def test_two_process_training_agrees():
     # and training actually progressed (3 distinct finite losses)
     losses = [float(x) for x in results[0][1].split(",")]
     assert len(set(losses)) == 3
+
+    # multi-slice stage: slice axis across the process boundary (the DCN
+    # analogue) must also agree on losses and replicated params
+    slice_results = {}
+    for out in outs:
+        m = re.search(r"SLICE pid=(\d+) losses=(\S+) checksum=(\S+)", out)
+        assert m, f"no SLICE line in:\n{out[-3000:]}"
+        slice_results[int(m.group(1))] = (m.group(2), m.group(3))
+    assert slice_results[0] == slice_results[1], slice_results
