@@ -114,6 +114,10 @@ def main(argv=None):
             p.add_argument("--input", type=str, required=True, help="image path")
             p.add_argument("--out", type=str, default="edited")
             p.add_argument(
+                "--class-idx", type=int, default=None,
+                help="class of the input image (conditional checkpoints)",
+            )
+            p.add_argument(
                 "--edits", type=str, nargs="*",
                 default=["pixelate", "shift", "quantise"],
             )
@@ -297,12 +301,24 @@ def _edit(cfg: Config, args) -> int:
         )
     params = state.ema_params if state.ema_params is not None else state.params
 
+    class_idx = None
+    if getattr(args, "class_idx", None) is not None:
+        if cfg.num_classes <= 0:
+            raise SystemExit(
+                "--class-idx requires a conditional checkpoint (num_classes > 0)"
+            )
+        if not 0 <= args.class_idx < cfg.num_classes:
+            raise SystemExit(f"--class-idx must be in [0, {cfg.num_classes})")
+        class_idx = jax.numpy.full((1,), args.class_idx, jax.numpy.int32)
+
     rng = np.random.default_rng(cfg.seed)
     img = data_pipeline.decode_image(args.input, cfg.size, rng, crop=True)
     image = jax.numpy.asarray(img)[None]
     results = jax.jit(
-        lambda p, x: sampler.edit_image(cfg, p, x, tuple(args.edits))
-    )(params, image)
+        lambda p, x, c: sampler.edit_image(
+            cfg, p, x, tuple(args.edits), class_idx=c
+        )
+    )(params, image, class_idx)
     os.makedirs(args.out, exist_ok=True)
     for name, out in results.items():
         arr = np.clip((np.asarray(out)[0] * 0.5 + 0.5) * 255, 0, 255).astype(

@@ -190,6 +190,12 @@ def edit_image(cfg, params, image, edits=("pixelate", "shift", "quantise"),
         candidates["quantise"] = image_ops.vq_quantise(epsilon_theta, dictionary)
     names = list(candidates)
     batch = jnp.concatenate([candidates[n] for n in names], 0)
+    if class_idx is not None:
+        # the decode stage runs all edit candidates as one batch; the input
+        # image's class applies to every candidate
+        class_idx = jnp.broadcast_to(
+            jnp.reshape(class_idx, (-1,))[:1], (batch.shape[0],)
+        )
     decoded = sample(cfg, params, batch, class_idx).images
     return {n: decoded[i : i + 1] for i, n in enumerate(names)}
 

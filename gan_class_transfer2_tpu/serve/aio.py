@@ -178,10 +178,15 @@ class AsyncServer:
             out = await self._run_blocking(service.denoise, img)
             return _response(200, "image/png", _png_bytes(out[0]))
         if path == "/edit":
-            raw = parse_qs(query).get("edits", ["pixelate,shift,quantise"])
+            q = parse_qs(query)
+            raw = q.get("edits", ["pixelate,shift,quantise"])
             edits = tuple(e for e in raw[0].split(",") if e)
+            cls = q.get("class", [None])[0]
             img = _decode_png(body, service.cfg.size)
-            out = await self._run_blocking(service.edit, img, edits)
+            out = await self._run_blocking(
+                service.edit, img, edits,
+                None if cls is None else int(cls),
+            )
             return _json_response(200, {
                 k: base64.b64encode(_png_bytes(v[0])).decode()
                 for k, v in out.items()

@@ -341,12 +341,14 @@ class ModelService:
 
     EDIT_NAMES = ("pixelate", "shift", "quantise")
 
-    def edit(self, image: np.ndarray, edits=EDIT_NAMES) -> dict:
+    def edit(self, image: np.ndarray, edits=EDIT_NAMES,
+             class_idx: Optional[int] = None) -> dict:
         """The reference's signature invert → edit-noise → decode workflow
         (reference train.py:364-496) as a serving endpoint. Heavy program
         (2·T denoiser steps) — runs single-flight under the device lock.
         Returns {edit name: (1,H,W,3)} incl. 'reconstruction'."""
         import jax
+        import jax.numpy as jnp
 
         from ..sample import sampler
 
@@ -357,15 +359,24 @@ class ModelService:
             raise ValueError(
                 f"unknown edits {bad}; valid: {', '.join(self.EDIT_NAMES)}"
             )
+        c = None
+        if class_idx is not None:
+            if self.cfg.num_classes <= 0:
+                raise ValueError("this checkpoint is unconditional (no classes)")
+            if not 0 <= class_idx < self.cfg.num_classes:
+                raise ValueError(f"class must be in [0, {self.cfg.num_classes})")
+            c = jnp.full((1,), class_idx, jnp.int32)
         key = tuple(sorted(set(edits)))
         with self._lock:
             fn = self._edit_fns.get(key)
             if fn is None:
                 fn = jax.jit(
-                    lambda p, x: sampler.edit_image(self.cfg, p, x, key)
+                    lambda p, x, cc: sampler.edit_image(
+                        self.cfg, p, x, key, class_idx=cc
+                    )
                 )
                 self._edit_fns[key] = fn
-            out = fn(self._params, image)
+            out = fn(self._params, image, c)
             return {k: np.asarray(v) for k, v in out.items()}
 
     def denoise(self, image: np.ndarray) -> np.ndarray:
@@ -466,10 +477,15 @@ def make_handler(service: ModelService):
                 if path == "/edit":
                     from urllib.parse import parse_qs
 
-                    raw = parse_qs(query).get("edits", ["pixelate,shift,quantise"])
+                    q = parse_qs(query)
+                    raw = q.get("edits", ["pixelate,shift,quantise"])
                     edits = tuple(e for e in raw[0].split(",") if e)
+                    cls = q.get("class", [None])[0]
                     img = _decode_png(self._body(), service.cfg.size)
-                    out = service.edit(img, edits)
+                    out = service.edit(
+                        img, edits,
+                        class_idx=None if cls is None else int(cls),
+                    )
                     return self._json(
                         200,
                         {

@@ -84,6 +84,24 @@ def test_conditional_stream(cond_server):
     assert "class" in json.loads(body)["error"]
 
 
+def test_conditional_edit(cond_server):
+    """/edit with a class: the invert and decode stages condition on it;
+    the class vector tiles across the stacked edit candidates."""
+    import io
+
+    from PIL import Image
+
+    srv, cfg = cond_server
+    arr = np.zeros((cfg.size, cfg.size, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    status, body = _post(srv, "/edit?edits=shift&class=2", buf.getvalue())
+    assert status == 200
+    assert sorted(json.loads(body)) == ["reconstruction", "shift"]
+    status, body = _post(srv, "/edit?edits=shift&class=5", buf.getvalue())
+    assert status == 400
+
+
 def test_mixed_classes_coalesce_into_one_batch(cond_server):
     """Concurrent requests for different classes must share ONE device call
     with the right per-sample class vector."""
