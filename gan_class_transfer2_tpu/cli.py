@@ -72,7 +72,10 @@ def config_from_args(args, checkpoint_config: bool = False) -> Config:
         if ckpt_dir and os.path.exists(os.path.join(ckpt_dir, "config.json")):
             from .utils.checkpoint import load_config
 
-            base = load_config(ckpt_dir)
+            # the saved config may carry the TRAIN-time checkpoint path
+            # (e.g. the run was copied elsewhere) — restore from the dir
+            # the config was actually found in
+            base = load_config(ckpt_dir).replace(checkpoint_dir=ckpt_dir)
     if base is not None:
         return base.replace(**overrides).validate()
     return Config(**overrides).validate()

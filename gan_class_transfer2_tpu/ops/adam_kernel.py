@@ -46,17 +46,9 @@ def _adam_kernel(step_ref, p_ref, m_ref, v_ref, g_ref, po_ref, mo_ref, vo_ref,
     vo_ref[:] = v.astype(vo_ref.dtype)
 
 
-def _pick_rows_tiled(rows: int, sublane: int) -> int:
-    """Largest row-block ≤512 that divides rows and respects the dtype's
-    Mosaic sublane tile (8 for fp32, 16 for bf16 — a partial block is only
-    legal when it is the whole array)."""
-    for blk in (512, 256, 128, 64, 32, 16, 8):
-        if blk % sublane == 0 and rows % blk == 0:
-            return blk
-    return rows  # whole-array block: always legal
-
-
 def _leaf_update_pallas(p, m, v, g, step_size, b1, b2, eps, interpret):
+    from .kernels import _pick_rows
+
     n = p.size
     rows = n // 128
     # bf16 moments pack in (16,128) tiles; blocks must honour the widest
@@ -64,7 +56,7 @@ def _leaf_update_pallas(p, m, v, g, step_size, b1, b2, eps, interpret):
     sublane = 16 if any(
         a.dtype == jnp.bfloat16 for a in (p, m, v, g)
     ) else 8
-    rblk = _pick_rows_tiled(rows, sublane)
+    rblk = _pick_rows(rows, sublane)
     shape2 = (rows, 128)
     kern = functools.partial(_adam_kernel, b1=b1, b2=b2, eps=eps)
     spec = pl.BlockSpec((rblk, 128), lambda i: (i, 0))

@@ -59,11 +59,13 @@ def _diffuse_kernel(seed_ref, ss_ref, sn_ref, x_ref, out_ref):
     out_ref[:] = x_ref[:] * ss.astype(x_ref.dtype) + eps * sn.astype(x_ref.dtype)
 
 
-def _pick_rows(rows: int) -> int:
-    """Largest row-block ≤512 that divides rows and is a multiple of 8 (the
-    fp32 sublane tile); falls back to the whole array (always legal)."""
+def _pick_rows(rows: int, sublane: int = 8) -> int:
+    """Largest row-block ≤512 that divides rows and is a multiple of the
+    dtype's Mosaic sublane tile (8 for fp32, 16 for bf16 — a partial block
+    is only legal when it is the whole array); falls back to the whole
+    array (always legal)."""
     for blk in (512, 256, 128, 64, 32, 16, 8):
-        if rows % blk == 0:
+        if blk % sublane == 0 and rows % blk == 0:
             return blk
     return rows
 
@@ -82,7 +84,7 @@ def _fused_fwd_impl(x, scale_signal, scale_noise, interpret, seed):
     b, n = x.shape
     assert n % 128 == 0, f"flattened sample size {n} must be a multiple of 128"
     rows = n // 128
-    rblk = _pick_rows(rows)
+    rblk = _pick_rows(rows, 16 if x.dtype == jnp.bfloat16 else 8)
     grid = (b, rows // rblk)
     seed_arr = jnp.asarray([seed], jnp.int32)
     ss2 = scale_signal.reshape(b, 1)

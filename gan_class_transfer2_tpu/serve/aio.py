@@ -125,12 +125,19 @@ class AsyncServer:
 
         producer = loop.run_in_executor(self._pool, produce)
         try:
+            failed = False
             while True:
                 item = await queue.get()
                 if item is None:
                     break
                 if isinstance(item, Exception):
-                    # header already committed: end the multipart body early
+                    # header already committed: log, abort WITHOUT the clean
+                    # terminator so the client can detect the truncation
+                    print(
+                        f"stream aborted: {type(item).__name__}: {item}",
+                        file=sys.stderr,
+                    )
+                    failed = True
                     break
                 body = _png_bytes(item[0])
                 writer.write(
@@ -139,7 +146,12 @@ class AsyncServer:
                     + body + b"\r\n"
                 )
                 await writer.drain()
-            writer.write(f"--{boundary}--\r\n".encode())
+            if not failed:
+                writer.write(f"--{boundary}--\r\n".encode())
+        except Exception as e:  # noqa: BLE001 — consumer-side failure; the
+            # 200 header is committed, so never let this escape to _handle
+            # (it would append a JSON 500 after the multipart header)
+            print(f"stream aborted: {type(e).__name__}: {e}", file=sys.stderr)
         finally:
             await producer
 

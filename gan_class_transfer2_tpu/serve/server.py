@@ -27,6 +27,7 @@ from __future__ import annotations
 import base64
 import io
 import json
+import sys
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -201,6 +202,7 @@ class ModelService:
             self._batcher = SampleBatcher(self._run_sample)
             self._denoise_batcher = ImageBatcher(self._run_denoise)
             self._edit_fns = {}  # edits tuple -> jitted invert+edit+decode
+            self._segment_by_class = {}  # (class, padded) -> segment fn
         if gan_state is not None:
             from ..train import gan
 
@@ -239,16 +241,19 @@ class ModelService:
         st = self.state if self.state is not None else self.gan_state
         return int(st.step)
 
+    def _validate_class(self, class_idx: Optional[int]):
+        """Shared class-index validation for sample/stream/edit."""
+        if class_idx is None:
+            return
+        if self.cfg.num_classes <= 0:
+            raise ValueError("this checkpoint is unconditional (no classes)")
+        if not 0 <= class_idx < self.cfg.num_classes:
+            raise ValueError(f"class must be in [0, {self.cfg.num_classes})")
+
     def sample(self, num: int, class_idx: Optional[int] = None) -> np.ndarray:
         if self.state is None:
             raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
-        if class_idx is not None:
-            if self.cfg.num_classes <= 0:
-                raise ValueError("this checkpoint is unconditional (no classes)")
-            if not 0 <= class_idx < self.cfg.num_classes:
-                raise ValueError(
-                    f"class must be in [0, {self.cfg.num_classes})"
-                )
+        self._validate_class(class_idx)
         # concurrent requests coalesce into one device batch (SampleBatcher)
         return self._batcher.submit(num, payload=class_idx)
 
@@ -258,11 +263,7 @@ class ModelService:
         would otherwise corrupt the response mid-stream)."""
         if self.state is None:
             raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
-        if class_idx is not None:
-            if self.cfg.num_classes <= 0:
-                raise ValueError("this checkpoint is unconditional (no classes)")
-            if not 0 <= class_idx < self.cfg.num_classes:
-                raise ValueError(f"class must be in [0, {self.cfg.num_classes})")
+        self._validate_class(class_idx)
 
     def sample_stream(self, num: int, segments: int = 4,
                       class_idx: Optional[int] = None):
@@ -280,15 +281,16 @@ class ModelService:
             padded *= 2
         seg = self._segment
         if class_idx is not None:
-            # per-(class, batch) segment programs are cached (both small)
-            if not hasattr(self, "_segment_by_class"):
-                self._segment_by_class = {}
+            # per-(class, batch) segment programs are cached (both small);
+            # get/put under the device lock so concurrent first streams
+            # don't duplicate the expensive compile
             key = (class_idx, padded)
-            seg = self._segment_by_class.get(key)
-            if seg is None:
-                c = jnp.full((padded,), class_idx, jnp.int32)
-                seg = sampler.make_segment_fn(self.cfg, class_idx=c)
-                self._segment_by_class[key] = seg
+            with self._lock:
+                seg = self._segment_by_class.get(key)
+                if seg is None:
+                    c = jnp.full((padded,), class_idx, jnp.int32)
+                    seg = sampler.make_segment_fn(self.cfg, class_idx=c)
+                    self._segment_by_class[key] = seg
         ts_all = np.arange(self.cfg.steps, 0, -1)
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
@@ -359,12 +361,9 @@ class ModelService:
             raise ValueError(
                 f"unknown edits {bad}; valid: {', '.join(self.EDIT_NAMES)}"
             )
+        self._validate_class(class_idx)
         c = None
         if class_idx is not None:
-            if self.cfg.num_classes <= 0:
-                raise ValueError("this checkpoint is unconditional (no classes)")
-            if not 0 <= class_idx < self.cfg.num_classes:
-                raise ValueError(f"class must be in [0, {self.cfg.num_classes})")
             c = jnp.full((1,), class_idx, jnp.int32)
         key = tuple(sorted(set(edits)))
         with self._lock:
@@ -431,17 +430,24 @@ def make_handler(service: ModelService):
                 "Content-Type", f"multipart/x-mixed-replace; boundary={boundary}"
             )
             self.end_headers()
-            for snapshot in service.sample_stream(
-                num, segments=segments, class_idx=class_idx
-            ):
-                body = _png_bytes(snapshot[0])
-                self.wfile.write(
-                    f"--{boundary}\r\nContent-Type: image/png\r\n"
-                    f"Content-Length: {len(body)}\r\n\r\n".encode()
-                )
-                self.wfile.write(body)
-                self.wfile.write(b"\r\n")
-                self.wfile.flush()
+            try:
+                for snapshot in service.sample_stream(
+                    num, segments=segments, class_idx=class_idx
+                ):
+                    body = _png_bytes(snapshot[0])
+                    self.wfile.write(
+                        f"--{boundary}\r\nContent-Type: image/png\r\n"
+                        f"Content-Length: {len(body)}\r\n\r\n".encode()
+                    )
+                    self.wfile.write(body)
+                    self.wfile.write(b"\r\n")
+                    self.wfile.flush()
+            except Exception as e:  # noqa: BLE001 — header already committed
+                # never append a second status line: log and abort the
+                # connection WITHOUT the clean terminator, so the client can
+                # detect the truncation
+                print(f"stream aborted: {type(e).__name__}: {e}", file=sys.stderr)
+                return
             self.wfile.write(f"--{boundary}--\r\n".encode())
 
         def do_POST(self):

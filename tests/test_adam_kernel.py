@@ -95,10 +95,12 @@ def test_bf16_tiling_row_blocks():
     """bf16 moments pack in (16,128) Mosaic tiles: row blocks must be
     16-divisible or the whole array (code-review r2 finding). rows=24
     (a 4x4x3x64 conv leaf) must fall back to the whole-array block."""
-    assert adam_kernel._pick_rows_tiled(24, 16) == 24  # whole array
-    assert adam_kernel._pick_rows_tiled(24, 8) == 8
-    assert adam_kernel._pick_rows_tiled(48, 16) == 16
-    assert adam_kernel._pick_rows_tiled(1024, 16) == 512
+    from gan_class_transfer2_tpu.ops.kernels import _pick_rows
+
+    assert _pick_rows(24, 16) == 24  # whole array
+    assert _pick_rows(24, 8) == 8
+    assert _pick_rows(48, 16) == 16
+    assert _pick_rows(1024, 16) == 512
     # and the update stays exact through the fallback path (rows=24, bf16)
     cfg = _cfg(moment_dtype="bfloat16")
     rng = np.random.default_rng(3)
