@@ -80,6 +80,11 @@ class Config:
     weight_decay: float = 0.0  # reference train.py:80 (commented l2(1e-6))
     ema_decay: float = 0.0  # TPU addition (north star: EMA sampling)
     grad_clip_norm: float = 0.0  # TPU addition
+    # Gradient accumulation: apply the optimizer every N micro-batches with
+    # the mean of the accumulated grads — an effective batch of
+    # N×batch_size when the real batch no longer fits HBM (TPU addition;
+    # optax.MultiSteps). 1 = off.
+    grad_accum: int = 1
 
     # ------------------------------------------------------------- precision
     # reference train.py:34,43-45,82-83: fp16 + loss scaling, off by default.
@@ -191,6 +196,18 @@ class Config:
             raise ValueError(
                 f"unknown moment_dtype {self.moment_dtype!r} "
                 "(float32 | bfloat16)"
+            )
+        if self.grad_accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got {self.grad_accum}")
+        if self.grad_accum > 1 and self.zero1:
+            # the MultiSteps accumulator tree is params-shaped but lives in
+            # opt_state; the ZeRO-1 sharding rule would shard it like a
+            # moment, which is wrong for an accumulator that must mirror the
+            # (replicated) grads. Explicitly unsupported.
+            raise ValueError("grad_accum > 1 is not supported with zero1")
+        if self.grad_accum > 1 and self.dynamic_loss_scale:
+            raise ValueError(
+                "grad_accum > 1 is not supported with dynamic_loss_scale"
             )
         return self
 

@@ -108,6 +108,7 @@ def fused_adam_ok(cfg, mesh_size: int = 1) -> bool:
         cfg.optimizer == "adam_fused"
         and cfg.grad_clip_norm <= 0
         and cfg.weight_decay <= 0
+        and getattr(cfg, "grad_accum", 1) == 1  # MultiSteps wraps opt_state
         and not cfg.dynamic_loss_scale
         and not cfg.zero1
         and mesh_size == 1

@@ -175,7 +175,13 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
         chain.append(optax.rmsprop(lr))
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if getattr(cfg, "grad_accum", 1) > 1:
+        # apply every N micro-batches with the MEAN of accumulated grads —
+        # equivalent to an N×batch_size step (validated in
+        # tests/test_trainer.py::test_grad_accum_matches_big_batch)
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum)
+    return tx
 
 
 def init_state(cfg, rng) -> TrainState:

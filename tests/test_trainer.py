@@ -174,3 +174,55 @@ def test_dynamic_loss_scale_grows_after_interval():
         assert np.isfinite(float(loss))
     assert float(state.scale_state.scale) == 16.0  # doubled after 2 clean steps
     assert int(state.scale_state.good_steps) == 0
+
+
+def test_grad_accum_matches_big_batch():
+    """grad_accum=N micro-steps of batch b must equal ONE step of batch N·b
+    (optax.MultiSteps with grad means + identical injected randomness)."""
+    import jax
+    import jax.numpy as jnp
+
+    common = dict(
+        optimizer="adam_tf", learning_rate=1e-3, donate_state=False,
+        size=16, pixel_size=8, max_size=16, octaves=2, steps=50,
+    )
+    cfg_a = tiny_test_config(batch_size=2, grad_accum=2, **common)
+    cfg_b = tiny_test_config(batch_size=4, grad_accum=1, **common)
+
+    r = np.random.default_rng(0)
+    x = r.uniform(-1, 1, (4, cfg_b.size, cfg_b.size, 3)).astype(np.float32)
+    t = r.integers(1, cfg_b.steps + 1, (4,)).astype(np.int32)
+    eps = r.standard_normal((4, cfg_b.size, cfg_b.size, 3)).astype(np.float32)
+
+    sa = trainer.init_state(cfg_a, jax.random.PRNGKey(0))
+    sb = trainer.init_state(cfg_b, jax.random.PRNGKey(0))
+    step_a = trainer.make_injected_train_step(cfg_a)
+    step_b = trainer.make_injected_train_step(cfg_b)
+
+    sa, _ = step_a(sa, jnp.asarray(x[:2]), t[:2], eps[:2])
+    # params unchanged until the accumulation window closes
+    np.testing.assert_array_equal(
+        np.asarray(sa.params["head"]["kernel"]),
+        np.asarray(sb.params["head"]["kernel"]),
+    )
+    sa, _ = step_a(sa, jnp.asarray(x[2:]), t[2:], eps[2:])
+    sb, _ = step_b(sb, jnp.asarray(x), t, eps)
+
+    for leaf_a, leaf_b in zip(
+        jax.tree_util.tree_leaves(sa.params),
+        jax.tree_util.tree_leaves(sb.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(leaf_a), np.asarray(leaf_b), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_grad_accum_invalid_combinations():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="grad_accum"):
+        tiny_test_config(grad_accum=0)
+    with _pytest.raises(ValueError, match="zero1"):
+        tiny_test_config(grad_accum=2, zero1=True)
+    with _pytest.raises(ValueError, match="dynamic_loss_scale"):
+        tiny_test_config(grad_accum=2, dynamic_loss_scale=True)
