@@ -136,7 +136,7 @@ def main(argv=None):
             p.add_argument("--port", type=int, default=8080)
             p.add_argument(
                 "--model", type=str, default="diffusion",
-                choices=("diffusion", "gan"),
+                choices=("diffusion", "gan", "cgan"),
             )
             p.add_argument(
                 "--frontend", type=str, default="threaded",

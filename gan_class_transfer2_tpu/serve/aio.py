@@ -204,7 +204,14 @@ class AsyncServer:
                 for k, v in out.items()
             })
         if path == "/transfer":
-            direction = parse_qs(query).get("direction", ["ab"])[0]
+            q = parse_qs(query)
+            if "to" in q:  # multi-class conditional transfer
+                img = _decode_png(body, service.cfg.size)
+                out = await self._run_blocking(
+                    service.transfer_to, img, int(q["to"][0])
+                )
+                return _response(200, "image/png", _png_bytes(out[0]))
+            direction = q.get("direction", ["ab"])[0]
             if direction not in ("ab", "ba"):
                 return _json_response(400, {"error": "direction must be ab|ba"})
             img = _decode_png(body, service.cfg.size)

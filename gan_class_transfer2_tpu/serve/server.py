@@ -10,7 +10,8 @@ Endpoints (JSON unless noted):
   POST /sample {"num": k}    → k reverse-diffusion samples, PNG (first) or
                                base64 list (all) per the "format" field
   POST /transfer  body=PNG   → class-transferred image (GAN checkpoints),
-                               query: direction=ab|ba
+                               query: direction=ab|ba (cycle-GAN) or
+                               to=K (conditional-GAN, --model cgan)
   POST /denoise   body=PNG   → single-step denoise preview of the input
   POST /edit      body=PNG   → invert → edit-noise → decode (the reference's
                                signature workflow, train.py:364-496); query:
@@ -174,10 +175,33 @@ class ImageBatcher(SampleBatcher):
         return self._stack_run(stacked)
 
 
+class TargetedImageBatcher(SampleBatcher):
+    """Image+target-class coalescing (conditional transfer): requests for
+    DIFFERENT target classes still share one device batch — the transfer
+    program takes a per-sample (B,) target vector."""
+
+    def __init__(self, run_fn, max_batch: int = 16, max_wait_s: float = 0.01):
+        super().__init__(None, max_batch, max_wait_s)
+        self._targeted_run = run_fn  # (N,H,W,C), (N,) int32 -> (N,H,W,C)
+
+    def submit_targeted(self, img: np.ndarray, target: int) -> np.ndarray:
+        return self.submit(img.shape[0], payload=(img, target))
+
+    def _execute(self, batch):
+        imgs = np.concatenate([r.payload[0] for r in batch], axis=0)
+        targets = np.concatenate(
+            [
+                np.full((r.payload[0].shape[0],), r.payload[1], np.int32)
+                for r in batch
+            ]
+        )
+        return self._targeted_run(imgs, targets)
+
+
 class ModelService:
     """Owns params + jitted programs; thread-safe."""
 
-    def __init__(self, cfg, state=None, gan_state=None):
+    def __init__(self, cfg, state=None, gan_state=None, cgan_state=None):
         import jax
 
         from ..sample import sampler
@@ -185,10 +209,11 @@ class ModelService:
 
         self.cfg = cfg
         self._lock = threading.Lock()
-        if state is None and gan_state is None:
+        if state is None and gan_state is None and cgan_state is None:
             state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
         self.state = state
         self.gan_state = gan_state
+        self.cgan_state = cgan_state
         self._rng = jax.random.PRNGKey(cfg.seed + 99)
 
         if state is not None:
@@ -212,6 +237,8 @@ class ModelService:
                 )
                 for d in ("ab", "ba")
             }
+        if cgan_state is not None:
+            self._cgan_batcher = TargetedImageBatcher(self._run_cgan_transfer)
 
     def _run_sample(self, num: int, classes=None) -> np.ndarray:
         """One coalesced device invocation for ``num`` images; ``classes``
@@ -238,8 +265,10 @@ class ModelService:
 
     @property
     def step(self) -> int:
-        st = self.state if self.state is not None else self.gan_state
-        return int(st.step)
+        for st in (self.state, self.gan_state, self.cgan_state):
+            if st is not None:
+                return int(st.step)
+        raise ValueError("no model state loaded")
 
     def _validate_class(self, class_idx: Optional[int]):
         """Shared class-index validation for sample/stream/edit."""
@@ -334,8 +363,19 @@ class ModelService:
                 gan.transfer(self.cfg, self.gan_state, x, direction)
             )[:n]
 
+    def _run_cgan_transfer(self, imgs: np.ndarray, targets: np.ndarray) -> np.ndarray:
+        from ..train import conditional_gan as cgan_lib
+
+        x, n = self._pad_pow2(imgs)
+        t = np.zeros((x.shape[0],), np.int32)
+        t[:n] = targets
+        with self._lock:
+            return np.asarray(
+                cgan_lib.transfer(self.cfg, self.cgan_state, x, t)
+            )[:n]
+
     def close(self):
-        for b in ("_batcher", "_denoise_batcher"):
+        for b in ("_batcher", "_denoise_batcher", "_cgan_batcher"):
             if getattr(self, b, None) is not None:
                 getattr(self, b).close()
         for b in getattr(self, "_transfer_batchers", {}).values():
@@ -387,6 +427,15 @@ class ModelService:
         if self.gan_state is None:
             raise ValueError("no GAN checkpoint loaded")
         return self._transfer_batchers[direction].submit_image(image)
+
+    def transfer_to(self, image: np.ndarray, target: int) -> np.ndarray:
+        """Multi-class conditional transfer (BASELINE config 5): requests
+        for different target classes coalesce into one device batch."""
+        if self.cgan_state is None:
+            raise ValueError("no conditional-GAN checkpoint loaded")
+        if not 0 <= target < self.cfg.num_classes:
+            raise ValueError(f"target must be in [0, {self.cfg.num_classes})")
+        return self._cgan_batcher.submit_targeted(image, target)
 
 
 def make_handler(service: ModelService):
@@ -502,7 +551,12 @@ def make_handler(service: ModelService):
                 if path == "/transfer":
                     from urllib.parse import parse_qs
 
-                    direction = parse_qs(query).get("direction", ["ab"])[0]
+                    q = parse_qs(query)
+                    if "to" in q:  # multi-class conditional transfer
+                        img = _decode_png(self._body(), service.cfg.size)
+                        out = service.transfer_to(img, int(q["to"][0]))
+                        return self._png(out[0])
+                    direction = q.get("direction", ["ab"])[0]
                     if direction not in ("ab", "ba"):
                         return self._json(400, {"error": "direction must be ab|ba"})
                     img = _decode_png(self._body(), service.cfg.size)
@@ -567,6 +621,15 @@ def serve_from_checkpoint(
         if has_ckpt:
             gan_state = ckpt_lib.restore(cfg.checkpoint_dir, gan_state)
         service = ModelService(cfg, gan_state=gan_state)
+    elif model == "cgan":
+        from ..train import conditional_gan as cgan_lib
+
+        cgan_state = cgan_lib.init_conditional_gan_state(
+            cfg, jax.random.PRNGKey(cfg.seed)
+        )
+        if has_ckpt:
+            cgan_state = ckpt_lib.restore(cfg.checkpoint_dir, cgan_state)
+        service = ModelService(cfg, cgan_state=cgan_state)
     else:
         state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
         if has_ckpt:
