@@ -143,16 +143,22 @@ class GANRunner(ResilientRunnerMixin):
     def fit(self, epochs: Optional[int] = None, steps_per_epoch: Optional[int] = None,
             log_samples: bool = True):
         cfg = self.cfg
+        # epochs=None = the configured run budget: completed epochs from a
+        # restored checkpoint count against it (see train/loop.Runner.fit)
+        budget = epochs is None
         epochs = cfg.epochs if epochs is None else epochs
         steps_per_epoch = cfg.steps_per_epoch if steps_per_epoch is None else steps_per_epoch
+        start_epoch = 0
+        if budget and steps_per_epoch > 0:
+            start_epoch = min(int(self.state.step) // steps_per_epoch, epochs)
         return self._fit_interruptible(
-            self._fit_epochs, epochs, steps_per_epoch, log_samples
+            self._fit_epochs, epochs, steps_per_epoch, log_samples, start_epoch
         )
 
-    def _fit_epochs(self, epochs, steps_per_epoch, log_samples):
+    def _fit_epochs(self, epochs, steps_per_epoch, log_samples, start_epoch=0):
         cfg = self.cfg
         rng = jax.random.fold_in(self.rng, 23)
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             if log_samples and epoch % cfg.log_images_every == 0:
                 self.log_sample(epoch)
             t0 = time.perf_counter()

@@ -129,19 +129,30 @@ class Runner(ResilientRunnerMixin):
         log_samples: bool = True,
     ):
         cfg = self.cfg
+        # epochs=None means "the configured run budget": after a restore,
+        # already-completed epochs count against it, so re-running the same
+        # command finishes the ORIGINAL budget instead of extending it.
+        # Explicit epochs=k stays incremental (the FID/eval harnesses train
+        # in small explicit increments).
+        budget = epochs is None
         epochs = cfg.epochs if epochs is None else epochs
         steps_per_epoch = (
             cfg.steps_per_epoch if steps_per_epoch is None else steps_per_epoch
         )
+        start_epoch = 0
+        if budget and steps_per_epoch > 0:
+            start_epoch = min(int(self.state.step) // steps_per_epoch, epochs)
         step_rng = jax.random.fold_in(self.rng, 17)
         return self._fit_interruptible(
             self._fit_epochs,
             epochs, steps_per_epoch, on_epoch_begin, log_samples, step_rng,
+            start_epoch,
         )
 
-    def _fit_epochs(self, epochs, steps_per_epoch, on_epoch_begin, log_samples, step_rng):
+    def _fit_epochs(self, epochs, steps_per_epoch, on_epoch_begin, log_samples,
+                    step_rng, start_epoch=0):
         cfg = self.cfg
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             if on_epoch_begin is not None:
                 on_epoch_begin(epoch)
             if log_samples and epoch % cfg.log_images_every == 0:

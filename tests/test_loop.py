@@ -69,6 +69,29 @@ def test_runner_resumes_from_checkpoint(cfg):
     runner2.close()
 
 
+def test_resume_finishes_original_budget_not_more(cfg):
+    """Re-running the configured run after a crash must complete the
+    ORIGINAL epoch budget, not extend it: fit() (epochs=None) counts
+    restored epochs against cfg.epochs; explicit fit(epochs=k) stays
+    incremental."""
+    cfg = cfg.replace(epochs=4, steps_per_epoch=2, checkpoint_every=2)
+    r1 = Runner(cfg, dataset=_dataset(cfg))
+    r1.fit(epochs=2, log_samples=False)  # explicit: incremental 2 epochs
+    assert int(r1.state.step) == 4
+    r1.close()
+
+    # "crash": new process re-runs the same configured command
+    r2 = Runner(cfg, dataset=_dataset(cfg))
+    assert int(r2.state.step) == 4
+    r2.fit(log_samples=False)  # budget mode: only 2 epochs remain
+    assert int(r2.state.step) == 8, "resume must stop at the original budget"
+    r2.fit(log_samples=False)  # budget exhausted: no-op
+    assert int(r2.state.step) == 8
+    r2.fit(epochs=1, log_samples=False)  # explicit stays incremental
+    assert int(r2.state.step) == 10
+    r2.close()
+
+
 def test_cli_config_construction():
     from gan_class_transfer2_tpu.cli import main
     import argparse
