@@ -86,7 +86,7 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="command", required=True)
 
     for cmd in ("train", "gan-train", "cgan-train", "sample", "edit", "bench",
-                "serve", "build-cache"):
+                "serve", "build-cache", "export-weights"):
         p = sub.add_parser(cmd)
         p.add_argument("--config", type=str, default=None, help="config JSON")
         p.add_argument(
@@ -131,6 +131,12 @@ def main(argv=None):
                            help="cache file path")
             p.add_argument("--store", type=int, default=0,
                            help="stored image side (default: size + size/8)")
+        if cmd == "export-weights":
+            p.add_argument(
+                "--out", type=str, default="weights.npz",
+                help="output npz of flat weights in Keras build order "
+                "(load with tf_import docs or model.set_weights)",
+            )
         if cmd == "serve":
             p.add_argument("--host", type=str, default="127.0.0.1")
             p.add_argument("--port", type=int, default=8080)
@@ -152,7 +158,9 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
     cfg = config_from_args(
-        args, checkpoint_config=args.command in ("sample", "edit", "serve")
+        args,
+        checkpoint_config=args.command
+        in ("sample", "edit", "serve", "export-weights"),
     )
 
     if args.command == "train":
@@ -213,6 +221,37 @@ def main(argv=None):
         store = args.store or cfg.size + cfg.size // 8
         n = native_loader.build_cache(cfg.dataset_pattern, store, args.out)
         print(f"wrote {n} records ({store}x{store}x3 uint8) to {args.out}")
+        return 0
+
+    if args.command == "export-weights":
+        # migration in the export direction (docs/MIGRATION.md): flat
+        # weights in Keras build order, loadable via model.set_weights
+        import jax
+        import numpy as np
+
+        from .train import trainer as trainer_lib
+        from .utils import checkpoint as ckpt_lib
+        from .utils import tf_import
+
+        state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
+        if not (
+            cfg.checkpoint_dir
+            and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None
+        ):
+            raise SystemExit(
+                f"no checkpoint found in {cfg.checkpoint_dir!r} "
+                "(export needs trained weights)"
+            )
+        state = ckpt_lib.restore(cfg.checkpoint_dir, state)
+        params = (
+            state.ema_params if state.ema_params is not None else state.params
+        )
+        flat = tf_import.export_flat_weights(cfg, params)
+        np.savez(args.out, **{f"w_{i:03d}": w for i, w in enumerate(flat)})
+        print(
+            f"wrote {len(flat)} weights (step {int(state.step)}, Keras "
+            f"build order) to {args.out}"
+        )
         return 0
 
     if args.command == "serve":

@@ -92,6 +92,43 @@ def test_resume_finishes_original_budget_not_more(cfg):
     r2.close()
 
 
+def test_cli_export_weights_roundtrip(cfg, tmp_path):
+    """export-weights writes the Keras-build-order npz; re-importing it
+    reproduces the checkpointed forward pass exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from gan_class_transfer2_tpu import cli
+    from gan_class_transfer2_tpu.models import unet
+    from gan_class_transfer2_tpu.utils import tf_import
+
+    runner = Runner(cfg, dataset=_dataset(cfg))
+    runner.fit(epochs=1, steps_per_epoch=3, log_samples=False)  # ckpt at 3
+    trained = runner.state.params
+    runner.close()
+
+    out = str(tmp_path / "weights.npz")
+    rc = cli.main([
+        "export-weights", "--platform", "cpu",
+        "--checkpoint-dir", cfg.checkpoint_dir, "--out", out,
+    ])
+    assert rc == 0
+    data = np.load(out)
+    flat = [data[k] for k in sorted(data.files)]
+
+    fresh = unet.init_unet(jax.random.PRNGKey(9), cfg)
+    imported = tf_import.import_flat_weights(cfg, fresh, flat)
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (1, cfg.size, cfg.size, 3)),
+        jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(unet.unet_apply(cfg, imported, x)),
+        np.asarray(unet.unet_apply(cfg, trained, x)),
+        atol=1e-6,
+    )
+
+
 def test_cli_config_construction():
     from gan_class_transfer2_tpu.cli import main
     import argparse
