@@ -57,6 +57,11 @@ class Config:
     prediction_weighting: bool = False  # reference train.py:31
     test_step: int = 25  # reference train.py:95
     bits_per_pixel: int = 3  # VQ codebook bits, reference train.py:308
+    # DDIM-style subset sampling for the reverse-diffusion sampler: visit
+    # every stride-th timestep (T, T−s, …). 1 = the exact reference loop
+    # (train.py:439-479); >1 trades sampler quality for 1/s the denoiser
+    # calls (TPU addition — serving/eval knob, never affects training).
+    sample_stride: int = 1
 
     # ------------------------------------------------------------------ loss
     # reference train.py:272 (mse, active), :254-260 (dct), :267-270 (l1),
@@ -199,6 +204,10 @@ class Config:
             )
         if self.grad_accum < 1:
             raise ValueError(f"grad_accum must be >= 1, got {self.grad_accum}")
+        if not 1 <= self.sample_stride <= self.steps:
+            raise ValueError(
+                f"sample_stride must be in [1, steps], got {self.sample_stride}"
+            )
         if self.grad_accum > 1 and self.zero1:
             # the MultiSteps accumulator tree is params-shaped but lives in
             # opt_state; the ZeRO-1 sharding rule would shard it like a

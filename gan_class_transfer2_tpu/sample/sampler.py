@@ -94,8 +94,14 @@ class SampleResult(NamedTuple):
 def sample(cfg, params, init_batch, class_idx=None) -> SampleResult:
     """Reverse diffusion t = T…1 with intermediate snapshots
     (reference train.py:439-496). ``init_batch`` seeds both x̂ and ε̂
-    (train.py:436-437)."""
+    (train.py:436-437).
+
+    ``cfg.sample_stride`` > 1 visits only every stride-th timestep
+    (T, T−s, …) — DDIM-style subset sampling, valid because each update is
+    the deterministic (x̂, ε̂) re-estimate at an arbitrary t; stride 1 is
+    the exact reference loop. Denoiser calls drop from T to ⌈T/s⌉."""
     T = cfg.steps
+    stride = max(getattr(cfg, "sample_stride", 1), 1)
     snap_ts = jnp.asarray([T, 3 * T // 4, 2 * T // 4, T // 4])
 
     def body(carry, t):
@@ -106,13 +112,14 @@ def sample(cfg, params, init_batch, class_idx=None) -> SampleResult:
         x_theta, epsilon_theta = diffusion.step_update(
             cfg, prediction, fake, epsilon_theta, tf_
         )
-        # Snapshot x̂ at the four reference timesteps (train.py:488-495).
-        hit = snap_ts == t
+        # Snapshot x̂ at the four reference timesteps (train.py:488-495);
+        # with a stride, at the nearest visited timestep at or below each.
+        hit = (snap_ts >= t) & (snap_ts < t + stride)
         snaps = jnp.where(hit[:, None, None, None, None], x_theta[None], snaps)
         return (x_theta, epsilon_theta, snaps), None
 
     snaps0 = jnp.zeros((4,) + init_batch.shape, jnp.float32)
-    ts = jnp.arange(T, 0, -1)
+    ts = jnp.arange(T, 0, -stride)
     (x_theta, _, snaps), _ = lax.scan(body, (init_batch, init_batch, snaps0), ts)
     return SampleResult(x_theta, snaps)
 

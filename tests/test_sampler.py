@@ -161,3 +161,41 @@ def test_eval_fn_is_batched():
     assert out["denoised"].shape == (B, cfg.size, cfg.size, 3)
     assert out["fake"].shape == (2 + 4 * B, cfg.size, cfg.size, 3)
     assert np.isfinite(float(out["example_loss"]))
+
+
+def test_sample_stride_subset_sampling(setup):
+    """cfg.sample_stride > 1 visits every stride-th timestep (DDIM-style
+    subset); stride 1 is the exact reference loop. Snapshots still populate
+    at the nearest visited timestep."""
+    import numpy as np
+
+    cfg, params, _ = setup
+    import jax.numpy as jnp
+
+    r = np.random.default_rng(0)
+    init = jnp.asarray(
+        r.normal(size=(2, cfg.size, cfg.size, 3)).astype(np.float32)
+    )
+    full = sampler.sample(cfg, params, init)
+    strided = sampler.sample(cfg.replace(sample_stride=3), params, init)
+    assert strided.images.shape == full.images.shape
+    assert np.isfinite(np.asarray(strided.images)).all()
+    # every snapshot slot was written (nonzero) despite the stride
+    snaps = np.asarray(strided.snapshots)
+    assert all(np.abs(snaps[i]).sum() > 0 for i in range(4))
+    # both are x-hat estimates of the same process: correlated, not equal
+    a = np.asarray(full.images).ravel()
+    b = np.asarray(strided.images).ravel()
+    assert not np.allclose(a, b)
+    assert np.corrcoef(a, b)[0, 1] > 0.5
+
+
+def test_sample_stride_validation():
+    import pytest as _pytest
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+
+    with _pytest.raises(ValueError, match="sample_stride"):
+        tiny_test_config(sample_stride=0)
+    with _pytest.raises(ValueError, match="sample_stride"):
+        tiny_test_config(steps=4, sample_stride=9)
