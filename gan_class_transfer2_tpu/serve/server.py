@@ -320,7 +320,11 @@ class ModelService:
                     c = jnp.full((padded,), class_idx, jnp.int32)
                     seg = sampler.make_segment_fn(self.cfg, class_idx=c)
                     self._segment_by_class[key] = seg
-        ts_all = np.arange(self.cfg.steps, 0, -1)
+        # honour the DDIM-style subset schedule (sample_stride; 1 = exact
+        # reference loop) so streamed and non-streamed sampling agree
+        ts_all = np.arange(
+            self.cfg.steps, 0, -max(getattr(self.cfg, "sample_stride", 1), 1)
+        )
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
             x = e = jax.random.normal(
