@@ -233,7 +233,6 @@ def main(argv=None):
         from .utils import checkpoint as ckpt_lib
         from .utils import tf_import
 
-        state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
         if not (
             cfg.checkpoint_dir
             and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None
@@ -242,12 +241,15 @@ def main(argv=None):
                 f"no checkpoint found in {cfg.checkpoint_dir!r} "
                 "(export needs trained weights)"
             )
+        state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
         state = ckpt_lib.restore(cfg.checkpoint_dir, state)
         params = (
             state.ema_params if state.ema_params is not None else state.params
         )
         flat = tf_import.export_flat_weights(cfg, params)
-        np.savez(args.out, **{f"w_{i:03d}": w for i, w in enumerate(flat)})
+        # 5-digit pad keeps sorted(data.files) == build order for any
+        # realistic weight count (3 digits breaks at 1000 arrays)
+        np.savez(args.out, **{f"w_{i:05d}": w for i, w in enumerate(flat)})
         print(
             f"wrote {len(flat)} weights (step {int(state.step)}, Keras "
             f"build order) to {args.out}"

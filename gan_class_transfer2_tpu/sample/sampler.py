@@ -102,7 +102,17 @@ def sample(cfg, params, init_batch, class_idx=None) -> SampleResult:
     the exact reference loop. Denoiser calls drop from T to ⌈T/s⌉."""
     T = cfg.steps
     stride = max(getattr(cfg, "sample_stride", 1), 1)
-    snap_ts = jnp.asarray([T, 3 * T // 4, 2 * T // 4, T // 4])
+    # Snapshot x̂ at the four reference timesteps (train.py:488-495); with a
+    # stride, map each to the nearest VISITED timestep at or below it (the
+    # lowest visited one when none is below — large strides must still fill
+    # every snapshot slot). Static computation: the hit test stays exact.
+    visited = list(range(T, 0, -stride))
+    def nearest(s):
+        below = [v for v in visited if v <= s]
+        return max(below) if below else visited[-1]
+    snap_ts = jnp.asarray(
+        [nearest(s) for s in (T, 3 * T // 4, 2 * T // 4, T // 4)]
+    )
 
     def body(carry, t):
         x_theta, epsilon_theta, snaps = carry
@@ -112,9 +122,7 @@ def sample(cfg, params, init_batch, class_idx=None) -> SampleResult:
         x_theta, epsilon_theta = diffusion.step_update(
             cfg, prediction, fake, epsilon_theta, tf_
         )
-        # Snapshot x̂ at the four reference timesteps (train.py:488-495);
-        # with a stride, at the nearest visited timestep at or below each.
-        hit = (snap_ts >= t) & (snap_ts < t + stride)
+        hit = snap_ts == t
         snaps = jnp.where(hit[:, None, None, None, None], x_theta[None], snaps)
         return (x_theta, epsilon_theta, snaps), None
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import asyncio
 import base64
 import json
+import sys
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 from urllib.parse import parse_qs

@@ -148,15 +148,17 @@ class GANRunner(ResilientRunnerMixin):
         budget = epochs is None
         epochs = cfg.epochs if epochs is None else epochs
         steps_per_epoch = cfg.steps_per_epoch if steps_per_epoch is None else steps_per_epoch
-        start_epoch = 0
-        if budget and steps_per_epoch > 0:
-            start_epoch = min(int(self.state.step) // steps_per_epoch, epochs)
+        start_epoch, origin = self._epoch_plan(epochs, steps_per_epoch, budget)
         return self._fit_interruptible(
-            self._fit_epochs, epochs, steps_per_epoch, log_samples, start_epoch
+            self._fit_epochs, epochs, steps_per_epoch, log_samples,
+            start_epoch, origin,
         )
 
-    def _fit_epochs(self, epochs, steps_per_epoch, log_samples, start_epoch=0):
+    def _fit_epochs(self, epochs, steps_per_epoch, log_samples, start_epoch=0,
+                    origin=None):
         cfg = self.cfg
+        if origin is None:
+            origin = int(self.state.step)
         rng = jax.random.fold_in(self.rng, 23)
         for epoch in range(start_epoch, epochs):
             if log_samples and epoch % cfg.log_images_every == 0:
@@ -165,7 +167,10 @@ class GANRunner(ResilientRunnerMixin):
             acc = {k: jnp.zeros((), jnp.float32) for k in
                    ("g_loss", "d_loss", "adversarial", "cycle", "identity")}
             global_step = int(self.state.step)
-            for _ in range(steps_per_epoch):
+            n_steps = max(
+                origin + (epoch + 1) * steps_per_epoch - global_step, 0
+            )
+            for _ in range(n_steps):
                 a = next(self.iter_a)
                 b = next(self.iter_b)
                 self.state, metrics = self.train_step(self.state, a, b, rng)
@@ -173,11 +178,13 @@ class GANRunner(ResilientRunnerMixin):
                 global_step += 1
                 if cfg.checkpoint_dir and global_step % cfg.checkpoint_every == 0:
                     self._checkpoint_now()
-            vals = {k: float(v) / steps_per_epoch for k, v in acc.items()}
+            if n_steps == 0:
+                continue
+            vals = {k: float(v) / n_steps for k, v in acc.items()}
             dt = time.perf_counter() - t0
             for k, v in vals.items():
                 self.writer.scalar(k, v, epoch)
-            ips = steps_per_epoch * cfg.batch_size / dt
+            ips = n_steps * cfg.batch_size / dt
             self.writer.scalar("images_per_sec", ips, epoch)
             print(
                 f"epoch {epoch}: g={vals['g_loss']:.4f} d={vals['d_loss']:.4f} "

@@ -130,28 +130,28 @@ class Runner(ResilientRunnerMixin):
     ):
         cfg = self.cfg
         # epochs=None means "the configured run budget": after a restore,
-        # already-completed epochs count against it, so re-running the same
+        # already-completed work counts against it, so re-running the same
         # command finishes the ORIGINAL budget instead of extending it.
         # Explicit epochs=k stays incremental (the FID/eval harnesses train
-        # in small explicit increments).
+        # in small explicit increments). See ResilientRunnerMixin._epoch_plan.
         budget = epochs is None
         epochs = cfg.epochs if epochs is None else epochs
         steps_per_epoch = (
             cfg.steps_per_epoch if steps_per_epoch is None else steps_per_epoch
         )
-        start_epoch = 0
-        if budget and steps_per_epoch > 0:
-            start_epoch = min(int(self.state.step) // steps_per_epoch, epochs)
+        start_epoch, origin = self._epoch_plan(epochs, steps_per_epoch, budget)
         step_rng = jax.random.fold_in(self.rng, 17)
         return self._fit_interruptible(
             self._fit_epochs,
             epochs, steps_per_epoch, on_epoch_begin, log_samples, step_rng,
-            start_epoch,
+            start_epoch, origin,
         )
 
     def _fit_epochs(self, epochs, steps_per_epoch, on_epoch_begin, log_samples,
-                    step_rng, start_epoch=0):
+                    step_rng, start_epoch=0, origin=None):
         cfg = self.cfg
+        if origin is None:
+            origin = int(self.state.step)
         for epoch in range(start_epoch, epochs):
             if on_epoch_begin is not None:
                 on_epoch_begin(epoch)
@@ -162,20 +162,27 @@ class Runner(ResilientRunnerMixin):
             # full device round-trip (tens of ms on a tunneled TPU)
             loss_sum = jnp.zeros((), jnp.float32)
             global_step = int(self.state.step)
-            for _ in range(steps_per_epoch):
+            # a resumed partial epoch runs only to its step target, so the
+            # total never exceeds origin + epochs*steps_per_epoch
+            n_steps = max(
+                origin + (epoch + 1) * steps_per_epoch - global_step, 0
+            )
+            for _ in range(n_steps):
                 batch = next(self.data_iter)
                 self.state, loss = self.train_step(self.state, batch, step_rng)
                 loss_sum = loss_sum + loss
                 global_step += 1
                 if cfg.checkpoint_dir and global_step % cfg.checkpoint_every == 0:
                     self._checkpoint_now()
+            if n_steps == 0:
+                continue
             loss_sum = float(loss_sum)  # single synchronising fetch
             dt = time.perf_counter() - t0
-            ips = steps_per_epoch * cfg.batch_size / dt
-            self.writer.scalar("loss", loss_sum / steps_per_epoch, epoch)
+            ips = n_steps * cfg.batch_size / dt
+            self.writer.scalar("loss", loss_sum / n_steps, epoch)
             self.writer.scalar("images_per_sec", ips, epoch)
             print(
-                f"epoch {epoch}: loss={loss_sum / steps_per_epoch:.5f} "
+                f"epoch {epoch}: loss={loss_sum / n_steps:.5f} "
                 f"{ips:.1f} images/s",
                 flush=True,
             )

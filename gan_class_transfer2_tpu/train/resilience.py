@@ -56,6 +56,21 @@ class ResilientRunnerMixin:
             if d is not None and hasattr(d, "set_state"):
                 d.set_state(state)
 
+    def _epoch_plan(self, epochs, steps_per_epoch, budget):
+        """(start_epoch, origin) for an epoch loop that RESUMES correctly.
+
+        ``origin`` is the absolute step at which this fit call's "epoch 0,
+        step 0" sits. Budget mode (fit() with no explicit epochs) anchors
+        at 0 so a resumed run completes the ORIGINAL total step budget —
+        including a PARTIAL first epoch when the restored step is not
+        epoch-aligned (checkpoint_every need not divide steps_per_epoch).
+        Explicit fit(epochs=k) anchors at the current step: incremental,
+        every epoch runs in full."""
+        step = int(self.state.step)
+        if budget and steps_per_epoch > 0:
+            return min(step // steps_per_epoch, epochs), 0
+        return 0, step
+
     def _fit_interruptible(self, fit_body, *args, **kw):
         """Run an epoch loop; on Ctrl-C save a final checkpoint (operational
         courtesy — up to checkpoint_every steps of work otherwise lost)."""

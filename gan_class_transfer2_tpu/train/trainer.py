@@ -397,9 +397,20 @@ def train_step(
     ema = state.ema_params
     if ema is not None:
         d = cfg.ema_decay
-        ema = jax.tree_util.tree_map(
+        blended = jax.tree_util.tree_map(
             lambda e, p: e * d + p * (1.0 - d), ema, params
         )
+        if cfg.grad_accum > 1:
+            # blend only when MultiSteps actually applied an update
+            # (mini_step wraps to 0): otherwise the micro-steps blend
+            # toward unchanged params, silently raising the effective
+            # per-update decay to d**grad_accum
+            applied = opt_state.mini_step == 0
+            ema = jax.tree_util.tree_map(
+                lambda b, e: jnp.where(applied, b, e), blended, ema
+            )
+        else:
+            ema = blended
     return TrainState(state.step + 1, params, opt_state, ema, scale_state), loss
 
 

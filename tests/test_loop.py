@@ -92,6 +92,24 @@ def test_resume_finishes_original_budget_not_more(cfg):
     r2.close()
 
 
+def test_resume_from_unaligned_checkpoint_exact_budget(cfg):
+    """A checkpoint mid-epoch (checkpoint_every not a multiple of
+    steps_per_epoch) must resume with a PARTIAL epoch so the total lands
+    exactly on the budget — not re-run the broken epoch in full."""
+    cfg = cfg.replace(epochs=2, steps_per_epoch=4, checkpoint_every=3)
+    r1 = Runner(cfg, dataset=_dataset(cfg))
+    # run 3 steps explicitly, checkpoint lands at step 3 (mid-epoch-0)
+    r1.fit(epochs=1, steps_per_epoch=3, log_samples=False)
+    assert int(r1.state.step) == 3
+    r1.close()
+
+    r2 = Runner(cfg, dataset=_dataset(cfg))
+    assert int(r2.state.step) == 3
+    r2.fit(log_samples=False)  # budget: 2×4 = 8 total → 5 more steps
+    assert int(r2.state.step) == 8, "must finish at the exact step budget"
+    r2.close()
+
+
 def test_cli_export_weights_roundtrip(cfg, tmp_path):
     """export-weights writes the Keras-build-order npz; re-importing it
     reproduces the checkpointed forward pass exactly."""

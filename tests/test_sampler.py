@@ -188,6 +188,11 @@ def test_sample_stride_subset_sampling(setup):
     b = np.asarray(strided.images).ravel()
     assert not np.allclose(a, b)
     assert np.corrcoef(a, b)[0, 1] > 0.5
+    # extreme stride (= steps, one visited timestep): snapshots must STILL
+    # all populate (mapped to the lowest visited t — review r3 finding)
+    extreme = sampler.sample(cfg.replace(sample_stride=cfg.steps), params, init)
+    snaps = np.asarray(extreme.snapshots)
+    assert all(np.abs(snaps[i]).sum() > 0 for i in range(4))
 
 
 def test_sample_stride_validation():

@@ -226,3 +226,40 @@ def test_grad_accum_invalid_combinations():
         tiny_test_config(grad_accum=2, zero1=True)
     with _pytest.raises(ValueError, match="dynamic_loss_scale"):
         tiny_test_config(grad_accum=2, dynamic_loss_scale=True)
+
+
+def test_grad_accum_ema_blends_once_per_update():
+    """With grad_accum=N the EMA must blend exactly once per APPLIED
+    update, not once per micro-step (which would silently raise the
+    effective per-update decay to d**N)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = tiny_test_config(
+        optimizer="adam_tf", learning_rate=1e-3, grad_accum=2,
+        ema_decay=0.5, donate_state=False,
+        size=16, pixel_size=8, max_size=16, octaves=2, steps=50,
+    )
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    ema0 = jax.tree_util.tree_map(np.asarray, state.ema_params)
+    step = trainer.make_train_step(cfg)
+    batch = jnp.asarray(
+        np.random.default_rng(0).uniform(
+            -1, 1, (cfg.batch_size, cfg.size, cfg.size, 3)
+        ),
+        jnp.float32,
+    )
+    # micro-step 1: accumulation only — params AND ema unchanged
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(
+        np.asarray(state.ema_params["head"]["kernel"]),
+        ema0["head"]["kernel"],
+    )
+    # micro-step 2: update applies — ema = d*ema0 + (1-d)*new_params
+    state, _ = step(state, batch, jax.random.PRNGKey(2))
+    want = 0.5 * ema0["head"]["kernel"] + 0.5 * np.asarray(
+        state.params["head"]["kernel"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.ema_params["head"]["kernel"]), want, rtol=1e-6
+    )
