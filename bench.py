@@ -80,7 +80,8 @@ def main():
         from gan_class_transfer2_tpu.utils.benchmark import run_sampler_benchmark
 
         try:
-            result.extra.update(run_sampler_benchmark(cfg, batch=8, iters=3))
+            # b32 is the measured throughput knee (BASELINE_MEASURED.md)
+            result.extra.update(run_sampler_benchmark(cfg, batch=32, iters=3))
         except Exception as e:  # noqa: BLE001 — bench must still print
             result.extra["sampler_error"] = f"{type(e).__name__}: {e}"
     print(result.to_json())
