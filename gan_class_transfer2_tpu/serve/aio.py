@@ -163,6 +163,11 @@ class AsyncServer:
             if path == "/healthz":
                 return _json_response(200, {"status": "ok", "step": service.step,
                                             "frontend": "aio"})
+            if path == "/metrics":
+                return _response(
+                    200, "text/plain; version=0.0.4",
+                    service.metrics_text().encode(),
+                )
             return _json_response(404, {"error": f"unknown path {path}"})
         if method != "POST":
             return _json_response(404, {"error": f"unsupported method {method}"})
@@ -186,6 +191,9 @@ class AsyncServer:
                                for im in images]
                 })
             return _response(200, "image/png", _png_bytes(images[0]))
+        if path == "/reload":
+            step = await self._run_blocking(service.reload)
+            return _json_response(200, {"step": step})
         if path == "/denoise":
             img = _decode_png(body, service.cfg.size)
             out = await self._run_blocking(service.denoise, img)

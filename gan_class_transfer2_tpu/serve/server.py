@@ -7,6 +7,9 @@ decoded on the host and batched onto the device, responses are PNG.
 
 Endpoints (JSON unless noted):
   GET  /healthz              → {"status": "ok", "step": N}
+  GET  /metrics              → ops counters, Prometheus text format
+  POST /reload               → hot-swap to the latest checkpoint (serve
+                               while training keeps writing); → {"step": N}
   POST /sample {"num": k}    → k reverse-diffusion samples, PNG (first) or
                                base64 list (all) per the "format" field
   POST /transfer  body=PNG   → class-transferred image (GAN checkpoints),
@@ -215,6 +218,17 @@ class ModelService:
         self.gan_state = gan_state
         self.cgan_state = cgan_state
         self._rng = jax.random.PRNGKey(cfg.seed + 99)
+        # monotonically increasing ops counters (GIL-atomic int bumps); the
+        # /metrics endpoint renders them in Prometheus text format
+        self.counters = {
+            "requests_sample": 0,
+            "requests_denoise": 0,
+            "requests_transfer": 0,
+            "requests_edit": 0,
+            "requests_stream": 0,
+            "device_batches": 0,
+            "reloads": 0,
+        }
 
         if state is not None:
             params = state.ema_params if state.ema_params is not None else state.params
@@ -256,6 +270,7 @@ class ModelService:
             c = np.zeros((padded,), np.int32)
             if classes is not None:
                 c[:num] = classes
+        self.counters["device_batches"] += 1
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
             init = jax.random.normal(
@@ -270,6 +285,49 @@ class ModelService:
                 return int(st.step)
         raise ValueError("no model state loaded")
 
+    def reload(self) -> int:
+        """Hot-swap to the LATEST checkpoint without restarting the server
+        (serve while a training job keeps writing checkpoints). The jitted
+        programs take params as arguments, so no recompilation happens —
+        only the parameter buffers change, atomically under the device
+        lock. Returns the restored step."""
+        from ..utils import checkpoint as ckpt_lib
+
+        if not self.cfg.checkpoint_dir:
+            raise ValueError("no checkpoint_dir configured")
+        if ckpt_lib.latest_step(self.cfg.checkpoint_dir) is None:
+            raise ValueError(
+                f"no checkpoint found in {self.cfg.checkpoint_dir!r}"
+            )
+        with self._lock:
+            if self.state is not None:
+                self.state = ckpt_lib.restore(self.cfg.checkpoint_dir, self.state)
+                self._params = (
+                    self.state.ema_params
+                    if self.state.ema_params is not None
+                    else self.state.params
+                )
+            if self.gan_state is not None:
+                self.gan_state = ckpt_lib.restore(
+                    self.cfg.checkpoint_dir, self.gan_state
+                )
+            if self.cgan_state is not None:
+                self.cgan_state = ckpt_lib.restore(
+                    self.cfg.checkpoint_dir, self.cgan_state
+                )
+            self.counters["reloads"] += 1
+        return self.step
+
+    def metrics_text(self) -> str:
+        """Prometheus text exposition of the ops counters + current step."""
+        lines = []
+        for name, val in sorted(self.counters.items()):
+            lines.append(f"# TYPE gct2_{name} counter")
+            lines.append(f"gct2_{name} {val}")
+        lines.append("# TYPE gct2_checkpoint_step gauge")
+        lines.append(f"gct2_checkpoint_step {self.step}")
+        return "\n".join(lines) + "\n"
+
     def _validate_class(self, class_idx: Optional[int]):
         """Shared class-index validation for sample/stream/edit."""
         if class_idx is None:
@@ -283,6 +341,7 @@ class ModelService:
         if self.state is None:
             raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
         self._validate_class(class_idx)
+        self.counters["requests_sample"] += 1
         # concurrent requests coalesce into one device batch (SampleBatcher)
         return self._batcher.submit(num, payload=class_idx)
 
@@ -305,6 +364,7 @@ class ModelService:
         from ..sample import sampler
 
         self.check_streamable(class_idx)
+        self.counters["requests_stream"] += 1
         padded = 1
         while padded < num:
             padded *= 2
@@ -352,6 +412,7 @@ class ModelService:
         import jax
 
         x, n = self._pad_pow2(imgs)
+        self.counters["device_batches"] += 1
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
             noise = jax.random.normal(sub, x.shape, dtype=np.float32)
@@ -362,6 +423,7 @@ class ModelService:
         from ..train import gan
 
         x, n = self._pad_pow2(imgs)
+        self.counters["device_batches"] += 1
         with self._lock:
             return np.asarray(
                 gan.transfer(self.cfg, self.gan_state, x, direction)
@@ -370,6 +432,7 @@ class ModelService:
     def _run_cgan_transfer(self, imgs: np.ndarray, targets: np.ndarray) -> np.ndarray:
         from ..train import conditional_gan as cgan_lib
 
+        self.counters["device_batches"] += 1
         x, n = self._pad_pow2(imgs)
         t = np.zeros((x.shape[0],), np.int32)
         t[:n] = targets
@@ -409,6 +472,7 @@ class ModelService:
         c = None
         if class_idx is not None:
             c = jnp.full((1,), class_idx, jnp.int32)
+        self.counters["requests_edit"] += 1
         key = tuple(sorted(set(edits)))
         with self._lock:
             fn = self._edit_fns.get(key)
@@ -425,11 +489,13 @@ class ModelService:
     def denoise(self, image: np.ndarray) -> np.ndarray:
         if self.state is None:
             raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
+        self.counters["requests_denoise"] += 1
         return self._denoise_batcher.submit_image(image)
 
     def transfer(self, image: np.ndarray, direction: str = "ab") -> np.ndarray:
         if self.gan_state is None:
             raise ValueError("no GAN checkpoint loaded")
+        self.counters["requests_transfer"] += 1
         return self._transfer_batchers[direction].submit_image(image)
 
     def transfer_to(self, image: np.ndarray, target: int) -> np.ndarray:
@@ -439,6 +505,7 @@ class ModelService:
             raise ValueError("no conditional-GAN checkpoint loaded")
         if not 0 <= target < self.cfg.num_classes:
             raise ValueError(f"target must be in [0, {self.cfg.num_classes})")
+        self.counters["requests_transfer"] += 1
         return self._cgan_batcher.submit_targeted(image, target)
 
 
@@ -466,6 +533,14 @@ def make_handler(service: ModelService):
         def do_GET(self):
             if self.path == "/healthz":
                 return self._json(200, {"status": "ok", "step": service.step})
+            if self.path == "/metrics":
+                body = service.metrics_text().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             return self._json(404, {"error": f"unknown path {self.path}"})
 
         def _body(self) -> bytes:
@@ -530,6 +605,8 @@ def make_handler(service: ModelService):
                             },
                         )
                     return self._png(images[0])
+                if path == "/reload":
+                    return self._json(200, {"step": service.reload()})
                 if path == "/denoise":
                     img = _decode_png(self._body(), service.cfg.size)
                     return self._png(service.denoise(img)[0])
