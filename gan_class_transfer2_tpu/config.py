@@ -77,7 +77,7 @@ class Config:
     moment_dtype: str = "float32"
     learning_rate: float = 2e-5  # reference train.py:75
     warm_up: int = 2_000  # reference train.py:36
-    lr_schedule: str = "warmup"  # warmup | inverse_time_decay | constant
+    lr_schedule: str = "warmup"  # warmup | inverse_time_decay | constant | cosine
     inverse_time_decay_steps: int = 10_000  # reference train.py:69
     adam_eps: float = 1e-7  # TF Adam default epsilon (reference semantics)
     momentum: float = 0.5  # reference train.py:67
@@ -155,6 +155,8 @@ class Config:
     log_dir: str = "logs"  # reference train.py:499-503 layout logs/<day>/<time>
     checkpoint_dir: Optional[str] = "checkpoints"
     checkpoint_every: int = 1000
+    # Retention: keep only the newest N step_* checkpoints (0 = keep all).
+    checkpoint_keep: int = 0
     log_images_every: int = 1  # epochs between log_sample calls
     # FID-style sample-quality tracking (BASELINE "steps-to-fixed-FID"):
     # 0 = off; N = compute FID between N generated samples and N data images

@@ -73,6 +73,22 @@ def constant_schedule(base: float):
     return schedule
 
 
+def warmup_cosine_schedule(base: float, warmup_steps: int, total_steps: int):
+    """Linear warmup (exact reference ramp math) then cosine decay to zero
+    at ``total_steps`` — the standard production schedule (TPU addition;
+    no reference counterpart)."""
+
+    def schedule(count):
+        count = jnp.asarray(count).astype(jnp.float32)
+        ramp = base * (count + 1.0) / (warmup_steps + 1.0)
+        span = max(total_steps - warmup_steps, 1)
+        frac = jnp.clip((count - warmup_steps) / span, 0.0, 1.0)
+        cos = base * 0.5 * (1.0 + jnp.cos(math.pi * frac))
+        return jnp.where(count < warmup_steps, ramp, cos)
+
+    return schedule
+
+
 def make_lr_schedule(cfg):
     """Build the LR schedule named by ``cfg.lr_schedule``."""
     if cfg.lr_schedule == "warmup":
@@ -83,4 +99,9 @@ def make_lr_schedule(cfg):
         )
     if cfg.lr_schedule == "constant":
         return constant_schedule(cfg.learning_rate)
+    if cfg.lr_schedule == "cosine":
+        return warmup_cosine_schedule(
+            cfg.learning_rate, cfg.warm_up,
+            cfg.epochs * cfg.steps_per_epoch,
+        )
     raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")

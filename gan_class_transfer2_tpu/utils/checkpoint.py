@@ -37,6 +37,11 @@ def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None,
 
     ``extra``: JSON-serialisable sidecar (e.g. data-iterator position) stored
     inside the step directory; read back with ``load_extra``.
+
+    ``cfg.checkpoint_keep > 0`` prunes all but the newest N step dirs after
+    a successful save (retention policy for long runs — a 10⁶-step
+    reference-length run at checkpoint_every=1000 would otherwise
+    accumulate a thousand full states).
     """
     step = int(state.step) if step is None else int(step)
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -59,7 +64,36 @@ def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None,
         os.rename(tmp_extra, path + ".extra.json")
     with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
+    keep = getattr(cfg, "checkpoint_keep", 0)
+    if keep > 0:
+        prune(ckpt_dir, keep)
     return path
+
+
+def all_steps(ckpt_dir: str) -> list:
+    if not os.path.isdir(ckpt_dir):
+        return []
+    return sorted(
+        int(m.group(1))
+        for name in os.listdir(ckpt_dir)
+        if (m := re.fullmatch(r"step_(\d+)", name))
+    )
+
+
+def prune(ckpt_dir: str, keep: int) -> int:
+    """Delete all but the newest ``keep`` step dirs (+ their sidecars);
+    returns the number removed. Newest-first retention only — committed
+    dirs are always complete (see save), so deletion order is safe."""
+    steps = all_steps(ckpt_dir)
+    removed = 0
+    for s in steps[:-keep] if keep > 0 else []:
+        path = os.path.join(os.path.abspath(ckpt_dir), f"step_{s:09d}")
+        shutil.rmtree(path, ignore_errors=True)
+        extra = path + ".extra.json"
+        if os.path.exists(extra):
+            os.remove(extra)
+        removed += 1
+    return removed
 
 
 def load_extra(ckpt_dir: str, step: Optional[int] = None) -> Optional[dict]:

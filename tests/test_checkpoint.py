@@ -113,3 +113,26 @@ def test_partial_save_is_repaired(tmp_path):
     assert not stale.exists()
     restored = ckpt.restore(str(d), trainer.init_state(cfg, jax.random.PRNGKey(1)))
     assert int(restored.step) == 0
+
+
+def test_checkpoint_retention(tmp_path):
+    """checkpoint_keep prunes all but the newest N step dirs (+sidecars)."""
+    import jax
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.train import trainer
+    from gan_class_transfer2_tpu.utils import checkpoint as ckpt
+
+    cfg = tiny_test_config(
+        checkpoint_dir=str(tmp_path), checkpoint_keep=2, donate_state=False
+    )
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    for s in (1, 2, 3, 4):
+        ckpt.save(str(tmp_path), state, cfg, step=s, extra={"n": s})
+    assert ckpt.all_steps(str(tmp_path)) == [3, 4]
+    assert ckpt.load_extra(str(tmp_path), 4) == {"n": 4}
+    assert ckpt.load_extra(str(tmp_path), 2) is None  # pruned with its dir
+    # keep=0 (default) keeps everything
+    cfg0 = cfg.replace(checkpoint_keep=0)
+    ckpt.save(str(tmp_path), state, cfg0, step=5)
+    assert ckpt.all_steps(str(tmp_path)) == [3, 4, 5]

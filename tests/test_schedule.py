@@ -81,3 +81,32 @@ def test_make_lr_schedule_dispatch():
     )
     cfg = Config(lr_schedule="constant")
     assert float(make_lr_schedule(cfg)(0)) == pytest.approx(cfg.learning_rate)
+
+
+def test_warmup_cosine_schedule():
+    """Cosine: exact warmup ramp, base at the warmup boundary region, half
+    the base mid-decay, ~0 at total_steps."""
+    import numpy as np
+
+    from gan_class_transfer2_tpu.core.schedule import warmup_cosine_schedule
+
+    base, warm, total = 1e-3, 100, 1100
+    s = warmup_cosine_schedule(base, warm, total)
+    np.testing.assert_allclose(float(s(0)), base * 1 / 101, rtol=1e-6)
+    np.testing.assert_allclose(float(s(99)), base * 100 / 101, rtol=1e-6)
+    np.testing.assert_allclose(float(s(100)), base, rtol=1e-6)  # cos(0)=1
+    np.testing.assert_allclose(float(s(600)), base / 2, rtol=1e-5)  # midpoint
+    assert float(s(1100)) < 1e-9
+    assert float(s(5000)) < 1e-9  # clipped past the end
+
+
+def test_cosine_selectable_from_config():
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.core.schedule import make_lr_schedule
+
+    cfg = tiny_test_config(
+        lr_schedule="cosine", warm_up=2, epochs=5, steps_per_epoch=10
+    )
+    s = make_lr_schedule(cfg)
+    assert float(s(0)) > 0
+    assert float(s(50)) < 1e-9
