@@ -100,8 +100,13 @@ def make_lr_schedule(cfg):
     if cfg.lr_schedule == "constant":
         return constant_schedule(cfg.learning_rate)
     if cfg.lr_schedule == "cosine":
+        # schedules count APPLIED optimizer updates (optax.MultiSteps only
+        # advances the inner count when the accumulation window closes), so
+        # the decay horizon is total micro-steps / grad_accum
+        accum = max(getattr(cfg, "grad_accum", 1), 1)
         return warmup_cosine_schedule(
-            cfg.learning_rate, cfg.warm_up,
-            cfg.epochs * cfg.steps_per_epoch,
+            cfg.learning_rate,
+            cfg.warm_up,
+            cfg.epochs * cfg.steps_per_epoch // accum,
         )
     raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")

@@ -218,8 +218,10 @@ class ModelService:
         self.gan_state = gan_state
         self.cgan_state = cgan_state
         self._rng = jax.random.PRNGKey(cfg.seed + 99)
-        # monotonically increasing ops counters (GIL-atomic int bumps); the
-        # /metrics endpoint renders them in Prometheus text format
+        # monotonically increasing ops counters, bumped under their own
+        # lock (dict += is NOT atomic across handler/batcher/pool threads);
+        # the /metrics endpoint renders them in Prometheus text format
+        self._counters_lock = threading.Lock()
         self.counters = {
             "requests_sample": 0,
             "requests_denoise": 0,
@@ -270,7 +272,7 @@ class ModelService:
             c = np.zeros((padded,), np.int32)
             if classes is not None:
                 c[:num] = classes
-        self.counters["device_batches"] += 1
+        self._bump("device_batches")
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
             init = jax.random.normal(
@@ -299,24 +301,36 @@ class ModelService:
             raise ValueError(
                 f"no checkpoint found in {self.cfg.checkpoint_dir!r}"
             )
-        with self._lock:
-            if self.state is not None:
-                self.state = ckpt_lib.restore(self.cfg.checkpoint_dir, self.state)
-                self._params = (
-                    self.state.ema_params
-                    if self.state.ema_params is not None
-                    else self.state.params
-                )
-            if self.gan_state is not None:
-                self.gan_state = ckpt_lib.restore(
-                    self.cfg.checkpoint_dir, self.gan_state
-                )
-            if self.cgan_state is not None:
-                self.cgan_state = ckpt_lib.restore(
-                    self.cfg.checkpoint_dir, self.cgan_state
-                )
-            self.counters["reloads"] += 1
-        return self.step
+        # a concurrent training save with checkpoint_keep may PRUNE the
+        # step we resolved mid-restore; re-resolve and retry a few times
+        # (recommend checkpoint_keep >= 2 when serving alongside training)
+        last_err = None
+        for _ in range(3):
+            try:
+                with self._lock:
+                    if self.state is not None:
+                        self.state = ckpt_lib.restore(
+                            self.cfg.checkpoint_dir, self.state
+                        )
+                        self._params = (
+                            self.state.ema_params
+                            if self.state.ema_params is not None
+                            else self.state.params
+                        )
+                    if self.gan_state is not None:
+                        self.gan_state = ckpt_lib.restore(
+                            self.cfg.checkpoint_dir, self.gan_state
+                        )
+                    if self.cgan_state is not None:
+                        self.cgan_state = ckpt_lib.restore(
+                            self.cfg.checkpoint_dir, self.cgan_state
+                        )
+                    self._bump("reloads")
+                return self.step
+            except Exception as e:  # noqa: BLE001 — pruned mid-restore
+                last_err = e
+                time.sleep(0.1)
+        raise last_err
 
     def metrics_text(self) -> str:
         """Prometheus text exposition of the ops counters + current step."""
@@ -327,6 +341,10 @@ class ModelService:
         lines.append("# TYPE gct2_checkpoint_step gauge")
         lines.append(f"gct2_checkpoint_step {self.step}")
         return "\n".join(lines) + "\n"
+
+    def _bump(self, name: str):
+        with self._counters_lock:
+            self.counters[name] += 1
 
     def _validate_class(self, class_idx: Optional[int]):
         """Shared class-index validation for sample/stream/edit."""
@@ -341,7 +359,7 @@ class ModelService:
         if self.state is None:
             raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
         self._validate_class(class_idx)
-        self.counters["requests_sample"] += 1
+        self._bump("requests_sample")
         # concurrent requests coalesce into one device batch (SampleBatcher)
         return self._batcher.submit(num, payload=class_idx)
 
@@ -364,7 +382,7 @@ class ModelService:
         from ..sample import sampler
 
         self.check_streamable(class_idx)
-        self.counters["requests_stream"] += 1
+        self._bump("requests_stream")
         padded = 1
         while padded < num:
             padded *= 2
@@ -395,6 +413,7 @@ class ModelService:
                 continue
             # lock per segment: a slow client draining a chunk between
             # segments must not stall the other endpoints
+            self._bump("device_batches")
             with self._lock:
                 x, e = seg(self._params, x, e, jnp.asarray(ts))
             yield np.asarray(x)[:num]
@@ -412,7 +431,7 @@ class ModelService:
         import jax
 
         x, n = self._pad_pow2(imgs)
-        self.counters["device_batches"] += 1
+        self._bump("device_batches")
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
             noise = jax.random.normal(sub, x.shape, dtype=np.float32)
@@ -423,7 +442,7 @@ class ModelService:
         from ..train import gan
 
         x, n = self._pad_pow2(imgs)
-        self.counters["device_batches"] += 1
+        self._bump("device_batches")
         with self._lock:
             return np.asarray(
                 gan.transfer(self.cfg, self.gan_state, x, direction)
@@ -432,7 +451,7 @@ class ModelService:
     def _run_cgan_transfer(self, imgs: np.ndarray, targets: np.ndarray) -> np.ndarray:
         from ..train import conditional_gan as cgan_lib
 
-        self.counters["device_batches"] += 1
+        self._bump("device_batches")
         x, n = self._pad_pow2(imgs)
         t = np.zeros((x.shape[0],), np.int32)
         t[:n] = targets
@@ -472,7 +491,7 @@ class ModelService:
         c = None
         if class_idx is not None:
             c = jnp.full((1,), class_idx, jnp.int32)
-        self.counters["requests_edit"] += 1
+        self._bump("requests_edit")
         key = tuple(sorted(set(edits)))
         with self._lock:
             fn = self._edit_fns.get(key)
@@ -489,13 +508,13 @@ class ModelService:
     def denoise(self, image: np.ndarray) -> np.ndarray:
         if self.state is None:
             raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
-        self.counters["requests_denoise"] += 1
+        self._bump("requests_denoise")
         return self._denoise_batcher.submit_image(image)
 
     def transfer(self, image: np.ndarray, direction: str = "ab") -> np.ndarray:
         if self.gan_state is None:
             raise ValueError("no GAN checkpoint loaded")
-        self.counters["requests_transfer"] += 1
+        self._bump("requests_transfer")
         return self._transfer_batchers[direction].submit_image(image)
 
     def transfer_to(self, image: np.ndarray, target: int) -> np.ndarray:
@@ -505,7 +524,7 @@ class ModelService:
             raise ValueError("no conditional-GAN checkpoint loaded")
         if not 0 <= target < self.cfg.num_classes:
             raise ValueError(f"target must be in [0, {self.cfg.num_classes})")
-        self.counters["requests_transfer"] += 1
+        self._bump("requests_transfer")
         return self._cgan_batcher.submit_targeted(image, target)
 
 

@@ -48,7 +48,11 @@ def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None,
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:09d}")
     if os.path.exists(path):
         # same step already persisted (e.g. interrupt right after a periodic
-        # save) — committed dirs are complete by construction, skip
+        # save) — committed dirs are complete by construction, skip the
+        # write but still honour retention (keep may have been lowered)
+        keep = getattr(cfg, "checkpoint_keep", 0)
+        if keep > 0:
+            prune(ckpt_dir, keep)
         return path
     tmp = path + ".tmp"
     if os.path.exists(tmp):
@@ -109,13 +113,7 @@ def load_extra(ckpt_dir: str, step: Optional[int] = None) -> Optional[dict]:
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:
-    if not os.path.isdir(ckpt_dir):
-        return None
-    steps = [
-        int(m.group(1))
-        for name in os.listdir(ckpt_dir)
-        if (m := re.fullmatch(r"step_(\d+)", name))
-    ]
+    steps = all_steps(ckpt_dir)
     return max(steps) if steps else None
 
 

@@ -110,3 +110,20 @@ def test_cosine_selectable_from_config():
     s = make_lr_schedule(cfg)
     assert float(s(0)) > 0
     assert float(s(50)) < 1e-9
+
+
+def test_cosine_horizon_counts_applied_updates_under_grad_accum():
+    """optax.MultiSteps advances the schedule once per APPLIED update, so
+    the cosine horizon must be total micro-steps / grad_accum or the decay
+    never completes (review r4 finding, verified empirically)."""
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.core.schedule import make_lr_schedule
+
+    cfg = tiny_test_config(
+        lr_schedule="cosine", warm_up=0, epochs=2, steps_per_epoch=16,
+        grad_accum=4,
+    )
+    s = make_lr_schedule(cfg)
+    # 32 micro-steps = 8 applied updates: LR must be ~0 at count 8
+    assert float(s(8)) < 1e-9
+    assert float(s(4)) > 0
