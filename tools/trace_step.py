@@ -48,6 +48,8 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--octaves", type=int, default=6)
     ap.add_argument("--out", default="/tmp/gct2_trace")
     args = ap.parse_args()
 
@@ -68,6 +70,7 @@ def main():
 
     cfg = Config(
         compute_dtype=args.dtype, batch_size=args.batch,
+        size=args.size, octaves=args.octaves,
         conv_impl="lax", fused_diffusion=True, warm_up=0,
         checkpoint_dir=None, donate_state=False,
     )
