@@ -302,15 +302,21 @@ class ModelService:
                 f"no checkpoint found in {self.cfg.checkpoint_dir!r}"
             )
         # a concurrent training save with checkpoint_keep may PRUNE the
-        # step we resolved mid-restore; re-resolve and retry a few times
-        # (recommend checkpoint_keep >= 2 when serving alongside training)
-        last_err = None
+        # step we resolved mid-restore; retry ONLY when that race is the
+        # plausible cause (the step vanished), otherwise surface the real
+        # error immediately (recommend checkpoint_keep >= 2 when serving
+        # alongside training)
         for _ in range(3):
+            step = ckpt_lib.latest_step(self.cfg.checkpoint_dir)
+            if step is None:
+                raise ValueError(
+                    f"no checkpoint found in {self.cfg.checkpoint_dir!r}"
+                )
             try:
                 with self._lock:
                     if self.state is not None:
                         self.state = ckpt_lib.restore(
-                            self.cfg.checkpoint_dir, self.state
+                            self.cfg.checkpoint_dir, self.state, step=step
                         )
                         self._params = (
                             self.state.ema_params
@@ -319,18 +325,21 @@ class ModelService:
                         )
                     if self.gan_state is not None:
                         self.gan_state = ckpt_lib.restore(
-                            self.cfg.checkpoint_dir, self.gan_state
+                            self.cfg.checkpoint_dir, self.gan_state, step=step
                         )
                     if self.cgan_state is not None:
                         self.cgan_state = ckpt_lib.restore(
-                            self.cfg.checkpoint_dir, self.cgan_state
+                            self.cfg.checkpoint_dir, self.cgan_state, step=step
                         )
                     self._bump("reloads")
                 return self.step
-            except Exception as e:  # noqa: BLE001 — pruned mid-restore
-                last_err = e
-                time.sleep(0.1)
-        raise last_err
+            except Exception:  # noqa: BLE001 — pruned mid-restore?
+                if step in ckpt_lib.all_steps(self.cfg.checkpoint_dir):
+                    raise  # step still there: a genuine restore error
+                time.sleep(0.1)  # raced the pruner; re-resolve and retry
+        raise RuntimeError(
+            "reload kept racing checkpoint pruning; raise checkpoint_keep"
+        )
 
     def metrics_text(self) -> str:
         """Prometheus text exposition of the ops counters + current step."""

@@ -49,10 +49,13 @@ def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None,
     if os.path.exists(path):
         # same step already persisted (e.g. interrupt right after a periodic
         # save) — committed dirs are complete by construction, skip the
-        # write but still honour retention (keep may have been lowered)
+        # write but still honour retention (keep may have been lowered).
+        # The CURRENT step is protected: it may be older than the newest
+        # `keep` dirs (resume from an explicit step) and the caller is told
+        # it is persisted.
         keep = getattr(cfg, "checkpoint_keep", 0)
         if keep > 0:
-            prune(ckpt_dir, keep)
+            prune(ckpt_dir, keep, protect=step)
         return path
     tmp = path + ".tmp"
     if os.path.exists(tmp):
@@ -84,11 +87,12 @@ def all_steps(ckpt_dir: str) -> list:
     )
 
 
-def prune(ckpt_dir: str, keep: int) -> int:
+def prune(ckpt_dir: str, keep: int, protect: Optional[int] = None) -> int:
     """Delete all but the newest ``keep`` step dirs (+ their sidecars);
-    returns the number removed. Newest-first retention only — committed
-    dirs are always complete (see save), so deletion order is safe."""
-    steps = all_steps(ckpt_dir)
+    returns the number removed. ``protect`` names a step never deleted
+    (the step a save() call just vouched for). Newest-first retention —
+    committed dirs are always complete (see save), so order is safe."""
+    steps = [s for s in all_steps(ckpt_dir) if s != protect]
     removed = 0
     for s in steps[:-keep] if keep > 0 else []:
         path = os.path.join(os.path.abspath(ckpt_dir), f"step_{s:09d}")

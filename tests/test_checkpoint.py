@@ -136,3 +136,27 @@ def test_checkpoint_retention(tmp_path):
     cfg0 = cfg.replace(checkpoint_keep=0)
     ckpt.save(str(tmp_path), state, cfg0, step=5)
     assert ckpt.all_steps(str(tmp_path)) == [3, 4, 5]
+
+
+def test_prune_protects_current_step(tmp_path):
+    """save() on an ALREADY-persisted old step must not prune that step
+    away (the caller is told it is persisted — review r5 finding)."""
+    import jax
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.train import trainer
+    from gan_class_transfer2_tpu.utils import checkpoint as ckpt
+
+    cfg = tiny_test_config(
+        checkpoint_dir=str(tmp_path), checkpoint_keep=1, donate_state=False
+    )
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    cfg0 = cfg.replace(checkpoint_keep=0)
+    for s in (1, 2, 3):
+        ckpt.save(str(tmp_path), state, cfg0, step=s)  # no pruning yet
+    # re-save of the OLD step 1 with keep=1: step 1 must survive
+    path = ckpt.save(str(tmp_path), state, cfg, step=1)
+    import os
+    assert os.path.isdir(path)
+    steps = ckpt.all_steps(str(tmp_path))
+    assert 1 in steps and 3 in steps  # protected + newest

@@ -73,7 +73,7 @@ def main():
         size=args.size, octaves=args.octaves,
         conv_impl="lax", fused_diffusion=True, warm_up=0,
         checkpoint_dir=None, donate_state=False,
-    )
+    ).validate()
     state = trainer_lib.init_state(cfg, jax.random.PRNGKey(0))
     step = trainer_lib.make_train_step(cfg)
     r = np.random.default_rng(0)
