@@ -76,7 +76,11 @@ class Config:
     # "bfloat16" halves optimizer HBM (ops/adam_kernel.py).
     moment_dtype: str = "float32"
     learning_rate: float = 2e-5  # reference train.py:75
-    warm_up: int = 2_000  # reference train.py:36
+    # Warmup length (reference train.py:36). Under grad_accum > 1 this
+    # counts APPLIED optimizer updates, not micro-steps — so grad_accum=N
+    # with the same warm_up matches one N×-batch step exactly (see
+    # core/schedule.make_lr_schedule for the full unit convention).
+    warm_up: int = 2_000
     lr_schedule: str = "warmup"  # warmup | inverse_time_decay | constant | cosine
     inverse_time_decay_steps: int = 10_000  # reference train.py:69
     adam_eps: float = 1e-7  # TF Adam default epsilon (reference semantics)

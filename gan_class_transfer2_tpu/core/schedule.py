@@ -90,7 +90,18 @@ def warmup_cosine_schedule(base: float, warmup_steps: int, total_steps: int):
 
 
 def make_lr_schedule(cfg):
-    """Build the LR schedule named by ``cfg.lr_schedule``."""
+    """Build the LR schedule named by ``cfg.lr_schedule``.
+
+    Unit convention under ``grad_accum > 1`` (every schedule, documented in
+    Config.warm_up): schedules count APPLIED optimizer updates — optax's
+    MultiSteps only advances the inner count when the accumulation window
+    closes. ``cfg.warm_up`` and ``cfg.inverse_time_decay_steps`` are
+    therefore interpreted in applied updates for ALL schedules, which keeps
+    the grad_accum=N ≡ one-N×-batch-step equivalence exact
+    (tests/test_trainer.py::test_grad_accum_matches_big_batch). Only the
+    cosine horizon converts: ``epochs * steps_per_epoch`` is the run length
+    in data-loop MICRO-steps (reference train.py:517), so it is divided by
+    ``grad_accum`` to land in applied-update units."""
     if cfg.lr_schedule == "warmup":
         return warmup_schedule(cfg.learning_rate, cfg.warm_up)
     if cfg.lr_schedule == "inverse_time_decay":
@@ -100,9 +111,6 @@ def make_lr_schedule(cfg):
     if cfg.lr_schedule == "constant":
         return constant_schedule(cfg.learning_rate)
     if cfg.lr_schedule == "cosine":
-        # schedules count APPLIED optimizer updates (optax.MultiSteps only
-        # advances the inner count when the accumulation window closes), so
-        # the decay horizon is total micro-steps / grad_accum
         accum = max(getattr(cfg, "grad_accum", 1), 1)
         return warmup_cosine_schedule(
             cfg.learning_rate,

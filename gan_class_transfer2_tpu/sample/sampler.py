@@ -26,6 +26,17 @@ from ..models import api as model_api
 from ..ops import image as image_ops
 
 
+def sample_timesteps(cfg):
+    """The reverse-diffusion visit order T, T−s, … (descending) under
+    ``cfg.sample_stride`` — the ONE definition of the subset schedule, shared
+    by ``sample``, ``sample_stream``, and the serving stream
+    (serve/server.py), so every sampling surface visits identical timesteps."""
+    import numpy as np
+
+    stride = max(getattr(cfg, "sample_stride", 1), 1)
+    return np.arange(cfg.steps, 0, -stride)
+
+
 def preview(cfg, params, example_image, noise, class_idx=None):
     """Single-step denoise preview. Returns (denoised, rmse).
 
@@ -101,12 +112,11 @@ def sample(cfg, params, init_batch, class_idx=None) -> SampleResult:
     the deterministic (x̂, ε̂) re-estimate at an arbitrary t; stride 1 is
     the exact reference loop. Denoiser calls drop from T to ⌈T/s⌉."""
     T = cfg.steps
-    stride = max(getattr(cfg, "sample_stride", 1), 1)
     # Snapshot x̂ at the four reference timesteps (train.py:488-495); with a
     # stride, map each to the nearest VISITED timestep at or below it (the
     # lowest visited one when none is below — large strides must still fill
     # every snapshot slot). Static computation: the hit test stays exact.
-    visited = list(range(T, 0, -stride))
+    visited = [int(t) for t in sample_timesteps(cfg)]
     def nearest(s):
         below = [v for v in visited if v <= s]
         return max(below) if below else visited[-1]
@@ -127,7 +137,7 @@ def sample(cfg, params, init_batch, class_idx=None) -> SampleResult:
         return (x_theta, epsilon_theta, snaps), None
 
     snaps0 = jnp.zeros((4,) + init_batch.shape, jnp.float32)
-    ts = jnp.arange(T, 0, -stride)
+    ts = jnp.asarray(sample_timesteps(cfg))
     (x_theta, _, snaps), _ = lax.scan(body, (init_batch, init_batch, snaps0), ts)
     return SampleResult(x_theta, snaps)
 
@@ -160,11 +170,13 @@ def make_segment_fn(cfg, class_idx=None):
 def sample_stream(cfg, params, init_batch, segments: int = 4, class_idx=None):
     """Generator over intermediate x̂ states of the reverse diffusion:
     yields ``segments`` arrays, the last being the final sample batch
-    (value-identical to ``sample(...).images``)."""
+    (value-identical to ``sample(...).images``, including under
+    ``cfg.sample_stride`` — both draw their schedule from
+    ``sample_timesteps``)."""
     import numpy as np
 
     seg = make_segment_fn(cfg, class_idx)
-    ts_all = np.arange(cfg.steps, 0, -1)
+    ts_all = sample_timesteps(cfg)
     x_theta = epsilon_theta = init_batch
     for ts in np.array_split(ts_all, max(segments, 1)):
         if len(ts) == 0:

@@ -230,7 +230,16 @@ class AsyncServer:
 
     async def _handle(self, reader, writer):
         try:
-            method, target, _headers, body = await self._read_request(reader)
+            try:
+                method, target, _headers, body = await self._read_request(reader)
+            except ValueError as e:
+                # malformed request (bad request line, bogus/oversized
+                # Content-Length, too many headers): answer 400 like the
+                # threaded frontend does — the silent drop below is only for
+                # clients that went away mid-read
+                writer.write(_json_response(400, {"error": str(e)}))
+                await writer.drain()
+                return
             try:
                 resp = await self._route(method, target, body, writer)
             except ValueError as e:
@@ -241,8 +250,8 @@ class AsyncServer:
                 writer.write(resp)
             await writer.drain()
         except (asyncio.IncompleteReadError, asyncio.TimeoutError,
-                ConnectionError, ValueError):
-            pass  # client went away / malformed request — drop quietly
+                ConnectionError):
+            pass  # client went away — drop quietly
         finally:
             try:
                 writer.close()

@@ -85,9 +85,18 @@ class SampleBatcher:
         total = sum(r.num for r in batch)
         if any(r.payload is not None for r in batch):
             # conditional sampling: per-request class indices concatenate
-            # into one mixed-class device batch (class_idx is per-sample)
+            # into one mixed-class device batch (class_idx is per-sample).
+            # payload=None means "no class requested" — NOT class 0; a mixed
+            # queue must never silently assign class 0 to unconditional
+            # requests (ModelService.sample resolves the default class
+            # before submitting, so None here is a caller bug).
+            if any(r.payload is None for r in batch):
+                raise ValueError(
+                    "mixed class-conditional and unconditional requests in "
+                    "one batch: resolve a class index before submit()"
+                )
             classes = np.concatenate(
-                [np.full((r.num,), r.payload or 0, np.int32) for r in batch]
+                [np.full((r.num,), r.payload, np.int32) for r in batch]
             )
             return self._run(total, classes)
         return self._run(total)
@@ -369,6 +378,11 @@ class ModelService:
             raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
         self._validate_class(class_idx)
         self._bump("requests_sample")
+        if class_idx is None and self.cfg.num_classes > 0:
+            # conditional checkpoint with no class requested: the documented
+            # default is class 0 — resolved HERE so the batcher never has to
+            # guess what a None payload means in a mixed-class batch
+            class_idx = 0
         # concurrent requests coalesce into one device batch (SampleBatcher)
         return self._batcher.submit(num, payload=class_idx)
 
@@ -408,10 +422,9 @@ class ModelService:
                     seg = sampler.make_segment_fn(self.cfg, class_idx=c)
                     self._segment_by_class[key] = seg
         # honour the DDIM-style subset schedule (sample_stride; 1 = exact
-        # reference loop) so streamed and non-streamed sampling agree
-        ts_all = np.arange(
-            self.cfg.steps, 0, -max(getattr(self.cfg, "sample_stride", 1), 1)
-        )
+        # reference loop) so streamed and non-streamed sampling agree —
+        # the schedule has exactly one definition (sampler.sample_timesteps)
+        ts_all = sampler.sample_timesteps(self.cfg)
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
             x = e = jax.random.normal(

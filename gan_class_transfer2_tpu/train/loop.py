@@ -38,8 +38,28 @@ class Runner(ResilientRunnerMixin):
         self.train_step = mesh_lib.make_parallel_train_step(cfg, self.mesh)
         self.eval_fn = mesh_lib.make_parallel_eval_fn(cfg, self.mesh)
 
+        # held-out eval split (FID hygiene, same as GANRunner): when the
+        # datasets are built here from the class patterns and FID tracking is
+        # on, fid_samples files per class are RESERVED for the metric and
+        # never reach the training iterators — a metric computed on training
+        # images has train/eval leakage
+        self._eval_files = None
+        self._fid_reference = None
         if dataset is None:
-            dsets = pipeline.make_datasets(cfg)
+            files_per_class = None
+            if cfg.fid_samples > 0:
+                patterns = cfg.class_patterns()
+                try:
+                    splits = [
+                        pipeline.held_out_split(p, cfg.fid_samples, seed=cfg.seed + i)
+                        for i, p in enumerate(patterns)
+                    ]
+                except FileNotFoundError:
+                    splits = None  # non-file dataset (make_datasets will raise)
+                if splits is not None:
+                    files_per_class = [tr for tr, _ in splits]
+                    self._eval_files = [f for _, ev in splits for f in ev]
+            dsets = pipeline.make_datasets(cfg, files_per_class=files_per_class)
             # class-conditional training gets labeled round-robin batches
             dataset = (
                 pipeline.LabeledDataset(dsets) if cfg.num_classes > 0 else dsets[0]
@@ -111,14 +131,35 @@ class Runner(ResilientRunnerMixin):
         self.rng, sub = jax.random.split(self.rng)
         init = jax.random.normal(sub, (n, cfg.size, cfg.size, 3), jnp.float32)
         samples = np.asarray(sampler.sample(cfg, params, init).images)
-        data = []
-        while sum(len(d) for d in data) < n:
-            batch = jax.device_get(next(self.data_iter))
-            if isinstance(batch, dict):  # labeled (class-conditional) batches
-                batch = batch["image"]
-            data.append(np.asarray(batch))
-        data = np.concatenate(data, 0)[:n]
-        return metrics.fid(samples, data)
+        return metrics.fid(samples, self._fid_reference_set(n))
+
+    def _fid_reference_set(self, n: int) -> np.ndarray:
+        """Fixed comparison set for FID, disjoint from training data.
+
+        Preferred source: the held-out files reserved at construction
+        (decoded deterministically, fixed crop stream, no flip). When the
+        caller supplied a prebuilt dataset (no file list to split), falls
+        back to a fixed set drawn ONCE from the training stream — fixed
+        across evals, though disjointness can then not be guaranteed."""
+        if self._fid_reference is not None:
+            return self._fid_reference
+        if self._eval_files:
+            rng = np.random.default_rng(0)  # deterministic crop corners
+            imgs = [
+                pipeline.decode_image(f, self.cfg.size, rng, crop=True)
+                for f in self._eval_files
+            ]
+            out = np.stack(imgs, 0)[:n]
+        else:
+            data = []
+            while sum(len(d) for d in data) < n:
+                batch = jax.device_get(next(self.data_iter))
+                if isinstance(batch, dict):  # labeled batches
+                    batch = batch["image"]
+                data.append(np.asarray(batch))
+            out = np.concatenate(data, 0)[:n]
+        self._fid_reference = out
+        return out
 
     # ----------------------------------------------------------------- train
     def fit(

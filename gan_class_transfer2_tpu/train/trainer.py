@@ -400,12 +400,19 @@ def train_step(
         blended = jax.tree_util.tree_map(
             lambda e, p: e * d + p * (1.0 - d), ema, params
         )
+        # blend only when an update was actually applied: under grad_accum
+        # only when MultiSteps' window closed (mini_step wraps to 0), and
+        # under dynamic loss scaling only on finite (non-skipped) steps —
+        # otherwise the no-op steps decay EMA toward the unchanged params,
+        # silently raising the effective per-update decay
+        applied = None
         if cfg.grad_accum > 1:
-            # blend only when MultiSteps actually applied an update
-            # (mini_step wraps to 0): otherwise the micro-steps blend
-            # toward unchanged params, silently raising the effective
-            # per-update decay to d**grad_accum
             applied = opt_state.mini_step == 0
+        if dynamic:
+            applied = finite if applied is None else jnp.logical_and(
+                applied, finite
+            )
+        if applied is not None:
             ema = jax.tree_util.tree_map(
                 lambda b, e: jnp.where(applied, b, e), blended, ema
             )

@@ -20,6 +20,13 @@ import jax
 from ..config import Config
 
 
+# Stamped into the checkpoint config.json so future readers can detect and
+# migrate old layouts (step_<N> orbax dirs + .extra.json sidecars = v1).
+# Unknown keys are ignored by Config.from_json, so the stamp is
+# forward-compatible with configs saved before it existed.
+CHECKPOINT_FORMAT_VERSION = 1
+
+
 def _checkpointer():
     import orbax.checkpoint as ocp
 
@@ -69,8 +76,10 @@ def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None,
         with open(tmp_extra, "w") as f:
             json.dump(extra, f)
         os.rename(tmp_extra, path + ".extra.json")
+    meta = json.loads(cfg.to_json())
+    meta["checkpoint_format_version"] = CHECKPOINT_FORMAT_VERSION
     with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
-        f.write(cfg.to_json())
+        json.dump(meta, f, indent=2, sort_keys=True)
     keep = getattr(cfg, "checkpoint_keep", 0)
     if keep > 0:
         prune(ckpt_dir, keep)
@@ -89,12 +98,17 @@ def all_steps(ckpt_dir: str) -> list:
 
 def prune(ckpt_dir: str, keep: int, protect: Optional[int] = None) -> int:
     """Delete all but the newest ``keep`` step dirs (+ their sidecars);
-    returns the number removed. ``protect`` names a step never deleted
-    (the step a save() call just vouched for). Newest-first retention —
-    committed dirs are always complete (see save), so order is safe."""
-    steps = [s for s in all_steps(ckpt_dir) if s != protect]
+    returns the number removed. ``protect`` names a step exempt from
+    DELETION (the step a save() call just vouched for) — it still counts
+    toward the retention total, so at most ``keep`` dirs remain (keep+1
+    only when the protected step is older than the newest ``keep``).
+    Newest-first retention — committed dirs are always complete (see save),
+    so order is safe."""
+    steps = all_steps(ckpt_dir)
     removed = 0
     for s in steps[:-keep] if keep > 0 else []:
+        if s == protect:
+            continue
         path = os.path.join(os.path.abspath(ckpt_dir), f"step_{s:09d}")
         shutil.rmtree(path, ignore_errors=True)
         extra = path + ".extra.json"

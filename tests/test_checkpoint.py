@@ -160,3 +160,23 @@ def test_prune_protects_current_step(tmp_path):
     assert os.path.isdir(path)
     steps = ckpt.all_steps(str(tmp_path))
     assert 1 in steps and 3 in steps  # protected + newest
+
+
+def test_prune_retention_counts_protected_step(tmp_path):
+    """A protected step that is already among the newest ``keep`` dirs must
+    COUNT toward retention — keep=2 retains 2 dirs, not 3 (ADVICE r2)."""
+    import jax
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.train import trainer
+    from gan_class_transfer2_tpu.utils import checkpoint as ckpt
+
+    cfg0 = tiny_test_config(checkpoint_dir=str(tmp_path), donate_state=False)
+    state = trainer.init_state(cfg0, jax.random.PRNGKey(0))
+    for s in (1, 2, 3):
+        ckpt.save(str(tmp_path), state, cfg0, step=s)  # keep=0: no pruning
+    # re-save newest step with keep=2: protected (=3) is within the newest 2,
+    # so retention must still leave exactly 2 dirs
+    cfg = cfg0.replace(checkpoint_keep=2)
+    ckpt.save(str(tmp_path), state, cfg, step=3)
+    assert ckpt.all_steps(str(tmp_path)) == [2, 3]

@@ -234,3 +234,37 @@ def test_multi_slice_mesh_step_matches_flat_dp():
     a = np.asarray(jax.device_get(new_state.params["head"]["kernel"]))
     b = np.asarray(jax.device_get(new_state0.params["head"]["kernel"]))
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_zero1_opt_state_detection_is_exact_field_match():
+    """ZeRO-1 classifies optimizer state by exact top-level field membership
+    (OPT_STATE_FIELDS), not by an 'opt' substring anywhere in the path —
+    a future field merely containing 'opt' must stay on the TP rule
+    (VERDICT r2 weak #5)."""
+    from typing import Any, NamedTuple
+
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    class FakeState(NamedTuple):
+        step: Any
+        params: Any
+        opt_state: Any          # registered: ZeRO-1 shards this
+        adopted_params: Any     # contains 'opt' substring: must NOT shard
+        g_opt: Any              # registered (GAN states)
+
+    leaf = np.zeros((3, 3, 3, 8), np.float32)
+    state = FakeState(np.zeros(()), {"k": leaf}, {"mu": leaf},
+                      {"k": leaf}, {"nu": leaf})
+    mesh = mesh_lib.make_mesh(devices=jax.devices()[:4], data=4, model=1)
+    sh = mesh_lib.state_shardings(state, mesh, zero1=True)
+
+    def spec_of(tree):
+        return jax.tree_util.tree_leaves(
+            tree, is_leaf=lambda x: hasattr(x, "spec")
+        )[0].spec
+
+    assert spec_of(sh.opt_state) == P(None, None, None, "data")
+    assert spec_of(sh.g_opt) == P(None, None, None, "data")
+    assert spec_of(sh.adopted_params) == P()  # substring no longer matches
+    assert spec_of(sh.params) == P()

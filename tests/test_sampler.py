@@ -204,3 +204,27 @@ def test_sample_stride_validation():
         tiny_test_config(sample_stride=0)
     with _pytest.raises(ValueError, match="sample_stride"):
         tiny_test_config(steps=4, sample_stride=9)
+
+
+def test_sample_stream_honours_stride(setup):
+    """sampler.sample_stream must visit the same subset schedule as
+    sample() under cfg.sample_stride (ADVICE r2: the module-level helper
+    ignored the stride while the serving path re-derived it)."""
+    cfg, params, _ = setup
+    cfg = cfg.replace(sample_stride=3)
+    init = jax.random.normal(
+        jax.random.PRNGKey(5), (2, cfg.size, cfg.size, 3), jnp.float32
+    )
+    direct = np.asarray(sampler.sample(cfg, params, init).images)
+    *_, last = sampler.sample_stream(cfg, params, init, segments=3)
+    np.testing.assert_allclose(np.asarray(last), direct, rtol=1e-5, atol=1e-5)
+
+
+def test_sample_timesteps_single_definition():
+    from gan_class_transfer2_tpu.config import tiny_test_config
+
+    cfg = tiny_test_config(steps=10, sample_stride=4)
+    assert list(sampler.sample_timesteps(cfg)) == [10, 6, 2]
+    assert list(sampler.sample_timesteps(cfg.replace(sample_stride=1))) == list(
+        range(10, 0, -1)
+    )

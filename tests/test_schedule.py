@@ -127,3 +127,26 @@ def test_cosine_horizon_counts_applied_updates_under_grad_accum():
     # 32 micro-steps = 8 applied updates: LR must be ~0 at count 8
     assert float(s(8)) < 1e-9
     assert float(s(4)) > 0
+
+
+def test_warmup_unit_convention_under_grad_accum():
+    """Documented unit convention (ADVICE r2): warm_up counts APPLIED
+    updates for every schedule (so grad_accum=N ≡ one N×-batch step holds
+    exactly), while the cosine horizon converts from micro-steps
+    (epochs*steps_per_epoch is the data-loop length)."""
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.core.schedule import make_lr_schedule
+
+    base = dict(learning_rate=1e-3, warm_up=8)
+    plain = make_lr_schedule(tiny_test_config(**base))
+    accum = make_lr_schedule(tiny_test_config(**base, grad_accum=4))
+    # same warm_up, same applied-update count → identical LR trajectory
+    for c in (0, 4, 8, 12):
+        assert float(accum(c)) == float(plain(c))
+    # cosine: warmup stays in applied updates, horizon converts
+    cos = make_lr_schedule(tiny_test_config(
+        **base, grad_accum=4, lr_schedule="cosine", epochs=2,
+        steps_per_epoch=32,
+    ))
+    assert float(cos(4)) < 1e-3  # still ramping at applied update 4
+    assert float(cos(16)) < 1e-9  # horizon = 64 micro / 4 = 16 applied

@@ -210,3 +210,16 @@ def test_concurrent_requests_coalesce(aserver):
         assert len(n_calls) <= 3, f"expected coalescing, got calls {n_calls}"
     finally:
         service._batcher._run = orig
+
+
+def test_malformed_request_gets_400(aserver):
+    """A malformed request line must get an HTTP 400 like the threaded
+    frontend — not a silent connection drop (ADVICE r2)."""
+    import socket
+
+    srv, _ = aserver
+    with socket.create_connection(("127.0.0.1", srv.port), timeout=10) as s:
+        s.sendall(b"garbage\r\n\r\n")
+        data = s.recv(4096)
+    assert data.startswith(b"HTTP/1.1 400")
+    assert b"malformed request line" in data

@@ -263,3 +263,33 @@ def test_grad_accum_ema_blends_once_per_update():
     np.testing.assert_allclose(
         np.asarray(state.ema_params["head"]["kernel"]), want, rtol=1e-6
     )
+
+
+def test_ema_frozen_on_overflow_skipped_step():
+    """Under dynamic loss scaling an overflow step skips params/opt updates —
+    the EMA blend must be skipped too, or EMA decays toward the unchanged
+    params on every skipped step (VERDICT r2 weak #3)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = tiny_test_config(
+        dynamic_loss_scale=True, loss_scale=64.0, ema_decay=0.5,
+        donate_state=False,
+    )
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    step = trainer.make_train_step(cfg)
+    good = jnp.zeros((cfg.batch_size, cfg.size, cfg.size, 3), jnp.float32)
+    bad = jnp.full_like(good, jnp.inf)
+
+    s1, _ = step(state, good, jax.random.PRNGKey(1))
+    ema_before = np.asarray(s1.ema_params["head"]["kernel"])
+    p_before = np.asarray(s1.params["head"]["kernel"])
+    assert not np.array_equal(ema_before, p_before)  # mid-blend, not converged
+
+    s2, _ = step(s1, bad, jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(
+        np.asarray(s2.params["head"]["kernel"]), p_before  # update skipped
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s2.ema_params["head"]["kernel"]), ema_before  # EMA too
+    )
