@@ -30,3 +30,57 @@ def test_entry_traces():
     # compile-check on CPU via eval_shape (no heavy execute)
     out = jax.eval_shape(fn, *args)
     assert out.shape[1:] == (256, 256, 3)
+
+
+def test_model_flops_matches_param_shapes():
+    """The analytic FLOPs count walks the same channel trace as init_unet —
+    cross-check MACs against the actual kernel shapes paired with their
+    known spatial sizes (every conv is k4/s2 or k3/s1 at a derivable
+    level)."""
+    import jax
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.models import unet
+    from gan_class_transfer2_tpu.utils.benchmark import model_flops_per_image
+
+    for kw in (
+        dict(),
+        dict(block_depth=1),
+        dict(skip_mode="residual"),
+        dict(octaves=3, size=32, pixel_size=8, max_size=16),
+    ):
+        cfg = tiny_test_config(**kw)
+        params = unet.init_unet(jax.random.PRNGKey(0), cfg)
+        macs = 0
+        spatial = {}
+
+        def walk(i, s):
+            spatial[i] = s
+            if i + 1 < cfg.octaves:
+                walk(i + 1, s // 2)
+
+        walk(0, cfg.size)
+        for i, level in enumerate(params["octaves"]):
+            s = spatial[i]
+            kh, kw_, cin, cout = level["down"]["kernel"].shape
+            macs += (s // 2) ** 2 * kh * kw_ * cin * cout
+            for blk in level["block_in"]:
+                a, b, ci, co = blk["kernel"].shape
+                macs += (s // 2) ** 2 * a * b * ci * co
+            for blk in level["block_out"]:
+                a, b, ci, co = blk["kernel"].shape
+                macs += (s // 2) ** 2 * a * b * ci * co
+            kh, kw_, cin, cout = level["up"]["kernel"].shape
+            macs += (s // 2) ** 2 * kh * kw_ * cin * cout
+            if "skip_dense" in level:
+                ci, co = level["skip_dense"].shape
+                macs += s * s * ci * co
+        for blk in (*params["pre_block"], *params["post_block"]):
+            a, b, ci, co = blk["kernel"].shape
+            macs += cfg.size**2 * a * b * ci * co
+        for blk in params["middle"]:
+            a, b, ci, co = blk["kernel"].shape
+            macs += (cfg.size >> cfg.octaves) ** 2 * a * b * ci * co
+        ci, co = params["head"]["kernel"].shape
+        macs += cfg.size**2 * ci * co
+        assert model_flops_per_image(cfg) == 2 * macs, kw
