@@ -245,30 +245,66 @@ def make_parallel_conditional_gan_train_step(cfg, mesh: Mesh, example_state=None
     )
 
 
+def data_axis_size(mesh: Mesh) -> int:
+    """Total data-parallel extent of the mesh (slice × data on pods)."""
+    n = mesh.shape["data"]
+    if "slice" in mesh.axis_names:
+        n *= mesh.shape["slice"]
+    return n
+
+
+def shard_sample_batch(batch, mesh: Mesh):
+    """Pad a sampler batch to the mesh's data extent and constrain it to the
+    data axis, so the T-step reverse-diffusion scan runs data-parallel
+    instead of replicated (VERDICT r2 next #3 — the 401-call eval program
+    and the serving sampler are the second hot loop, SURVEY §3.4).
+
+    Returns (sharded_batch, real_count); callers slice outputs back to
+    ``real_count``. Zero-padding is sound: padded lanes run the same program
+    on junk data and are sliced away."""
+    import jax.numpy as jnp
+
+    n = batch.shape[0]
+    if mesh is None or mesh.size <= 1:
+        return batch, n
+    d = data_axis_size(mesh)
+    pad = (-n) % d
+    if pad:
+        batch = jnp.concatenate(
+            [batch, jnp.zeros((pad,) + batch.shape[1:], batch.dtype)], 0
+        )
+    spec = P(("slice", "data")) if "slice" in mesh.axis_names else P("data")
+    return jax.lax.with_sharding_constraint(
+        batch, NamedSharding(mesh, spec)
+    ), n
+
+
 def make_parallel_eval_fn(cfg, mesh: Mesh):
-    """Eval/sampler program jitted over the mesh. The sampler batch is tiny
-    (2 + 4·B images, reference train.py:432-434), so inputs are replicated;
-    TP-sharded params still parallelise the convs."""
+    """Eval/sampler program jitted over the mesh. The single-image stages
+    (preview, inversion) are replicated (TP-sharded params still parallelise
+    their convs); the (2 + 4·B)-image sampler stage — 200 of the 401
+    denoiser calls — is padded to the data axis and runs data-parallel."""
     rep = NamedSharding(mesh, P())
-    return jax.jit(sampler_eval(cfg), in_shardings=(None, rep, rep, rep))
+    return jax.jit(sampler_eval(cfg, mesh), in_shardings=(None, rep, rep, rep))
 
 
-def sampler_eval(cfg):
+def sampler_eval(cfg, mesh: Mesh | None = None):
     from ..sample import sampler
 
     def eval_fn(params, example_image, noise_bank, dictionary):
         denoised, rmse = sampler.preview(cfg, params, example_image, noise_bank[:1])
         x_theta, epsilon_theta = sampler.invert(cfg, params, example_image)
         batch = sampler.edit_noise(cfg, epsilon_theta, dictionary, noise_bank)
+        batch, n = shard_sample_batch(batch, mesh)
         result = sampler.sample(cfg, params, batch)
         return {
             "denoised": denoised,
             "example_loss": rmse,
-            "fake": result.images,
-            "step_1": result.snapshots[0],
-            "step_0.75": result.snapshots[1],
-            "step_0.5": result.snapshots[2],
-            "step_0.25": result.snapshots[3],
+            "fake": result.images[:n],
+            "step_1": result.snapshots[0][:n],
+            "step_0.75": result.snapshots[1][:n],
+            "step_0.5": result.snapshots[2][:n],
+            "step_0.25": result.snapshots[3][:n],
         }
 
     return eval_fn

@@ -142,13 +142,22 @@ def sample(cfg, params, init_batch, class_idx=None) -> SampleResult:
     return SampleResult(x_theta, snaps)
 
 
-def make_segment_fn(cfg, class_idx=None):
+def make_segment_fn(cfg, class_idx=None, mesh=None):
     """Jitted partial reverse-diffusion: advance (x̂, ε̂) over an explicit
     ``ts`` array (traced, so one compile serves every segment of the same
-    length). Enables streaming intermediate states (serve/server.py)."""
+    length). Enables streaming intermediate states (serve/server.py).
+
+    ``mesh``: constrain the (x̂, ε̂) batch to the mesh's data axis so the
+    segment runs data-parallel (the caller pads the batch to a multiple of
+    the data extent — serve/server._pad_bucket)."""
 
     @jax.jit
     def seg(params, x_theta, epsilon_theta, ts):
+        if mesh is not None and mesh.size > 1:
+            from ..parallel import mesh as mesh_lib
+
+            x_theta, _ = mesh_lib.shard_sample_batch(x_theta, mesh)
+            epsilon_theta, _ = mesh_lib.shard_sample_batch(epsilon_theta, mesh)
         def body(carry, t):
             x_theta, epsilon_theta = carry
             tf_ = t.astype(jnp.float32)

@@ -211,15 +211,22 @@ class TargetedImageBatcher(SampleBatcher):
 
 
 class ModelService:
-    """Owns params + jitted programs; thread-safe."""
+    """Owns params + jitted programs; thread-safe.
 
-    def __init__(self, cfg, state=None, gan_state=None, cgan_state=None):
+    ``mesh``: an optional ``jax.sharding.Mesh`` — sample batches are then
+    padded to the data axis and the reverse-diffusion program runs
+    data-parallel across the mesh instead of replicated (VERDICT r2 next
+    #3); a 1-device mesh (or None) is the plain single-chip path."""
+
+    def __init__(self, cfg, state=None, gan_state=None, cgan_state=None,
+                 mesh=None):
         import jax
 
         from ..sample import sampler
         from ..train import trainer as trainer_lib
 
         self.cfg = cfg
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         self._lock = threading.Lock()
         if state is None and gan_state is None and cgan_state is None:
             state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
@@ -243,12 +250,17 @@ class ModelService:
 
         if state is not None:
             params = state.ema_params if state.ema_params is not None else state.params
-            self._params = params
-            self._sample = jax.jit(
-                lambda p, b, c: sampler.sample(cfg, p, b, class_idx=c).images
-            )
+            self._params = self._place_params(params)
+
+            def _sample_prog(p, b, c):
+                from ..parallel import mesh as mesh_lib
+
+                b, n = mesh_lib.shard_sample_batch(b, self.mesh)
+                return sampler.sample(cfg, p, b, class_idx=c).images[:n]
+
+            self._sample = jax.jit(_sample_prog)
             self._preview = jax.jit(lambda p, x, n: sampler.preview(cfg, p, x, n))
-            self._segment = sampler.make_segment_fn(cfg)  # streaming
+            self._segment = sampler.make_segment_fn(cfg, mesh=self.mesh)
             self._batcher = SampleBatcher(self._run_sample)
             self._denoise_batcher = ImageBatcher(self._run_denoise)
             self._edit_fns = {}  # edits tuple -> jitted invert+edit+decode
@@ -265,6 +277,28 @@ class ModelService:
         if cgan_state is not None:
             self._cgan_batcher = TargetedImageBatcher(self._run_cgan_transfer)
 
+    def _place_params(self, params):
+        """Replicate params over the serving mesh (a committed single-device
+        tree would conflict with the data-sharded sample program)."""
+        if self.mesh is None:
+            return params
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(params, NamedSharding(self.mesh, P()))
+
+    def _pad_bucket(self, num: int) -> int:
+        """Power-of-two bucket (one compiled program per bucket), rounded up
+        to a multiple of the mesh's data extent when serving over a mesh."""
+        padded = 1
+        while padded < num:
+            padded *= 2
+        if self.mesh is not None:
+            from ..parallel import mesh as mesh_lib
+
+            padded += (-padded) % mesh_lib.data_axis_size(self.mesh)
+        return padded
+
     def _run_sample(self, num: int, classes=None) -> np.ndarray:
         """One coalesced device invocation for ``num`` images; ``classes``
         is a per-sample int32 class vector for conditional checkpoints."""
@@ -273,9 +307,7 @@ class ModelService:
         # bucket the batch to a power of two: each distinct shape would
         # otherwise jit-compile a fresh full sampler program (tens of
         # seconds), blocking all endpoints behind the lock
-        padded = 1
-        while padded < num:
-            padded *= 2
+        padded = self._pad_bucket(num)
         c = None
         if classes is not None or self.cfg.num_classes > 0:
             c = np.zeros((padded,), np.int32)
@@ -327,7 +359,7 @@ class ModelService:
                         self.state = ckpt_lib.restore(
                             self.cfg.checkpoint_dir, self.state, step=step
                         )
-                        self._params = (
+                        self._params = self._place_params(
                             self.state.ema_params
                             if self.state.ema_params is not None
                             else self.state.params
@@ -406,9 +438,7 @@ class ModelService:
 
         self.check_streamable(class_idx)
         self._bump("requests_stream")
-        padded = 1
-        while padded < num:
-            padded *= 2
+        padded = self._pad_bucket(num)
         seg = self._segment
         if class_idx is not None:
             # per-(class, batch) segment programs are cached (both small);
@@ -419,7 +449,9 @@ class ModelService:
                 seg = self._segment_by_class.get(key)
                 if seg is None:
                     c = jnp.full((padded,), class_idx, jnp.int32)
-                    seg = sampler.make_segment_fn(self.cfg, class_idx=c)
+                    seg = sampler.make_segment_fn(
+                        self.cfg, class_idx=c, mesh=self.mesh
+                    )
                     self._segment_by_class[key] = seg
         # honour the DDIM-style subset schedule (sample_stride; 1 = exact
         # reference loop) so streamed and non-streamed sampling agree —
@@ -722,12 +754,16 @@ def serve_from_checkpoint(
     model='diffusion' serves /sample and /denoise; model='gan' additionally
     serves /transfer from a cycle-GAN checkpoint. frontend='aio' swaps the
     thread-per-connection http.server for the asyncio event loop
-    (serve/aio.py) — same endpoints and device batching."""
+    (serve/aio.py) — same endpoints and device batching. On a multi-chip
+    host the sampler batch shards over the mesh's data axis (cfg.mesh_*)."""
     import jax
 
+    from ..parallel import mesh as mesh_lib
     from ..train import gan as gan_lib
     from ..train import trainer as trainer_lib
     from ..utils import checkpoint as ckpt_lib
+
+    mesh = mesh_lib.make_mesh(cfg) if jax.device_count() > 1 else None
 
     has_ckpt = cfg.checkpoint_dir and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None
     if not has_ckpt:
@@ -742,7 +778,7 @@ def serve_from_checkpoint(
         gan_state = gan_lib.init_gan_state(cfg, jax.random.PRNGKey(cfg.seed))
         if has_ckpt:
             gan_state = ckpt_lib.restore(cfg.checkpoint_dir, gan_state)
-        service = ModelService(cfg, gan_state=gan_state)
+        service = ModelService(cfg, gan_state=gan_state, mesh=mesh)
     elif model == "cgan":
         from ..train import conditional_gan as cgan_lib
 
@@ -751,12 +787,12 @@ def serve_from_checkpoint(
         )
         if has_ckpt:
             cgan_state = ckpt_lib.restore(cfg.checkpoint_dir, cgan_state)
-        service = ModelService(cfg, cgan_state=cgan_state)
+        service = ModelService(cfg, cgan_state=cgan_state, mesh=mesh)
     else:
         state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
         if has_ckpt:
             state = ckpt_lib.restore(cfg.checkpoint_dir, state)
-        service = ModelService(cfg, state=state)
+        service = ModelService(cfg, state=state, mesh=mesh)
     if frontend == "aio":
         from .aio import AsyncServer
 

@@ -171,16 +171,25 @@ def run_benchmark(cfg, steps: int = 30, warmup: int = 3, baseline_ips: float | N
     return result
 
 
-def run_sampler_benchmark(cfg, batch: int = 8, iters: int = 3) -> dict:
+def run_sampler_benchmark(cfg, batch: int = 8, iters: int = 3, mesh=None) -> dict:
     """Throughput of the jitted reverse-diffusion sampler (T-step lax.scan,
     sample/sampler.py) — the program the reference runs as 401 eager
     dispatches per epoch (train.py:323-496). Returns {"sampler_images_per_sec",
-    "sampler_batch", "sampler_steps"}."""
+    "sampler_batch", "sampler_steps"}.
+
+    ``mesh``: shard the batch over the data axis — sampler throughput then
+    scales with the mesh instead of replicating (VERDICT r2 next #3)."""
+    from ..parallel import mesh as mesh_lib
     from ..sample import sampler
     from ..train import trainer as trainer_lib
 
     state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
-    fn = jax.jit(lambda p, b: sampler.sample(cfg, p, b).images)
+
+    def run(p, b):
+        b, n = mesh_lib.shard_sample_batch(b, mesh)
+        return sampler.sample(cfg, p, b).images[:n]
+
+    fn = jax.jit(run)
     r = np.random.default_rng(0)
     init = jnp.asarray(
         r.normal(size=(batch, cfg.size, cfg.size, 3)).astype(np.float32)
@@ -196,4 +205,5 @@ def run_sampler_benchmark(cfg, batch: int = 8, iters: int = 3) -> dict:
         "sampler_images_per_sec": round(batch * iters / dt, 3),
         "sampler_batch": batch,
         "sampler_steps": cfg.steps,
+        "sampler_mesh": mesh.size if mesh is not None else 1,
     }

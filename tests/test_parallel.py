@@ -268,3 +268,40 @@ def test_zero1_opt_state_detection_is_exact_field_match():
     assert spec_of(sh.g_opt) == P(None, None, None, "data")
     assert spec_of(sh.adopted_params) == P()  # substring no longer matches
     assert spec_of(sh.params) == P()
+
+
+def test_eval_fn_shards_sampler_over_data_and_matches_single_device():
+    """The (2+4·B)-image sampler stage of the eval program runs data-parallel
+    over the mesh (VERDICT r2 next #3); outputs must be value-identical to
+    the 1-device program (zero-padding + slice-back is transparent)."""
+    cfg = tiny_test_config(mesh_data=1)
+    rng = jax.random.PRNGKey(0)
+    params = trainer.init_state(cfg, rng).params
+    r = np.random.default_rng(0)
+    image = jnp.asarray(r.uniform(-1, 1, (1, cfg.size, cfg.size, 3)), jnp.float32)
+    noise = jnp.asarray(r.normal(size=(2, cfg.size, cfg.size, 3)), jnp.float32)
+    dictionary = jnp.asarray(
+        r.normal(size=(cfg.size, cfg.size, 2**cfg.bits_per_pixel, 3)), jnp.float32
+    )
+
+    m1 = mesh_lib.make_mesh(devices=jax.devices()[:1], data=1, model=1)
+    m4 = mesh_lib.make_mesh(devices=jax.devices()[:4], data=4, model=1)
+    out1 = mesh_lib.make_parallel_eval_fn(cfg, m1)(params, image, noise, dictionary)
+    out4 = mesh_lib.make_parallel_eval_fn(cfg, m4)(params, image, noise, dictionary)
+    for k in out1:
+        a, b = np.asarray(out1[k]), np.asarray(out4[k])
+        assert a.shape == b.shape, k  # padding sliced back (6 = 2 + 4·1)
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4, err_msg=k)
+    # the fake batch kept its reference size (2 + 4·B), not the padded 8
+    assert out4["fake"].shape[0] == 6
+
+
+def test_shard_sample_batch_pads_to_data_extent():
+    m = mesh_lib.make_mesh(devices=jax.devices()[:4], data=4, model=1)
+    x = jnp.ones((6, 4, 4, 3))
+    sharded, n = mesh_lib.shard_sample_batch(x, m)
+    assert n == 6 and sharded.shape[0] == 8
+    # 1-device mesh: no-op
+    m1 = mesh_lib.make_mesh(devices=jax.devices()[:1], data=1, model=1)
+    same, n1 = mesh_lib.shard_sample_batch(x, m1)
+    assert n1 == 6 and same.shape[0] == 6
