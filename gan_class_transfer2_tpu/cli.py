@@ -105,6 +105,16 @@ def main(argv=None):
                 help="restart up to N times from the last checkpoint on a "
                 "step failure (requires --checkpoint-dir)",
             )
+            # multi-host (pod) launch: one process per host, all pointing at
+            # the same coordinator. initialize() runs BEFORE any backend
+            # touch; the mesh then spans every host's devices, input files
+            # shard per host, and only process 0 writes artifacts.
+            p.add_argument(
+                "--coordinator", type=str, default=None, metavar="HOST:PORT",
+                help="jax.distributed coordinator address (multi-host runs)",
+            )
+            p.add_argument("--num-processes", type=int, default=None)
+            p.add_argument("--process-id", type=int, default=None)
         if cmd == "sample":
             p.add_argument("--out", type=str, default="samples")
             p.add_argument("--num", type=int, default=6)
@@ -157,6 +167,17 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "coordinator", None):
+        # MUST precede any backend touch (multihost.initialize docstring);
+        # jax.config.update above is config-only and safe before this
+        from .parallel import multihost
+
+        kw = {}
+        if args.num_processes is not None:
+            kw["num_processes"] = args.num_processes
+        if args.process_id is not None:
+            kw["process_id"] = args.process_id
+        multihost.initialize(args.coordinator, **kw)
     cfg = config_from_args(
         args,
         checkpoint_config=args.command

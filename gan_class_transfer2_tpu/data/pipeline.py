@@ -359,13 +359,23 @@ def device_iterator(dataset, sharding=None):
     """Move host batches to device, optionally pre-sharded across a mesh.
 
     Overlaps the host→device transfer of batch N+1 with compute on batch N by
-    keeping one batch in flight (double buffering)."""
+    keeping one batch in flight (double buffering).
+
+    Multi-process (pod) runs: each host's dataset yields its LOCAL shard of
+    the global batch (make_datasets splits files and batch size by process),
+    and the logically-global array is assembled without cross-host data
+    movement (parallel/multihost.global_batch_from_host_local)."""
     import jax
 
     it = iter(dataset)
+    multiproc = jax.process_count() > 1
 
     def put(x):
         if sharding is not None:
+            if multiproc:
+                from ..parallel import multihost
+
+                return multihost.global_batch_from_host_local(x, sharding)
             return jax.device_put(x, sharding)
         return jax.device_put(x)
 
@@ -382,18 +392,36 @@ def make_datasets(cfg, files_per_class=None, **kw) -> list:
     Prefers the native C++ loader (``cfg.native_loader``) when its toolchain
     is available; otherwise the Python/PIL pipeline with identical element
     semantics. ``files_per_class``: explicit file lists (one per class)
-    overriding the glob expansion — used for held-out eval splits."""
+    overriding the glob expansion — used for held-out eval splits.
+
+    Multi-process (pod) runs: the file list is round-robin sharded by
+    process index and each host loads batch_size / process_count images —
+    its slice of the GLOBAL cfg.batch_size (assembled in device_iterator
+    via make_array_from_process_local_data)."""
+    import jax
+
     kw.setdefault("num_workers", getattr(cfg, "data_workers", 2))
     sources = (
         files_per_class if files_per_class is not None else cfg.class_patterns()
     )
+    batch_size = cfg.batch_size
+    if jax.process_count() > 1:
+        from ..parallel import multihost
+
+        batch_size = multihost.host_local_batch_size(cfg.batch_size)
+        sources = [
+            multihost.shard_files_for_host(
+                list_files(src) if isinstance(src, str) else sorted(src)
+            )
+            for src in sources
+        ]
     if getattr(cfg, "native_loader", False):
         from . import native_loader
 
         if native_loader.available():
             return [
                 native_loader.NativeImageDataset(
-                    src, cfg.size, cfg.batch_size,
+                    src, cfg.size, batch_size,
                     seed=cfg.seed + i, **kw,
                 )
                 for i, src in enumerate(sources)
@@ -402,7 +430,7 @@ def make_datasets(cfg, files_per_class=None, **kw) -> list:
         ImageDataset(
             src,
             cfg.size,
-            cfg.batch_size,
+            batch_size,
             seed=cfg.seed + i,
             shuffle_buffer=cfg.shuffle_buffer,
             cache=cfg.cache,

@@ -285,7 +285,13 @@ def make_parallel_eval_fn(cfg, mesh: Mesh):
     their convs); the (2 + 4·B)-image sampler stage — 200 of the 401
     denoiser calls — is padded to the data axis and runs data-parallel."""
     rep = NamedSharding(mesh, P())
-    return jax.jit(sampler_eval(cfg, mesh), in_shardings=(None, rep, rep, rep))
+    # outputs replicated: the caller device_gets them for TensorBoard, which
+    # on a pod requires fully-addressable (replicated) arrays on every host
+    return jax.jit(
+        sampler_eval(cfg, mesh),
+        in_shardings=(None, rep, rep, rep),
+        out_shardings=rep,
+    )
 
 
 def sampler_eval(cfg, mesh: Mesh | None = None):

@@ -47,13 +47,42 @@ def host_local_batch_size(global_batch: int) -> int:
 def global_batch_from_host_local(local_batch, sharding):
     """Assemble a logically-global batch from this host's local shard.
 
-    ``local_batch``: numpy array of shape (global_batch / process_count, ...);
-    ``sharding``: the global NamedSharding (e.g. mesh batch_sharding)."""
+    ``local_batch``: numpy array (or pytree of arrays, e.g. the labeled
+    ``{"image", "label"}`` batches) of leading dim global_batch /
+    process_count; ``sharding``: the global NamedSharding (e.g. mesh
+    batch_sharding — a P('data') spec applies to every leaf's leading
+    axis)."""
     if jax.process_count() == 1:
         return jax.device_put(local_batch, sharding)
-    return jax.make_array_from_process_local_data(sharding, local_batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        local_batch,
+    )
 
 
 def is_coordinator() -> bool:
-    """True on the process that should write checkpoints/logs."""
+    """True on the process that should write checkpoints/logs.
+
+    Every runner gates its file outputs (checkpoints, TensorBoard events,
+    config.json) on this — on a pod exactly one process writes, the rest
+    compute. Checkpoint RESTORE still happens on every process (shared
+    filesystem assumed, the standard pod setup); note that ZeRO-1 sharded
+    optimizer state is not multi-host checkpointable yet (device_get of a
+    non-addressable array) — Config.validate-level guard in the runners."""
     return jax.process_index() == 0
+
+
+def shard_files_for_host(files: list) -> list:
+    """This host's share of a file list (round-robin by process index) —
+    per-host input sharding so each process decodes only 1/N of the data
+    (SURVEY §2.3 DP row: 'per-host input sharding')."""
+    n = jax.process_count()
+    if n == 1:
+        return files
+    shard = files[jax.process_index()::n]
+    if not shard:
+        raise ValueError(
+            f"host {jax.process_index()}/{n} got no files "
+            f"(dataset has only {len(files)})"
+        )
+    return shard

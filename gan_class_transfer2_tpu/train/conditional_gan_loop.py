@@ -85,8 +85,14 @@ class ConditionalGANRunner(ResilientRunnerMixin):
         self.data_iter = pipeline.device_iterator(
             self.labeled, mesh_lib.batch_sharding(self.mesh)
         )
-        self.log_dir = log_dir or tb.reference_log_dir(cfg.log_dir)
-        self.writer = tb.SummaryWriter(self.log_dir)
+        from ..parallel import multihost
+
+        if multihost.is_coordinator():
+            self.log_dir = log_dir or tb.reference_log_dir(cfg.log_dir)
+            self.writer = tb.SummaryWriter(self.log_dir)
+        else:  # pod: compute everywhere, write on the coordinator only
+            self.log_dir = None
+            self.writer = tb.NullWriter()
         self._fixed = None
 
     def log_sample(self, epoch: int):

@@ -72,8 +72,14 @@ class GANRunner(ResilientRunnerMixin):
         self.iter_a = pipeline.device_iterator(self.dataset_a, sharding)
         self.iter_b = pipeline.device_iterator(self.dataset_b, sharding)
 
-        self.log_dir = log_dir or tb.reference_log_dir(cfg.log_dir)
-        self.writer = tb.SummaryWriter(self.log_dir)
+        from ..parallel import multihost
+
+        if multihost.is_coordinator():
+            self.log_dir = log_dir or tb.reference_log_dir(cfg.log_dir)
+            self.writer = tb.SummaryWriter(self.log_dir)
+        else:  # pod: compute everywhere, write on the coordinator only
+            self.log_dir = None
+            self.writer = tb.NullWriter()
         self._fixed_a = None
         self._fixed_b = None
         self._eval_cache = {}

@@ -17,6 +17,7 @@ import numpy as np
 from ..config import Config
 from ..data import pipeline
 from ..parallel import mesh as mesh_lib
+from ..parallel import multihost
 from ..utils import checkpoint as ckpt_lib
 from ..utils import tensorboard as tb
 from . import trainer as trainer_lib
@@ -29,6 +30,14 @@ class Runner(ResilientRunnerMixin):
     def __init__(self, cfg: Config, dataset=None, log_dir: Optional[str] = None):
         self.cfg = cfg.validate()
         self.mesh = mesh_lib.make_mesh(cfg)
+        # pod runs: every process computes (collectives must stay aligned),
+        # but exactly ONE writes checkpoints/events/config.json
+        self._is_coordinator = multihost.is_coordinator()
+        if jax.process_count() > 1 and cfg.zero1:
+            raise ValueError(
+                "zero1 checkpointing is not multi-host capable yet "
+                "(sharded optimizer state is not host-addressable)"
+            )
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(self.rng)
         self.state = mesh_lib.init_sharded_state(cfg, self.mesh, init_rng)
@@ -70,10 +79,14 @@ class Runner(ResilientRunnerMixin):
             self.dataset, mesh_lib.batch_sharding(self.mesh)
         )
 
-        self.log_dir = log_dir or tb.reference_log_dir(cfg.log_dir)
-        self.writer = tb.SummaryWriter(self.log_dir)
-        with open(os.path.join(self.log_dir, "config.json"), "w") as f:
-            f.write(cfg.to_json())  # run metadata artifact
+        if self._is_coordinator:
+            self.log_dir = log_dir or tb.reference_log_dir(cfg.log_dir)
+            self.writer = tb.SummaryWriter(self.log_dir)
+            with open(os.path.join(self.log_dir, "config.json"), "w") as f:
+                f.write(cfg.to_json())  # run metadata artifact
+        else:
+            self.log_dir = None
+            self.writer = tb.NullWriter()
 
         # eval fixtures (reference train.py:305-311)
         fr = np.random.default_rng(cfg.seed + 1)

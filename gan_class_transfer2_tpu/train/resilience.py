@@ -35,7 +35,14 @@ class ResilientRunnerMixin:
         return {"data": out} if out else None
 
     def _checkpoint_now(self):
-        """Save state + data-stream position sidecar."""
+        """Save state + data-stream position sidecar. On a pod only the
+        coordinator writes (the state is replicated — every host has the
+        same values; N identical writers would race on the same paths).
+        Returns None on non-coordinators."""
+        from ..parallel import multihost
+
+        if not multihost.is_coordinator():
+            return None
         return ckpt_lib.save(
             self.cfg.checkpoint_dir, self.state, self.cfg,
             extra=self._data_state_extra(),

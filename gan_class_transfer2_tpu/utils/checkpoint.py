@@ -28,8 +28,27 @@ CHECKPOINT_FORMAT_VERSION = 1
 
 
 def _checkpointer():
+    import jax as _jax
     import orbax.checkpoint as ocp
 
+    if _jax.process_count() > 1:
+        # pod runs: only the coordinator calls save/restore (the state it
+        # writes is replicated numpy after device_get), so orbax's internal
+        # cross-host barriers must span ONLY process 0 — with the default
+        # options its sync_global_devices would deadlock waiting for the
+        # processes that (correctly) skipped the write.
+        from orbax.checkpoint._src.handlers import pytree_checkpoint_handler
+
+        return ocp.Checkpointer(
+            pytree_checkpoint_handler.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                # singleton per-host group: saves are coordinator-only and
+                # restores are independent per-host reads of the shared dir
+                primary_host=_jax.process_index(),
+                active_processes={_jax.process_index()},
+                barrier_sync_key_prefix=f"gct2host{_jax.process_index()}",
+            ),
+        )
     return ocp.PyTreeCheckpointer()
 
 

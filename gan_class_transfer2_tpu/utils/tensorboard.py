@@ -178,6 +178,23 @@ class SummaryWriter:
         self._file.close()
 
 
+class NullWriter:
+    """No-op SummaryWriter twin for non-coordinator processes on a pod —
+    every process computes (collectives must stay aligned) but only the
+    coordinator writes event files (parallel/multihost.is_coordinator)."""
+
+    path = None
+
+    def scalar(self, tag, value, step):
+        pass
+
+    def image(self, tag, images, step, max_outputs=3):
+        pass
+
+    def close(self):
+        pass
+
+
 def reference_log_dir(base: str = "logs") -> str:
     """The reference's ``logs/<YYYYMMDD>/<HHMMSS>`` layout (train.py:499-503)."""
     import datetime

@@ -77,3 +77,61 @@ def test_two_process_training_agrees():
         assert m, f"no SLICE line in:\n{out[-3000:]}"
         slice_results[int(m.group(1))] = (m.group(2), m.group(3))
     assert slice_results[0] == slice_results[1], slice_results
+
+
+def test_two_process_cli_train_writes_once(tmp_path):
+    """The PRODUCT multi-host path (VERDICT r2 next #2): the real
+    ``cli.py train`` command runs as a 2-process jax.distributed job via
+    --coordinator/--num-processes/--process-id, both processes agree on the
+    training losses, and exactly the coordinator writes checkpoints/logs."""
+    import numpy as np
+    from PIL import Image
+
+    data = tmp_path / "data"
+    data.mkdir()
+    r = np.random.default_rng(0)
+    for i in range(8):
+        Image.fromarray(
+            r.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+        ).save(data / f"{i}.png")
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(_TESTS_DIR, "mh_cli_worker.py"),
+             str(pid), "2", str(port), str(data), str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=_TESTS_DIR,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    results = {}
+    for out in outs:
+        m = re.search(
+            r"CLIRESULT pid=(\d+) coordinator=(\w+) wrote_ckpt=(\w+) "
+            r"wrote_logs=(\w+)",
+            out,
+        )
+        assert m, f"no CLIRESULT line in:\n{out[-3000:]}"
+        results[int(m.group(1))] = m.group(2, 3, 4)
+
+    # exactly one coordinator; only it wrote artifacts
+    assert results[0] == ("True", "True", "True")
+    assert results[1] == ("False", "False", "False")
+
+    # DP all-reduce keeps the printed epoch losses identical across hosts
+    losses = []
+    for out in outs:
+        m = re.search(r"epoch 0: loss=([0-9.]+)", out)
+        assert m, f"no epoch loss line in:\n{out[-3000:]}"
+        losses.append(m.group(1))
+    assert losses[0] == losses[1], losses
