@@ -164,8 +164,12 @@ class Config:
     log_images_every: int = 1  # epochs between log_sample calls
     # FID-style sample-quality tracking (BASELINE "steps-to-fixed-FID"):
     # 0 = off; N = compute FID between N generated samples and N data images
-    # at every log_sample (utils/metrics.py random-feature extractor).
+    # at every log_sample (utils/metrics.py).
     fid_samples: int = 0
+    # Feature embedding for FID: "trained" = the pinned committed classifier
+    # (utils/fid_extractor.py), "random" = fixed-seed random-conv projection,
+    # "auto" = trained when its weights exist (the default).
+    fid_extractor: str = "auto"
 
     # ------------------------------------------------------------ derived ---
     def class_patterns(self) -> Tuple[str, ...]:
@@ -203,6 +207,11 @@ class Config:
         for knob in (self.d_norm, self.g_norm):
             if knob not in ("none", "instance", "batch"):
                 raise ValueError(f"unknown norm {knob!r}")
+        if self.fid_extractor not in ("auto", "trained", "random"):
+            raise ValueError(
+                f"unknown fid_extractor {self.fid_extractor!r} "
+                "(auto | trained | random)"
+            )
         if self.moment_dtype not in ("float32", "bfloat16"):
             raise ValueError(
                 f"unknown moment_dtype {self.moment_dtype!r} "

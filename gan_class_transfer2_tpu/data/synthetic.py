@@ -48,6 +48,98 @@ def crosses(n: int, size: int = 32, seed: int = 0) -> np.ndarray:
     return out
 
 
+def triangles(n: int, size: int = 32, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed + 104729)
+    out = np.empty((n, size, size, 3), np.float32)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for i in range(n):
+        img = _canvas(rng, size)
+        cx, cy = rng.uniform(size * 0.3, size * 0.7, 2)
+        h = rng.uniform(size * 0.15, size * 0.3)
+        # upright isoceles: |x-cx| <= (y - (cy-h)) / 2 within the height band
+        mask = (np.abs(xx - cx) <= (yy - (cy - h)) * 0.5) & (yy <= cy + h) & (
+            yy >= cy - h
+        )
+        img[mask] = rng.uniform(0.3, 0.95, 3).astype(np.float32)
+        out[i] = img
+    return out
+
+
+def rings(n: int, size: int = 32, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed + 15485863)
+    out = np.empty((n, size, size, 3), np.float32)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for i in range(n):
+        img = _canvas(rng, size)
+        cx, cy = rng.uniform(size * 0.3, size * 0.7, 2)
+        r = rng.uniform(size * 0.18, size * 0.3)
+        d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+        mask = (d2 <= r**2) & (d2 >= (r * 0.55) ** 2)
+        img[mask] = rng.uniform(0.3, 0.95, 3).astype(np.float32)
+        out[i] = img
+    return out
+
+
+def stripes(n: int, size: int = 32, seed: int = 0, vertical: bool = False) -> np.ndarray:
+    rng = np.random.default_rng(seed + (32452843 if vertical else 49979687))
+    out = np.empty((n, size, size, 3), np.float32)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for i in range(n):
+        img = _canvas(rng, size)
+        period = rng.integers(max(size // 8, 2), max(size // 3, 3))
+        phase = rng.integers(0, period)
+        axis = xx if vertical else yy
+        mask = ((axis + phase) // max(period // 2, 1)) % 2 == 0
+        img[mask] = rng.uniform(0.3, 0.95, 3).astype(np.float32)
+        out[i] = img
+    return out
+
+
+def checkers(n: int, size: int = 32, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed + 86028121)
+    out = np.empty((n, size, size, 3), np.float32)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for i in range(n):
+        img = _canvas(rng, size)
+        cell = rng.integers(max(size // 8, 2), max(size // 3, 3))
+        px, py = rng.integers(0, cell, 2)
+        mask = (((xx + px) // cell) + ((yy + py) // cell)) % 2 == 0
+        img[mask] = rng.uniform(0.3, 0.95, 3).astype(np.float32)
+        out[i] = img
+    return out
+
+
+def dots(n: int, size: int = 32, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed + 67867967)
+    out = np.empty((n, size, size, 3), np.float32)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for i in range(n):
+        img = _canvas(rng, size)
+        color = rng.uniform(0.3, 0.95, 3).astype(np.float32)
+        for _ in range(int(rng.integers(4, 9))):
+            cx, cy = rng.uniform(size * 0.1, size * 0.9, 2)
+            r = rng.uniform(size * 0.04, size * 0.08)
+            img[(xx - cx) ** 2 + (yy - cy) ** 2 <= r**2] = color
+        out[i] = img
+    return out
+
+
+# The 8-class shape corpus used to train the pinned FID feature extractor
+# (utils/fid_extractor.py): deterministic, network-free, and diverse enough
+# that a classifier's penultimate features must encode shape, texture
+# frequency, and layout — not just color statistics.
+SHAPE_CLASSES = (
+    ("circles", circles),
+    ("crosses", crosses),
+    ("triangles", triangles),
+    ("rings", rings),
+    ("hstripes", lambda n, size=32, seed=0: stripes(n, size, seed, vertical=False)),
+    ("vstripes", lambda n, size=32, seed=0: stripes(n, size, seed, vertical=True)),
+    ("checkers", checkers),
+    ("dots", dots),
+)
+
+
 def colored_pair(n: int, size: int = 16, seed: int = 0):
     """(class_a, class_b): red-dominant vs blue-dominant noise images."""
     rng = np.random.default_rng(seed)

@@ -130,7 +130,11 @@ class ConditionalGANRunner(ResilientRunnerMixin):
         fake = np.asarray(
             cgan.transfer(self.cfg, self.state, jnp.asarray(src_imgs), tgt)
         )
-        return metrics.fid(fake, np.asarray(tgt_imgs))
+        return metrics.fid(
+            fake,
+            np.asarray(tgt_imgs),
+            extractor=metrics.get_extractor(self.cfg.fid_extractor),
+        )
 
     def _data_sources(self) -> dict:
         return {"labeled": self.labeled}

@@ -144,7 +144,9 @@ class GANRunner(ResilientRunnerMixin):
         src = self._eval_set("a" if direction == "ab" else "b")
         tgt = self._eval_set("b" if direction == "ab" else "a")
         fake = np.asarray(gan.transfer(self.cfg, self.state, jnp.asarray(src), direction))
-        return metrics.fid(fake, tgt)
+        return metrics.fid(
+            fake, tgt, extractor=metrics.get_extractor(self.cfg.fid_extractor)
+        )
 
     def fit(self, epochs: Optional[int] = None, steps_per_epoch: Optional[int] = None,
             log_samples: bool = True):

@@ -144,7 +144,11 @@ class Runner(ResilientRunnerMixin):
         self.rng, sub = jax.random.split(self.rng)
         init = jax.random.normal(sub, (n, cfg.size, cfg.size, 3), jnp.float32)
         samples = np.asarray(sampler.sample(cfg, params, init).images)
-        return metrics.fid(samples, self._fid_reference_set(n))
+        return metrics.fid(
+            samples,
+            self._fid_reference_set(n),
+            extractor=metrics.get_extractor(cfg.fid_extractor),
+        )
 
     def _fid_reference_set(self, n: int) -> np.ndarray:
         """Fixed comparison set for FID, disjoint from training data.

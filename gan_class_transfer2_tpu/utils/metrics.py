@@ -1,12 +1,15 @@
 """Sample-quality metrics: Fréchet distance (FID-style), PSNR, RMSE.
 
 BASELINE.json names "steps-to-fixed-FID" as a tracked metric. True FID uses
-InceptionV3 pool3 activations; no pretrained Inception weights are available
-in this environment (zero egress), so the default feature extractor is a
-*fixed-seed random conv net* — a documented, deterministic proxy (random
-convolutional features preserve distributional differences well and the
-Fréchet math is identical). Any callable ``images -> (N, D)`` can be plugged
-in as the extractor (e.g. a real Inception when weights are present).
+InceptionV3 pool3 activations; no pretrained Inception weights exist in this
+zero-egress environment (verified: no keras/torch/HF caches), so the repo
+PINS ITS OWN trained feature extractor (utils/fid_extractor.py — a committed
+shape classifier at >97% held-out accuracy; docs/FID.md shows the proxy
+tracks visual quality). That is the default embedding whenever its weights
+are present; the fixed-seed random-conv projection remains selectable
+(``extractor="random"``) and is the fallback. Any callable
+``images -> (N, D)`` can also be plugged in directly (e.g. a real Inception
+when weights are available).
 
 The Fréchet distance itself is exact:
 ``|μ₁−μ₂|² + tr(Σ₁+Σ₂−2·(Σ₁Σ₂)^{1/2})``.
@@ -96,14 +99,35 @@ def _stats(feats: np.ndarray, ridge: float = 1e-6):
     return mu, sigma
 
 
+def get_extractor(name: str = "auto") -> Callable:
+    """Resolve a named feature extractor.
+
+    ``trained``: the pinned committed classifier (utils/fid_extractor.py);
+    ``random``: the fixed-seed random-conv projection;
+    ``auto``: trained when its weights file exists, else random."""
+    from . import fid_extractor
+
+    if name == "auto":
+        name = "trained" if fid_extractor.available() else "random"
+    if name == "trained":
+        return fid_extractor.trained_features
+    if name == "random":
+        return random_conv_features
+    raise ValueError(f"unknown extractor {name!r} (trained | random | auto)")
+
+
 def fid(
     images_a,
     images_b,
     extractor: Optional[Callable] = None,
     batch_size: int = 64,
 ) -> float:
-    """FID-style score between two image sets ((N,H,W,3) in [−1,1))."""
-    extractor = extractor or random_conv_features
+    """FID-style score between two image sets ((N,H,W,3) in [−1,1)).
+
+    ``extractor``: a callable, or None for the default (``get_extractor
+    ("auto")`` — the pinned trained embedding when committed weights are
+    present)."""
+    extractor = extractor or get_extractor("auto")
 
     def feats(images):
         out = []

@@ -1,5 +1,6 @@
 """Metric tests: Fréchet distance closed forms, FID sanity, PSNR/RMSE."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -46,3 +47,56 @@ def test_psnr_rmse():
     assert abs(metrics.rmse(a, b) - 0.5) < 1e-9
     assert abs(metrics.psnr(a, b) - 20 * np.log10(2 / 0.5)) < 1e-9
     assert metrics.psnr(a, a) == float("inf")
+
+
+def test_get_extractor_registry():
+    from gan_class_transfer2_tpu.utils import fid_extractor as fx
+
+    assert metrics.get_extractor("random") is metrics.random_conv_features
+    with pytest.raises(ValueError, match="unknown extractor"):
+        metrics.get_extractor("banana")
+    auto = metrics.get_extractor("auto")
+    if fx.available():
+        assert auto is fx.trained_features
+    else:
+        assert auto is metrics.random_conv_features
+
+
+def test_trained_extractor_pinned_and_discriminative():
+    """The committed extractor loads, is deterministic, resizes arbitrary
+    inputs, and separates shape classes far better than same-class draws
+    (the property FID needs from its embedding)."""
+    from gan_class_transfer2_tpu.data import synthetic
+    from gan_class_transfer2_tpu.utils import fid_extractor as fx
+
+    if not fx.available():
+        pytest.skip("pinned extractor weights not committed yet")
+    a1 = synthetic.circles(48, 32, seed=1)
+    a2 = synthetic.circles(48, 32, seed=2)
+    b = synthetic.crosses(48, 32, seed=3)
+    f = fx.trained_features
+    near = metrics.fid(a1, a2, extractor=f)
+    far = metrics.fid(a1, b, extractor=f)
+    assert far > 3 * near, (near, far)
+    # deterministic across calls
+    x = jnp.asarray(a1[:4])
+    np.testing.assert_array_equal(np.asarray(f(x)), np.asarray(f(x)))
+    # resolution-flexible: any H,W resizes to the trained input
+    feats = f(jnp.zeros((2, 100, 100, 3)))
+    assert feats.shape == (2, fx.FEATURE_DIM)
+
+
+def test_shape_corpus_classes_distinct():
+    """Every SHAPE_CLASSES generator yields the declared class count,
+    deterministic draws, and the right shapes."""
+    from gan_class_transfer2_tpu.data import synthetic
+
+    assert len(synthetic.SHAPE_CLASSES) == 8
+    names = [n for n, _ in synthetic.SHAPE_CLASSES]
+    assert len(set(names)) == 8
+    for name, fn in synthetic.SHAPE_CLASSES:
+        x = fn(3, size=32, seed=5)
+        y = fn(3, size=32, seed=5)
+        assert x.shape == (3, 32, 32, 3), name
+        np.testing.assert_array_equal(x, y)
+        assert x.min() >= -1.0 and x.max() <= 1.0, name
