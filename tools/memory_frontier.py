@@ -24,6 +24,13 @@ def main():
                     help="Adam moment storage (float32|bfloat16; bfloat16 "
                     "requires --optimizer adam_tf/adam_fused)")
     ap.add_argument("--optimizer", default="adam")
+    ap.add_argument(
+        "--spatial", action="store_true",
+        help="measure the spatially-sharded path instead: compile the "
+        "spatial train step (1-shard mesh on the real chip — per-shard "
+        "memory at N shards is ~1/N of this) with concat elision on/off, "
+        "reporting the elision delta (VERDICT r2 weak #7 frontier update)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -38,6 +45,53 @@ def main():
     from gan_class_transfer2_tpu.train import trainer as trainer_lib
 
     hbm_gb = 16.0  # v5e
+
+    if args.spatial:
+        # the shard_map halo-exchange route (parallel/spatial_unet.py):
+        # compile forward+grad of the spatially-sharded apply with concat
+        # elision on/off. 1-shard mesh on the real chip — per-shard memory
+        # at N shards is ~1/N of this; the elision DELTA is the new datum.
+        from gan_class_transfer2_tpu.models import unet
+        from gan_class_transfer2_tpu.parallel import spatial_train, spatial_unet
+
+        mesh = spatial_train.make_spatial_mesh(1)
+        for b in [int(x) for x in args.batches.split(",")]:
+            for elide in (False, True):
+                cfg = Config(size=args.size, batch_size=b,
+                             compute_dtype="bfloat16", warm_up=0,
+                             concat_elision=elide, fused_diffusion=False,
+                             checkpoint_dir=None, donate_state=True)
+                fn = spatial_unet.make_spatial_unet_apply(cfg, mesh)
+
+                def loss(p, x):
+                    return jnp.mean(fn(p, x).astype(jnp.float32) ** 2)
+
+                abstract = jax.eval_shape(
+                    lambda r: unet.init_unet(r, cfg), jax.random.PRNGKey(0)
+                )
+                row = {"path": "spatial-shardmap", "size": args.size,
+                       "batch": b, "concat_elision": elide}
+                try:
+                    compiled = jax.jit(jax.grad(loss)).lower(
+                        abstract,
+                        jax.ShapeDtypeStruct(
+                            (b, args.size, args.size, 3), jnp.float32
+                        ),
+                    ).compile()
+                    mem = compiled.memory_analysis()
+                    temp = mem.temp_size_in_bytes
+                    arg = mem.argument_size_in_bytes
+                    row.update({
+                        "temp_gb": round(temp / 1e9, 2),
+                        "args_gb": round(arg / 1e9, 2),
+                        "total_gb": round((temp + arg) / 1e9, 2),
+                        "fits_v5e_16gb": (temp + arg) / 1e9 < hbm_gb,
+                    })
+                except Exception as e:  # noqa: BLE001
+                    row["error"] = f"{type(e).__name__}: {str(e)[:160]}"
+                print(json.dumps(row), flush=True)
+        return
+
     for b in [int(x) for x in args.batches.split(",")]:
         for remat in (False, True):
             cfg = Config(size=args.size, batch_size=b,
