@@ -20,7 +20,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--target", type=float, default=0.005)
+    ap.add_argument(
+        "--target", type=float, default=None,
+        help="absolute FID target; default = --target-x times the measured "
+        "same-class floor (extractor-agnostic: the floor carries the "
+        "embedding's units)",
+    )
+    ap.add_argument("--target-x", type=float, default=1.5)
+    ap.add_argument(
+        "--extractor", default="auto", choices=("auto", "trained", "random"),
+        help="feature embedding (utils/metrics.get_extractor)",
+    )
     ap.add_argument("--max-steps", type=int, default=12000)
     ap.add_argument("--check-every", type=int, default=1000)
     ap.add_argument("--platform", default=None)
@@ -61,17 +71,28 @@ def main():
                         cfg.batch_size, seed=1, flip=False)
     eval_a = synthetic.circles(cfg.fid_samples, cfg.size, seed=1000)
     eval_b = synthetic.crosses(cfg.fid_samples, cfg.size, seed=1001)
+    cfg = cfg.replace(fid_extractor=args.extractor)
     runner = GANRunner(cfg, dataset_a=ds_a, dataset_b=ds_b,
                        eval_a=eval_a, eval_b=eval_b)
 
-    # reference floors: same-class noise floor and untransferred distance
+    # reference floors: same-class noise floor and untransferred distance.
+    # The floor carries the embedding's units, so the default target
+    # (--target-x times floor) is meaningful under ANY extractor — the
+    # pinned trained embedding's scores are thousands where the old random
+    # projection's were hundredths.
     from gan_class_transfer2_tpu.utils import metrics
+    x = metrics.get_extractor(args.extractor)
     floor = metrics.fid(
-        synthetic.crosses(cfg.fid_samples, cfg.size, seed=77), eval_b
+        synthetic.crosses(cfg.fid_samples, cfg.size, seed=77), eval_b,
+        extractor=x,
     )
-    untransferred = metrics.fid(eval_a, eval_b)
-    print(json.dumps({"fid_floor_same_class": round(float(floor), 5),
-                      "fid_untransferred": round(float(untransferred), 5)}),
+    untransferred = metrics.fid(eval_a, eval_b, extractor=x)
+    if args.target is None:
+        args.target = args.target_x * float(floor)
+    print(json.dumps({"extractor": args.extractor,
+                      "fid_floor_same_class": round(float(floor), 5),
+                      "fid_untransferred": round(float(untransferred), 5),
+                      "target": round(float(args.target), 5)}),
           flush=True)
 
     t0 = time.time()
