@@ -66,9 +66,11 @@ def is_coordinator() -> bool:
     Every runner gates its file outputs (checkpoints, TensorBoard events,
     config.json) on this — on a pod exactly one process writes, the rest
     compute. Checkpoint RESTORE still happens on every process (shared
-    filesystem assumed, the standard pod setup); note that ZeRO-1 sharded
-    optimizer state is not multi-host checkpointable yet (device_get of a
-    non-addressable array) — Config.validate-level guard in the runners."""
+    filesystem assumed, the standard pod setup). ZeRO-1 sharded optimizer
+    state checkpoints too: ``checkpoint.host_complete`` all-gathers the
+    cross-process shards on every process (collective, ordered before this
+    gate — see resilience._checkpoint_now) and restore re-places shards via
+    ``make_array_from_callback``."""
     return jax.process_index() == 0
 
 

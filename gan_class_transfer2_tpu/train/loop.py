@@ -33,11 +33,6 @@ class Runner(ResilientRunnerMixin):
         # pod runs: every process computes (collectives must stay aligned),
         # but exactly ONE writes checkpoints/events/config.json
         self._is_coordinator = multihost.is_coordinator()
-        if jax.process_count() > 1 and cfg.zero1:
-            raise ValueError(
-                "zero1 checkpointing is not multi-host capable yet "
-                "(sharded optimizer state is not host-addressable)"
-            )
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(self.rng)
         self.state = mesh_lib.init_sharded_state(cfg, self.mesh, init_rng)

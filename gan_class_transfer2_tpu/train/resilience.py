@@ -36,15 +36,18 @@ class ResilientRunnerMixin:
 
     def _checkpoint_now(self):
         """Save state + data-stream position sidecar. On a pod only the
-        coordinator writes (the state is replicated — every host has the
-        same values; N identical writers would race on the same paths).
-        Returns None on non-coordinators."""
+        coordinator writes (N identical writers would race on the same
+        paths) — but ``host_complete`` runs FIRST on every process: it is
+        a collective when the state has cross-process-sharded leaves
+        (ZeRO-1 moments), so the gather must precede the coordinator
+        gate. Returns None on non-coordinators."""
         from ..parallel import multihost
 
+        state = ckpt_lib.host_complete(self.state)
         if not multihost.is_coordinator():
             return None
         return ckpt_lib.save(
-            self.cfg.checkpoint_dir, self.state, self.cfg,
+            self.cfg.checkpoint_dir, state, self.cfg,
             extra=self._data_state_extra(),
         )
 

@@ -52,6 +52,55 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+def host_complete(state):
+    """A host-complete (numpy) copy of a state tree.
+
+    Single-process (and replicated pod leaves): plain ``device_get``.
+    Pod leaves that are SHARDED across processes (ZeRO-1 optimizer
+    moments): ``process_allgather`` — a COLLECTIVE, so on pods this must
+    run on EVERY process, before any coordinator-only gating (see
+    resilience._checkpoint_now). process_allgather would stack an extra
+    axis on fully-addressable/replicated inputs, hence the per-leaf
+    routing."""
+    import jax as _jax
+
+    def one(leaf):
+        if (
+            isinstance(leaf, _jax.Array)
+            and not leaf.is_fully_addressable
+            and not leaf.is_fully_replicated
+        ):
+            from jax.experimental import multihost_utils
+
+            # tiled=True is the required (and shape-preserving) mode for
+            # global arrays: it re-jits to a replicated out_sharding and
+            # returns the full value — no axis is added
+            return multihost_utils.process_allgather(leaf, tiled=True)
+        return _jax.device_get(leaf)
+
+    return _jax.tree_util.tree_map(one, state)
+
+
+def _host_template(like):
+    """Structure template for orbax restore that never device_gets a
+    cross-process-sharded leaf (device_get of a non-addressable,
+    non-replicated array raises)."""
+    import numpy as _np
+
+    import jax as _jax
+
+    def one(leaf):
+        if (
+            isinstance(leaf, _jax.Array)
+            and not leaf.is_fully_addressable
+            and not leaf.is_fully_replicated
+        ):
+            return _np.zeros(leaf.shape, leaf.dtype)
+        return _jax.device_get(leaf)
+
+    return _jax.tree_util.tree_map(one, like)
+
+
 def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None,
          extra: Optional[dict] = None):
     """Save TrainState (+ config) at ``<ckpt_dir>/step_<N>``.
@@ -63,6 +112,12 @@ def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None,
 
     ``extra``: JSON-serialisable sidecar (e.g. data-iterator position) stored
     inside the step directory; read back with ``load_extra``.
+
+    Pod note: with cross-process-sharded leaves (ZeRO-1), call
+    ``host_complete(state)`` on EVERY process first and pass the result in
+    (it is a collective; calling save() with sharded state on the
+    coordinator alone would deadlock). resilience._checkpoint_now does
+    this ordering.
 
     ``cfg.checkpoint_keep > 0`` prunes all but the newest N step dirs after
     a successful save (retention policy for long runs — a 10⁶-step
@@ -86,7 +141,7 @@ def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None,
     tmp = path + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)  # stale partial write from a crashed save
-    _checkpointer().save(tmp, jax.device_get(state))
+    _checkpointer().save(tmp, host_complete(state))
     os.rename(tmp, path)
     if extra is not None:
         # sibling sidecar (not inside the orbax dir, whose layout is orbax's);
@@ -156,13 +211,34 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
 
 def restore(ckpt_dir: str, like, step: Optional[int] = None):
     """Restore a TrainState. ``like`` is a template state (same treedef) —
-    e.g. from ``trainer.init_state`` or ``jax.eval_shape`` thereof."""
+    e.g. from ``trainer.init_state`` or ``jax.eval_shape`` thereof.
+
+    Pod + ZeRO-1: cross-process-sharded ``like`` leaves are re-placed onto
+    their shardings via ``make_array_from_callback`` (each process reads
+    the full value from the shared checkpoint dir and provides its local
+    shards — no collectives). Other leaves are returned as restored
+    (host) values, exactly as before."""
+    import numpy as _np
+
     step = latest_step(ckpt_dir) if step is None else step
     if step is None:
         raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:09d}")
-    restored = _checkpointer().restore(path, item=jax.device_get(like))
-    return jax.tree_util.tree_map(lambda _, r: r, like, restored)
+    restored = _checkpointer().restore(path, item=_host_template(like))
+
+    def place(l, r):
+        if (
+            isinstance(l, jax.Array)
+            and not l.is_fully_addressable
+            and not l.is_fully_replicated
+        ):
+            full = _np.asarray(r)
+            return jax.make_array_from_callback(
+                l.shape, l.sharding, lambda idx: full[idx]
+            )
+        return r
+
+    return jax.tree_util.tree_map(place, like, restored)
 
 
 def load_config(ckpt_dir: str) -> Config:

@@ -118,6 +118,49 @@ def main():
         flush=True,
     )
 
+    # ---- ZeRO-1 checkpoint stage: cross-process-sharded optimizer moments
+    # must survive a save→restore round trip (host_complete allgather on
+    # every process, coordinator-only write, shard re-placement on restore).
+    shared = sys.argv[4] if len(sys.argv) > 4 else None
+    if shared:
+        from jax.experimental import multihost_utils
+
+        from gan_class_transfer2_tpu.utils import checkpoint as ckpt_lib
+
+        z_dir = os.path.join(shared, "zckpt")
+        z_cfg = cfg.replace(zero1=True, mesh_data=2 * n, mesh_model=1,
+                            checkpoint_dir=z_dir)
+        z_mesh = mesh_lib.make_mesh(z_cfg)
+        z_state = mesh_lib.init_sharded_state(z_cfg, z_mesh, jax.random.PRNGKey(0))
+        z_step = mesh_lib.make_parallel_train_step(z_cfg, z_mesh)
+        z_batch = multihost.global_batch_from_host_local(
+            local, mesh_lib.batch_sharding(z_mesh)
+        )
+        z_state, _ = z_step(z_state, z_batch, jax.random.PRNGKey(0))
+        import jax.tree_util as jtu
+
+        n_sharded = sum(
+            1
+            for leaf in jtu.tree_leaves(z_state.opt_state)
+            if isinstance(leaf, jax.Array)
+            and not leaf.is_fully_addressable
+            and not leaf.is_fully_replicated
+        )
+        assert n_sharded > 0, "ZeRO-1 produced no cross-process shards"
+        host = ckpt_lib.host_complete(z_state)  # collective: BOTH processes
+        if multihost.is_coordinator():
+            ckpt_lib.save(z_dir, host, z_cfg)
+        multihost_utils.sync_global_devices("zckpt written")
+        restored = ckpt_lib.restore(z_dir, z_state)
+        r_state, r_loss = z_step(restored, z_batch, jax.random.PRNGKey(1))
+        r_kernel = np.asarray(jax.device_get(r_state.params["head"]["kernel"]))
+        print(
+            f"ZERO1CKPT pid={pid} sharded_leaves={n_sharded} "
+            f"loss={float(r_loss):.8f} "
+            f"checksum={float(np.sum(np.abs(r_kernel))):.10f}",
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()

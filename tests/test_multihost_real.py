@@ -29,14 +29,14 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_training_agrees():
+def test_two_process_training_agrees(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # worker sets its own platform config
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(_TESTS_DIR, "mh_worker.py"),
-             str(pid), "2", str(port)],
+             str(pid), "2", str(port), str(tmp_path)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=_TESTS_DIR,
         )
@@ -77,6 +77,22 @@ def test_two_process_training_agrees():
         assert m, f"no SLICE line in:\n{out[-3000:]}"
         slice_results[int(m.group(1))] = (m.group(2), m.group(3))
     assert slice_results[0] == slice_results[1], slice_results
+
+    # ZeRO-1 checkpoint stage: cross-process-sharded optimizer moments
+    # survive save (host_complete allgather + coordinator-only write) →
+    # restore (shard re-placement) → one more training step, with both
+    # processes agreeing bit-for-bit
+    z_results = {}
+    for out in outs:
+        m = re.search(
+            r"ZERO1CKPT pid=(\d+) sharded_leaves=(\d+) loss=(\S+) "
+            r"checksum=(\S+)",
+            out,
+        )
+        assert m, f"no ZERO1CKPT line in:\n{out[-3000:]}"
+        z_results[int(m.group(1))] = m.group(2, 3, 4)
+    assert int(z_results[0][0]) > 0
+    assert z_results[0] == z_results[1], z_results
 
 
 def test_two_process_cli_train_writes_once(tmp_path):
