@@ -742,20 +742,10 @@ class Server:
         self.service.close()
 
 
-def serve_from_checkpoint(
-    cfg,
-    host: str = "127.0.0.1",
-    port: int = 8080,
-    model: str = "diffusion",
-    frontend: str = "threaded",
-):
-    """Load the latest checkpoint and serve forever (CLI entry).
-
-    model='diffusion' serves /sample and /denoise; model='gan' additionally
-    serves /transfer from a cycle-GAN checkpoint. frontend='aio' swaps the
-    thread-per-connection http.server for the asyncio event loop
-    (serve/aio.py) — same endpoints and device batching. On a multi-chip
-    host the sampler batch shards over the mesh's data axis (cfg.mesh_*)."""
+def build_service(cfg, model: str = "diffusion") -> ModelService:
+    """Construct the ModelService the serve CLI uses: restore the latest
+    checkpoint (warn + random weights when absent) and, on a multi-chip
+    host, build the mesh so sampler batches shard over its data axis."""
     import jax
 
     from ..parallel import mesh as mesh_lib
@@ -778,8 +768,8 @@ def serve_from_checkpoint(
         gan_state = gan_lib.init_gan_state(cfg, jax.random.PRNGKey(cfg.seed))
         if has_ckpt:
             gan_state = ckpt_lib.restore(cfg.checkpoint_dir, gan_state)
-        service = ModelService(cfg, gan_state=gan_state, mesh=mesh)
-    elif model == "cgan":
+        return ModelService(cfg, gan_state=gan_state, mesh=mesh)
+    if model == "cgan":
         from ..train import conditional_gan as cgan_lib
 
         cgan_state = cgan_lib.init_conditional_gan_state(
@@ -787,12 +777,28 @@ def serve_from_checkpoint(
         )
         if has_ckpt:
             cgan_state = ckpt_lib.restore(cfg.checkpoint_dir, cgan_state)
-        service = ModelService(cfg, cgan_state=cgan_state, mesh=mesh)
-    else:
-        state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
-        if has_ckpt:
-            state = ckpt_lib.restore(cfg.checkpoint_dir, state)
-        service = ModelService(cfg, state=state, mesh=mesh)
+        return ModelService(cfg, cgan_state=cgan_state, mesh=mesh)
+    state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
+    if has_ckpt:
+        state = ckpt_lib.restore(cfg.checkpoint_dir, state)
+    return ModelService(cfg, state=state, mesh=mesh)
+
+
+def serve_from_checkpoint(
+    cfg,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    model: str = "diffusion",
+    frontend: str = "threaded",
+):
+    """Load the latest checkpoint and serve forever (CLI entry).
+
+    model='diffusion' serves /sample and /denoise; model='gan' additionally
+    serves /transfer from a cycle-GAN checkpoint. frontend='aio' swaps the
+    thread-per-connection http.server for the asyncio event loop
+    (serve/aio.py) — same endpoints and device batching. On a multi-chip
+    host the sampler batch shards over the mesh's data axis (cfg.mesh_*)."""
+    service = build_service(cfg, model)
     if frontend == "aio":
         from .aio import AsyncServer
 

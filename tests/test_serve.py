@@ -353,3 +353,29 @@ def test_service_samples_over_mesh_match_single_device():
     finally:
         plain.close()
         meshed.close()
+
+
+def test_build_service_uses_mesh_on_multichip_host(tmp_path):
+    """The serve CLI's service constructor: restores the latest checkpoint
+    and, with >1 visible device, builds a mesh so /sample shards over the
+    data axis — the path the CLI runs on multi-chip hosts."""
+    from gan_class_transfer2_tpu.serve.server import build_service
+    from gan_class_transfer2_tpu.train import trainer as trainer_lib
+    from gan_class_transfer2_tpu.utils import checkpoint as ckpt_lib
+
+    import jax.numpy as jnp
+
+    cfg = tiny_test_config(checkpoint_dir=str(tmp_path), mesh_data=0)
+    state = trainer_lib.init_state(cfg, jax.random.PRNGKey(0))
+    state = state._replace(step=jnp.asarray(7, jnp.int32))
+    ckpt_lib.save(str(tmp_path), state, cfg)
+
+    svc = build_service(cfg)
+    try:
+        assert svc.step == 7  # checkpoint restored
+        assert svc.mesh is not None and svc.mesh.size == len(jax.devices())
+        out = svc.sample(3)  # 3 -> pow2 4 -> padded to the 8-way data axis
+        assert out.shape == (3, cfg.size, cfg.size, 3)
+        assert np.isfinite(out).all()
+    finally:
+        svc.close()
