@@ -265,7 +265,7 @@ def shard_sample_batch(batch, mesh: Mesh):
     import jax.numpy as jnp
 
     n = batch.shape[0]
-    if mesh is None or mesh.size <= 1:
+    if mesh is None or mesh.size <= 1 or "data" not in mesh.axis_names:
         return batch, n
     d = data_axis_size(mesh)
     pad = (-n) % d

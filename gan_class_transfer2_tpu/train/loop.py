@@ -62,6 +62,11 @@ class Runner(ResilientRunnerMixin):
                     splits = None  # non-file dataset (make_datasets will raise)
                 if splits is not None:
                     files_per_class = [tr for tr, _ in splits]
+                    # class-0 files FIRST: on conditional models compute_fid
+                    # samples class 0 (apply_denoiser's class_idx=None
+                    # default), and _fid_reference_set takes the first
+                    # fid_samples files — i.e. exactly class 0's quota, so
+                    # samples and reference stay the same class
                     self._eval_files = [f for _, ev in splits for f in ev]
             dsets = pipeline.make_datasets(cfg, files_per_class=files_per_class)
             # class-conditional training gets labeled round-robin batches
