@@ -187,7 +187,8 @@ class ConditionalGANRunner(ResilientRunnerMixin):
             )
             print(
                 f"epoch {epoch}: g={vals['g_loss']:.4f} d={vals['d_loss']:.4f} "
-                f"cycle={vals['cycle']:.4f}",
+                f"cycle={vals['cycle']:.4f} "
+                f"{n_steps * cfg.batch_size / dt:.1f} img/s",
                 flush=True,
             )
         return self.state

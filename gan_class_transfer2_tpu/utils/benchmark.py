@@ -201,9 +201,20 @@ def run_sampler_benchmark(cfg, batch: int = 8, iters: int = 3, mesh=None) -> dic
         imgs = fn(state.params, init)
     float(jnp.sum(imgs))
     dt = time.perf_counter() - t0
+    # forward-only MFU: each visited timestep is one denoiser forward
+    from ..sample import sampler as sampler_mod
+
+    n_calls = len(sampler_mod.sample_timesteps(cfg))
+    ips = batch * iters / dt
+    tflops = ips * n_calls * model_flops_per_image(cfg) / 1e12
+    n_chips = mesh.size if mesh is not None else 1
+    peak = PEAK_TFLOPS.get((jax.default_backend(), cfg.compute_dtype))
     return {
-        "sampler_images_per_sec": round(batch * iters / dt, 3),
+        "sampler_images_per_sec": round(ips, 3),
         "sampler_batch": batch,
         "sampler_steps": cfg.steps,
-        "sampler_mesh": mesh.size if mesh is not None else 1,
+        "sampler_denoiser_calls": n_calls,
+        "sampler_mesh": n_chips,
+        "sampler_tflops_per_chip": round(tflops / n_chips, 3),
+        "sampler_mfu": round(tflops / n_chips / peak, 4) if peak else None,
     }

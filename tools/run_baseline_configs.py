@@ -38,6 +38,15 @@ def _to_uint8(images):
     return np.clip((images + 1.0) * 128.0, 0, 255).astype(np.uint8)
 
 
+def _steady_state_ips(traj) -> float:
+    """Last per-epoch images_per_sec the runner itself logged — the
+    wall-clock division below includes the (minutes-long on a tunneled
+    TPU) first-epoch compile, so the event-file number is the honest
+    steady-state throughput."""
+    pts = traj.get("images_per_sec", [])
+    return pts[-1][1] if pts else 0.0
+
+
 def _trajectory(writer_path, tags):
     """Read scalar trajectories back out of the run's own event file."""
     from gan_class_transfer2_tpu.utils import tensorboard as tb
@@ -101,9 +110,11 @@ def run_config3(args):
         "what": "64^2 class pair, on-device augment (HBM uint8)",
         "images_per_sec": round(steps * cfg.batch_size / dt, 2),
         "final_fid_ab": round(runner.transfer_fid("ab"), 4),
-        "trajectory": _trajectory(
-            runner.writer.path, ("g_loss", "d_loss", "transfer_fid_ab")
-        ),
+        "trajectory": (traj := _trajectory(
+            runner.writer.path,
+            ("g_loss", "d_loss", "transfer_fid_ab", "images_per_sec"),
+        )),
+        "steady_state_images_per_sec": _steady_state_ips(traj),
         "grid": os.path.relpath(grid, REPO),
     }
     runner.close()
@@ -166,9 +177,11 @@ def run_config4(args):
         "global_batch": cfg.batch_size,
         "images_per_sec": round(steps * cfg.batch_size / dt, 2),
         "final_fid_ab": round(runner.transfer_fid("ab"), 4),
-        "trajectory": _trajectory(
-            runner.writer.path, ("g_loss", "d_loss", "transfer_fid_ab")
-        ),
+        "trajectory": (traj := _trajectory(
+            runner.writer.path,
+            ("g_loss", "d_loss", "transfer_fid_ab", "images_per_sec"),
+        )),
+        "steady_state_images_per_sec": _steady_state_ips(traj),
         "grid": os.path.relpath(grid, REPO),
     }
     runner.close()
@@ -241,10 +254,12 @@ def run_config5(args):
         "num_classes": cfg.num_classes,
         "images_per_sec": round(steps * cfg.batch_size / dt, 2),
         "final_fid_0_to_1": None if fid01 is None else round(fid01, 4),
-        "trajectory": _trajectory(
+        "trajectory": (traj := _trajectory(
             runner.writer.path,
-            ("g_loss", "d_loss", "cycle", "identity", "transfer_fid_0_to_1"),
-        ),
+            ("g_loss", "d_loss", "cycle", "identity", "transfer_fid_0_to_1",
+             "images_per_sec"),
+        )),
+        "steady_state_images_per_sec": _steady_state_ips(traj),
         "grids": grids,
     }
     runner.close()
