@@ -178,6 +178,16 @@ def main(argv=None):
         if args.process_id is not None:
             kw["process_id"] = args.process_id
         multihost.initialize(args.coordinator, **kw)
+    elif getattr(args, "num_processes", None) is not None or getattr(
+        args, "process_id", None
+    ) is not None:
+        # without a coordinator every process would silently train an
+        # INDEPENDENT single-host job and race-write the shared output
+        # dirs — exactly the hazard multihost.initialize exists to prevent
+        parser.error(
+            "--num-processes/--process-id require --coordinator "
+            "(otherwise each process runs an independent single-host job)"
+        )
     cfg = config_from_args(
         args,
         checkpoint_config=args.command

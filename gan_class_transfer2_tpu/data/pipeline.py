@@ -114,8 +114,13 @@ class EpochIndexStream:
         self._position = int(state["position"])
 
 
-def decode_image(data_or_path, size: int, rng: np.random.Generator, crop: bool = True) -> np.ndarray:
-    """Decode + augment one image to float32 (size, size, 3) in [-1, 1)."""
+def decode_image(data_or_path, size: int, rng: np.random.Generator,
+                 crop: bool = True, flip: bool = True) -> np.ndarray:
+    """Decode + augment one image to float32 (size, size, 3) in [-1, 1).
+
+    ``flip=False`` for deterministic EVAL decodes (FID reference sets):
+    the flip draw is skipped entirely, leaving the crop-corner stream
+    unchanged."""
     img = Image.open(data_or_path)
     img = img.convert("RGB")  # 3 channels (reference decode_jpeg(file, 3))
     arr = np.asarray(img, dtype=np.uint8)
@@ -127,7 +132,7 @@ def decode_image(data_or_path, size: int, rng: np.random.Generator, crop: bool =
         j = rng.integers(0, w - size + 1)
         arr = arr[i : i + size, j : j + size]
     arr = np.broadcast_to(arr, (size, size, 3))
-    if rng.integers(0, 2):  # random horizontal flip
+    if flip and rng.integers(0, 2):  # random horizontal flip
         arr = arr[:, ::-1]
     return arr.astype(np.float32) / 128.0 - 1.0
 

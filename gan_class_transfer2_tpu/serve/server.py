@@ -745,7 +745,11 @@ class Server:
 def build_service(cfg, model: str = "diffusion") -> ModelService:
     """Construct the ModelService the serve CLI uses: restore the latest
     checkpoint (warn + random weights when absent) and, on a multi-chip
-    host, build the mesh so sampler batches shard over its data axis."""
+    host, build a LOCAL data mesh so sampler batches shard over its data
+    axis. The checkpoint's train-time mesh config is deliberately ignored:
+    a checkpoint trained with --mesh-data 8 (or on a pod) must still serve
+    on whatever chips this host has — serving only ever data-shards over
+    local devices (params are replicated by _place_params regardless)."""
     import jax
 
     from ..parallel import mesh as mesh_lib
@@ -753,7 +757,12 @@ def build_service(cfg, model: str = "diffusion") -> ModelService:
     from ..train import trainer as trainer_lib
     from ..utils import checkpoint as ckpt_lib
 
-    mesh = mesh_lib.make_mesh(cfg) if jax.device_count() > 1 else None
+    n_local = len(jax.local_devices())
+    mesh = (
+        mesh_lib.make_mesh(devices=jax.local_devices(), data=n_local, model=1)
+        if n_local > 1
+        else None
+    )
 
     has_ckpt = cfg.checkpoint_dir and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None
     if not has_ckpt:

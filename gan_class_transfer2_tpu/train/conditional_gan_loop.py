@@ -71,7 +71,8 @@ class ConditionalGANRunner(ResilientRunnerMixin):
                 self._eval_sets = [
                     np.stack(
                         [
-                            pipeline.decode_image(f, cfg.size, rng, crop=True)
+                            pipeline.decode_image(f, cfg.size, rng,
+                                                  crop=True, flip=False)
                             for f in ev
                         ],
                         0,

@@ -120,7 +120,8 @@ class GANRunner(ResilientRunnerMixin):
         if files:
             rng = np.random.default_rng(0)  # deterministic crop corners
             imgs = [
-                pipeline.decode_image(f, self.cfg.size, rng, crop=True)
+                pipeline.decode_image(f, self.cfg.size, rng, crop=True,
+                                      flip=False)
                 for f in files
             ]
             out = np.stack(imgs, 0)

@@ -163,10 +163,11 @@ class Runner(ResilientRunnerMixin):
         if self._eval_files:
             rng = np.random.default_rng(0)  # deterministic crop corners
             imgs = [
-                pipeline.decode_image(f, self.cfg.size, rng, crop=True)
-                for f in self._eval_files
+                pipeline.decode_image(f, self.cfg.size, rng, crop=True,
+                                      flip=False)
+                for f in self._eval_files[:n]  # only decode what is used
             ]
-            out = np.stack(imgs, 0)[:n]
+            out = np.stack(imgs, 0)
         else:
             data = []
             while sum(len(d) for d in data) < n:

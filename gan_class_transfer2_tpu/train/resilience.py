@@ -81,15 +81,41 @@ class ResilientRunnerMixin:
             return min(step // steps_per_epoch, epochs), 0
         return 0, step
 
+    def _interrupt_save_safe(self) -> bool:
+        """Whether the Ctrl-C courtesy save can run without collectives.
+
+        host_complete() is a cross-process collective when the state has
+        cross-process-sharded leaves (ZeRO-1 on a pod); a KeyboardInterrupt
+        lands on ONE process while its peers are mid-training-loop, so
+        entering the collective would deadlock instead of saving."""
+        import jax
+
+        if jax.process_count() == 1:
+            return True
+        return all(
+            not (
+                isinstance(leaf, jax.Array)
+                and not leaf.is_fully_addressable
+                and not leaf.is_fully_replicated
+            )
+            for leaf in jax.tree_util.tree_leaves(self.state)
+        )
+
     def _fit_interruptible(self, fit_body, *args, **kw):
         """Run an epoch loop; on Ctrl-C save a final checkpoint (operational
-        courtesy — up to checkpoint_every steps of work otherwise lost)."""
+        courtesy — up to checkpoint_every steps of work otherwise lost).
+        Skipped when the save would need a cross-process collective (see
+        _interrupt_save_safe) — the periodic checkpoint_every saves, which
+        run on aligned steps, remain the recovery points there."""
         try:
             return fit_body(*args, **kw)
         except KeyboardInterrupt:
-            if self.cfg.checkpoint_dir:
+            if self.cfg.checkpoint_dir and self._interrupt_save_safe():
                 path = self._checkpoint_now()
-                print(f"interrupted — checkpoint saved to {path}", flush=True)
+                if path is not None:  # None on pod non-coordinators
+                    print(
+                        f"interrupted — checkpoint saved to {path}", flush=True
+                    )
             raise
 
     def fit_resilient(self, max_restarts: int = 3, **fit_kw):

@@ -54,10 +54,28 @@ def steps_to_fixed_fid(runner, target_fid: float, max_steps: int = 20_000,
     return (steps_done if fid <= target_fid else None), fid
 
 
-# Peak dense-MXU throughput per chip for MFU accounting. TPU v5e: 197
-# bf16 TFLOP/s (public spec). fp32 runs through multi-pass bf16 emulation
-# with no single published dense peak, so MFU is only reported for bf16.
-PEAK_TFLOPS = {("tpu", "bfloat16"): 197.0}
+# Peak dense-MXU bf16 throughput per chip for MFU accounting, keyed by the
+# chip's self-reported device_kind (public specs). fp32 runs through
+# multi-pass bf16 emulation with no single published dense peak, and an
+# unknown chip gets mfu=None rather than a silently wrong denominator.
+PEAK_BF16_TFLOPS_BY_KIND = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5": 459.0,  # v5p (v5e reports "TPU v5 lite", matched first)
+    "TPU v6 lite": 918.0,  # v6e / Trillium
+}
+
+
+def _peak_tflops(compute_dtype: str):
+    if compute_dtype != "bfloat16" or jax.default_backend() != "tpu":
+        return None
+    kind = jax.devices()[0].device_kind
+    # longest-prefix match so "TPU v5 lite" resolves before "TPU v5"
+    best = None
+    for k, v in PEAK_BF16_TFLOPS_BY_KIND.items():
+        if kind.startswith(k) and (best is None or len(k) > len(best[0])):
+            best = (k, v)
+    return best[1] if best else None
 
 
 def model_flops_per_image(cfg, in_channels: int = 3) -> int:
@@ -147,7 +165,7 @@ def run_benchmark(cfg, steps: int = 30, warmup: int = 3, baseline_ips: float | N
     # throughput vs the chip's dense peak — no prose-only perf claims
     train_flops_per_image = 3 * model_flops_per_image(cfg)
     tflops_per_chip = train_flops_per_image * ips_per_chip / 1e12
-    peak = PEAK_TFLOPS.get((jax.default_backend(), cfg.compute_dtype))
+    peak = _peak_tflops(cfg.compute_dtype)
     result = BenchResult(
         metric="train_images_per_sec_per_chip",
         value=ips_per_chip,
@@ -166,6 +184,7 @@ def run_benchmark(cfg, steps: int = 30, warmup: int = 3, baseline_ips: float | N
             "train_flops_per_image": train_flops_per_image,
             "mfu": round(tflops_per_chip / peak, 4) if peak else None,
             "mfu_peak_tflops": peak,
+            "device_kind": jax.devices()[0].device_kind,
         },
     )
     return result
@@ -208,7 +227,7 @@ def run_sampler_benchmark(cfg, batch: int = 8, iters: int = 3, mesh=None) -> dic
     ips = batch * iters / dt
     tflops = ips * n_calls * model_flops_per_image(cfg) / 1e12
     n_chips = mesh.size if mesh is not None else 1
-    peak = PEAK_TFLOPS.get((jax.default_backend(), cfg.compute_dtype))
+    peak = _peak_tflops(cfg.compute_dtype)
     return {
         "sampler_images_per_sec": round(ips, 3),
         "sampler_batch": batch,

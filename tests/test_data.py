@@ -163,3 +163,22 @@ def test_array_dataset_epoch_and_state():
     it2 = iter(ds2)
     got = [next(it2) for _ in range(4)]
     np.testing.assert_array_equal(np.concatenate(want), np.concatenate(got))
+
+
+def test_decode_image_flip_false_is_deterministic(tmp_path):
+    """flip=False decodes (FID reference sets) never mirror the image and
+    leave the crop-corner stream unchanged (review r3: the eval decodes
+    claimed 'no flip' while flipping half the reference images)."""
+    from PIL import Image as PILImage
+
+    from gan_class_transfer2_tpu.data import pipeline
+
+    arr = np.zeros((16, 16, 3), np.uint8)
+    arr[:, :8] = 255  # left half white: a flip is detectable
+    p = tmp_path / "img.png"
+    PILImage.fromarray(arr).save(p)
+    for seed in range(6):
+        out = pipeline.decode_image(
+            str(p), 16, np.random.default_rng(seed), crop=True, flip=False
+        )
+        assert (out[:, :8] > 0).all() and (out[:, 8:] < 0).all()

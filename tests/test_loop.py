@@ -321,3 +321,13 @@ def test_fid_uses_held_out_files(tmp_path):
         assert ref is not None and len(ref) == 3
     finally:
         runner.close()
+
+
+def test_cli_rejects_process_flags_without_coordinator(capsys):
+    """--num-processes/--process-id without --coordinator would silently run
+    independent single-host jobs racing the shared dirs (review r3)."""
+    from gan_class_transfer2_tpu import cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["train", "--num-processes", "2"])
+    assert "--coordinator" in capsys.readouterr().err

@@ -379,3 +379,19 @@ def test_build_service_uses_mesh_on_multichip_host(tmp_path):
         assert np.isfinite(out).all()
     finally:
         svc.close()
+
+
+def test_build_service_ignores_oversized_train_mesh(tmp_path):
+    """A checkpoint trained with a mesh larger than the serving host (pod
+    runs store e.g. mesh_data=16 in config.json) must still serve — the
+    serving mesh is always the LOCAL data mesh (review r3 finding)."""
+    from gan_class_transfer2_tpu.serve.server import build_service
+
+    cfg = tiny_test_config(checkpoint_dir=str(tmp_path), mesh_data=16)
+    svc = build_service(cfg)  # would raise "needs 16 devices" before the fix
+    try:
+        assert svc.mesh is None or svc.mesh.size <= len(jax.devices())
+        out = svc.sample(2)
+        assert out.shape == (2, cfg.size, cfg.size, 3)
+    finally:
+        svc.close()
