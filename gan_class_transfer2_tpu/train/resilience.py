@@ -41,14 +41,23 @@ class ResilientRunnerMixin:
         a collective when the state has cross-process-sharded leaves
         (ZeRO-1 moments), so the gather must precede the coordinator
         gate. Returns None on non-coordinators."""
+        import jax
+
         from ..parallel import multihost
 
         state = ckpt_lib.host_complete(self.state)
+        extra = self._data_state_extra()
+        if jax.process_count() > 1 and extra is not None:
+            # each host persists ITS OWN stream positions (files are sharded
+            # per process, so positions are host-local state); one file per
+            # process, so there is no write race on the shared dir
+            ckpt_lib.save_host_extra(
+                self.cfg.checkpoint_dir, int(self.state.step), extra
+            )
         if not multihost.is_coordinator():
             return None
         return ckpt_lib.save(
-            self.cfg.checkpoint_dir, state, self.cfg,
-            extra=self._data_state_extra(),
+            self.cfg.checkpoint_dir, state, self.cfg, extra=extra,
         )
 
     def _restore_data_state(self):
@@ -57,7 +66,10 @@ class ResilientRunnerMixin:
         any batch is drawn."""
         if not self.cfg.checkpoint_dir:
             return
-        extra = ckpt_lib.load_extra(self.cfg.checkpoint_dir)
+        import jax
+
+        host = jax.process_index() if jax.process_count() > 1 else None
+        extra = ckpt_lib.load_extra(self.cfg.checkpoint_dir, host=host)
         if not extra or "data" not in extra:
             return
         sources = self._data_sources()

@@ -9,6 +9,7 @@ directory alone.
 
 from __future__ import annotations
 
+import glob as globlib
 import json
 import os
 import re
@@ -160,6 +161,33 @@ def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None,
     return path
 
 
+def _extra_path(ckpt_dir: str, step: int, host: Optional[int] = None) -> str:
+    suffix = ".extra.json" if host is None else f".extra.host{host}.json"
+    return os.path.join(os.path.abspath(ckpt_dir), f"step_{step:09d}{suffix}")
+
+
+def save_host_extra(ckpt_dir: str, step: int, extra: dict) -> str:
+    """Per-process data-position sidecar for pod runs.
+
+    The main ``.extra.json`` is coordinator-authored, so on a pod it records
+    only process 0's stream positions; the per-host streams are aligned
+    counters over DIFFERENT file shards (make_datasets round-robins files by
+    process), so the coordinator's counters are normally valid everywhere —
+    but only as a derivation. This persists each host's own positions
+    directly: every process writes exactly its own
+    ``step_<N>.extra.host<k>.json`` (no cross-host write races), and
+    ``load_extra(host=k)`` prefers it on restore."""
+    import jax as _jax
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = _extra_path(ckpt_dir, int(step), _jax.process_index())
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(extra, f)
+    os.rename(tmp, path)
+    return path
+
+
 def all_steps(ckpt_dir: str) -> list:
     if not os.path.isdir(ckpt_dir):
         return []
@@ -185,23 +213,31 @@ def prune(ckpt_dir: str, keep: int, protect: Optional[int] = None) -> int:
             continue
         path = os.path.join(os.path.abspath(ckpt_dir), f"step_{s:09d}")
         shutil.rmtree(path, ignore_errors=True)
-        extra = path + ".extra.json"
-        if os.path.exists(extra):
+        # the coordinator sidecar plus any per-host sidecars (pod runs)
+        for extra in globlib.glob(globlib.escape(path) + ".extra*.json"):
             os.remove(extra)
         removed += 1
     return removed
 
 
-def load_extra(ckpt_dir: str, step: Optional[int] = None) -> Optional[dict]:
-    """Read the JSON sidecar saved alongside ``step_<N>`` (None if absent)."""
+def load_extra(ckpt_dir: str, step: Optional[int] = None,
+               host: Optional[int] = None) -> Optional[dict]:
+    """Read the JSON sidecar saved alongside ``step_<N>`` (None if absent).
+
+    ``host``: prefer that process's per-host sidecar (save_host_extra),
+    falling back to the coordinator-authored ``.extra.json`` — valid as a
+    fallback because the per-host streams advance in lockstep."""
     step = latest_step(ckpt_dir) if step is None else step
     if step is None:
         return None
-    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:09d}.extra.json")
-    if not os.path.exists(path):
-        return None
-    with open(path) as f:
-        return json.load(f)
+    candidates = (
+        [_extra_path(ckpt_dir, step, host)] if host is not None else []
+    ) + [_extra_path(ckpt_dir, step)]
+    for path in candidates:
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+    return None
 
 
 def latest_step(ckpt_dir: str) -> Optional[int]:

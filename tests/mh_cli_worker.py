@@ -58,13 +58,22 @@ def main():
 
     ckpt_dir = os.path.join(out_dir, f"p{pid}", "ckpt")
     log_dir = os.path.join(out_dir, f"p{pid}", "logs")
-    wrote_ckpt = os.path.isdir(ckpt_dir) and any(
-        e.startswith("step_") for e in os.listdir(ckpt_dir)
+    entries = os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else []
+    # step DIRECTORIES (orbax state) are coordinator-only; the per-host
+    # data-position sidecar is written by EVERY process (its own file)
+    wrote_ckpt = any(
+        e.startswith("step_") and os.path.isdir(os.path.join(ckpt_dir, e))
+        for e in entries
+    )
+    host_extra = any(e.endswith(f".extra.host{pid}.json") for e in entries)
+    other_extra = any(
+        ".extra.host" in e and f".extra.host{pid}." not in e for e in entries
     )
     wrote_logs = os.path.isdir(log_dir) and any(os.scandir(log_dir))
     print(
         f"CLIRESULT pid={pid} coordinator={multihost.is_coordinator()} "
-        f"wrote_ckpt={wrote_ckpt} wrote_logs={wrote_logs}",
+        f"wrote_ckpt={wrote_ckpt} wrote_logs={wrote_logs} "
+        f"host_extra={host_extra} other_extra={other_extra}",
         flush=True,
     )
 

@@ -180,3 +180,42 @@ def test_prune_retention_counts_protected_step(tmp_path):
     cfg = cfg0.replace(checkpoint_keep=2)
     ckpt.save(str(tmp_path), state, cfg, step=3)
     assert ckpt.all_steps(str(tmp_path)) == [2, 3]
+
+
+def test_host_extra_sidecar_roundtrip_and_prune(tmp_path):
+    """Per-host data-position sidecars (pod runs): save_host_extra writes
+    this process's own file, load_extra(host=k) prefers it and falls back
+    to the coordinator sidecar for hosts without one, and prune removes
+    every sidecar flavour alongside the step dir."""
+    import os
+
+    import jax
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.train import trainer
+    from gan_class_transfer2_tpu.utils import checkpoint as ckpt
+
+    cfg = tiny_test_config(checkpoint_dir=str(tmp_path), donate_state=False)
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    ckpt.save(str(tmp_path), state, cfg, step=5,
+              extra={"data": {"class_0": {"batches_served": 7}}})
+    # this process is index 0 here; its host sidecar carries its own view
+    path = ckpt.save_host_extra(
+        str(tmp_path), 5, {"data": {"class_0": {"batches_served": 9}}}
+    )
+    assert os.path.basename(path) == "step_000000005.extra.host0.json"
+
+    got0 = ckpt.load_extra(str(tmp_path), host=0)
+    assert got0["data"]["class_0"]["batches_served"] == 9
+    # a host with no sidecar of its own falls back to the coordinator's
+    got1 = ckpt.load_extra(str(tmp_path), host=1)
+    assert got1["data"]["class_0"]["batches_served"] == 7
+    # host=None keeps the original behavior
+    assert ckpt.load_extra(str(tmp_path))["data"]["class_0"][
+        "batches_served"] == 7
+
+    ckpt.save(str(tmp_path), state, cfg, step=6)
+    ckpt.prune(str(tmp_path), keep=1)
+    assert ckpt.all_steps(str(tmp_path)) == [6]
+    leftovers = [e for e in os.listdir(tmp_path) if ".extra" in e]
+    assert leftovers == []

@@ -134,15 +134,16 @@ def test_two_process_cli_train_writes_once(tmp_path):
     for out in outs:
         m = re.search(
             r"CLIRESULT pid=(\d+) coordinator=(\w+) wrote_ckpt=(\w+) "
-            r"wrote_logs=(\w+)",
+            r"wrote_logs=(\w+) host_extra=(\w+) other_extra=(\w+)",
             out,
         )
         assert m, f"no CLIRESULT line in:\n{out[-3000:]}"
-        results[int(m.group(1))] = m.group(2, 3, 4)
+        results[int(m.group(1))] = m.group(2, 3, 4, 5, 6)
 
-    # exactly one coordinator; only it wrote artifacts
-    assert results[0] == ("True", "True", "True")
-    assert results[1] == ("False", "False", "False")
+    # exactly one coordinator; only it writes state/logs, but EVERY process
+    # persists its own data-position sidecar (and only its own)
+    assert results[0] == ("True", "True", "True", "True", "False")
+    assert results[1] == ("False", "False", "False", "True", "False")
 
     # DP all-reduce keeps the printed epoch losses identical across hosts
     losses = []
