@@ -60,6 +60,32 @@ def global_batch_from_host_local(local_batch, sharding):
     )
 
 
+def host_fetch(tree):
+    """Host (numpy) copy of a pytree whose leaves may be sharded across
+    processes.
+
+    Plain ``device_get`` raises on a jax.Array that spans non-addressable
+    devices (e.g. a P('data') batch on a pod), so such leaves go through
+    ``process_allgather(tiled=True)`` instead — a COLLECTIVE, so on pods
+    this must be called from every process at an aligned point (the
+    runners' eval paths are; they compute everywhere and gate only the
+    writes on is_coordinator)."""
+    def one(leaf):
+        if (
+            isinstance(leaf, jax.Array)
+            and not leaf.is_fully_addressable
+            and not leaf.is_fully_replicated
+        ):
+            from jax.experimental import multihost_utils
+
+            # tiled=True preserves the global shape (no stacked axis) and
+            # returns the full value on every process
+            return multihost_utils.process_allgather(leaf, tiled=True)
+        return jax.device_get(leaf)
+
+    return jax.tree_util.tree_map(one, tree)
+
+
 def is_coordinator() -> bool:
     """True on the process that should write checkpoints/logs.
 

@@ -40,6 +40,16 @@ from typing import Callable, Optional
 import numpy as np
 
 
+def _pow2(n: int) -> int:
+    """Smallest power of two ≥ n (≥ 1) — the shared batch-bucketing rule:
+    each distinct device batch shape jit-compiles a fresh program, so all
+    endpoints quantise to pow2 buckets."""
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
 class _BatchRequest:
     __slots__ = ("num", "payload", "event", "result", "error")
 
@@ -290,9 +300,7 @@ class ModelService:
     def _pad_bucket(self, num: int) -> int:
         """Power-of-two bucket (one compiled program per bucket), rounded up
         to a multiple of the mesh's data extent when serving over a mesh."""
-        padded = 1
-        while padded < num:
-            padded *= 2
+        padded = _pow2(num)
         if self.mesh is not None:
             from ..parallel import mesh as mesh_lib
 
@@ -473,9 +481,10 @@ class ModelService:
             yield np.asarray(x)[:num]
 
     def _pad_pow2(self, imgs: np.ndarray):
-        padded = 1
-        while padded < imgs.shape[0]:
-            padded *= 2
+        """Pad an image batch to the pow2 bucket (the denoise/transfer
+        programs run replicated, so no mesh rounding — see _pad_bucket for
+        the mesh-sharded sample path)."""
+        padded = _pow2(imgs.shape[0])
         if padded == imgs.shape[0]:
             return imgs, imgs.shape[0]
         pad = np.zeros((padded - imgs.shape[0],) + imgs.shape[1:], imgs.dtype)

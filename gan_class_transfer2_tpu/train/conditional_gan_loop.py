@@ -18,6 +18,7 @@ import numpy as np
 from ..config import Config
 from ..data import pipeline
 from ..parallel import mesh as mesh_lib
+from ..parallel import multihost
 from ..utils import checkpoint as ckpt_lib
 from ..utils import tensorboard as tb
 from . import conditional_gan as cgan
@@ -98,7 +99,9 @@ class ConditionalGANRunner(ResilientRunnerMixin):
 
     def log_sample(self, epoch: int):
         if self._fixed is None:
-            self._fixed = jax.device_get(next(self.data_iter))["image"]
+            # pod-safe fetch: the data iterator yields cross-process-sharded
+            # batches on multi-host runs (collective; aligned on all hosts)
+            self._fixed = multihost.host_fetch(next(self.data_iter))["image"]
         for target in range(self.cfg.num_classes):
             out = cgan.transfer(self.cfg, self.state, jnp.asarray(self._fixed), target)
             self.writer.image(

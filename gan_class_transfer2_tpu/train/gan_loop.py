@@ -18,6 +18,7 @@ import numpy as np
 from ..config import Config
 from ..data import pipeline
 from ..parallel import mesh as mesh_lib
+from ..parallel import multihost
 from ..utils import checkpoint as ckpt_lib
 from ..utils import tensorboard as tb
 from . import gan
@@ -93,8 +94,12 @@ class GANRunner(ResilientRunnerMixin):
 
     def log_sample(self, epoch: int):
         if self._fixed_a is None:
-            self._fixed_a = next(self.iter_a)
-            self._fixed_b = next(self.iter_b)
+            # host_fetch: on a pod the iterator yields cross-process-sharded
+            # global batches; device_get/np.asarray of those raises. Every
+            # process runs this (aligned collective), only the coordinator's
+            # writer persists the images.
+            self._fixed_a = multihost.host_fetch(next(self.iter_a))
+            self._fixed_b = multihost.host_fetch(next(self.iter_b))
         fake_b = gan.transfer(self.cfg, self.state, self._fixed_a, "ab")
         fake_a = gan.transfer(self.cfg, self.state, self._fixed_b, "ba")
         cycled = gan.transfer(self.cfg, self.state, fake_b, "ba")

@@ -62,12 +62,13 @@ class Runner(ResilientRunnerMixin):
                     splits = None  # non-file dataset (make_datasets will raise)
                 if splits is not None:
                     files_per_class = [tr for tr, _ in splits]
-                    # class-0 files FIRST: on conditional models compute_fid
-                    # samples class 0 (apply_denoiser's class_idx=None
-                    # default), and _fid_reference_set takes the first
-                    # fid_samples files — i.e. exactly class 0's quota, so
-                    # samples and reference stay the same class
-                    self._eval_files = [f for _, ev in splits for f in ev]
+                    # CLASS-0 eval files only: on conditional models
+                    # compute_fid samples class 0 (apply_denoiser's
+                    # class_idx=None default), so the reference set must be
+                    # pure class 0 — a flattened all-class list would spill
+                    # into other classes whenever class 0's glob has fewer
+                    # than fid_samples+1 files (silently biased metric)
+                    self._eval_files = list(splits[0][1])
             dsets = pipeline.make_datasets(cfg, files_per_class=files_per_class)
             # class-conditional training gets labeled round-robin batches
             dataset = (
@@ -165,13 +166,16 @@ class Runner(ResilientRunnerMixin):
             imgs = [
                 pipeline.decode_image(f, self.cfg.size, rng, crop=True,
                                       flip=False)
-                for f in self._eval_files[:n]  # only decode what is used
+                # only decode what is used; fewer than n held-out files
+                # means a smaller (noisier but unbiased) reference set
+                for f in self._eval_files[:n]
             ]
             out = np.stack(imgs, 0)
         else:
             data = []
             while sum(len(d) for d in data) < n:
-                batch = jax.device_get(next(self.data_iter))
+                # host_fetch: pod-safe for cross-process-sharded batches
+                batch = multihost.host_fetch(next(self.data_iter))
                 if isinstance(batch, dict):  # labeled batches
                     batch = batch["image"]
                 data.append(np.asarray(batch))

@@ -221,9 +221,7 @@ def run_sampler_benchmark(cfg, batch: int = 8, iters: int = 3, mesh=None) -> dic
     float(jnp.sum(imgs))
     dt = time.perf_counter() - t0
     # forward-only MFU: each visited timestep is one denoiser forward
-    from ..sample import sampler as sampler_mod
-
-    n_calls = len(sampler_mod.sample_timesteps(cfg))
+    n_calls = len(sampler.sample_timesteps(cfg))
     ips = batch * iters / dt
     tflops = ips * n_calls * model_flops_per_image(cfg) / 1e12
     n_chips = mesh.size if mesh is not None else 1

@@ -38,10 +38,8 @@ def _checkpointer():
         # cross-host barriers must span ONLY process 0 — with the default
         # options its sync_global_devices would deadlock waiting for the
         # processes that (correctly) skipped the write.
-        from orbax.checkpoint._src.handlers import pytree_checkpoint_handler
-
         return ocp.Checkpointer(
-            pytree_checkpoint_handler.PyTreeCheckpointHandler(),
+            ocp.PyTreeCheckpointHandler(),
             multiprocessing_options=ocp.options.MultiprocessingOptions(
                 # singleton per-host group: saves are coordinator-only and
                 # restores are independent per-host reads of the shared dir
@@ -60,26 +58,11 @@ def host_complete(state):
     Pod leaves that are SHARDED across processes (ZeRO-1 optimizer
     moments): ``process_allgather`` — a COLLECTIVE, so on pods this must
     run on EVERY process, before any coordinator-only gating (see
-    resilience._checkpoint_now). process_allgather would stack an extra
-    axis on fully-addressable/replicated inputs, hence the per-leaf
-    routing."""
-    import jax as _jax
+    resilience._checkpoint_now). The per-leaf routing lives in
+    multihost.host_fetch."""
+    from ..parallel import multihost
 
-    def one(leaf):
-        if (
-            isinstance(leaf, _jax.Array)
-            and not leaf.is_fully_addressable
-            and not leaf.is_fully_replicated
-        ):
-            from jax.experimental import multihost_utils
-
-            # tiled=True is the required (and shape-preserving) mode for
-            # global arrays: it re-jits to a replicated out_sharding and
-            # returns the full value — no axis is added
-            return multihost_utils.process_allgather(leaf, tiled=True)
-        return _jax.device_get(leaf)
-
-    return _jax.tree_util.tree_map(one, state)
+    return multihost.host_fetch(state)
 
 
 def _host_template(like):

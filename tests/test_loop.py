@@ -331,3 +331,40 @@ def test_cli_rejects_process_flags_without_coordinator(capsys):
     with pytest.raises(SystemExit):
         cli.main(["train", "--num-processes", "2"])
     assert "--coordinator" in capsys.readouterr().err
+
+
+def test_fid_reference_set_stays_class_0(tmp_path):
+    """When class 0's glob has fewer than fid_samples+1 files, the FID
+    reference set must stay PURE class 0 (smaller set) rather than
+    silently spilling into class 1's held-out files (review r3b)."""
+    from PIL import Image as PILImage
+
+    r = np.random.default_rng(0)
+    for cls, n in (("a", 3), ("b", 8)):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(n):
+            arr = r.integers(0, 256, size=(20, 20, 3), dtype=np.uint8)
+            PILImage.fromarray(arr).save(d / f"{i}.png")
+
+    cfg = tiny_test_config(
+        steps=4,
+        classes=(str(tmp_path / "a" / "*.png"), str(tmp_path / "b" / "*.png")),
+        num_classes=2,
+        fid_samples=4,  # > class a's possible eval quota of 2
+        checkpoint_dir=None,
+        log_dir=str(tmp_path / "logs"),
+        native_loader=False,
+        mesh_data=1,
+    )
+    runner = Runner(cfg)
+    try:
+        class_a = {str(tmp_path / "a" / f"{i}.png") for i in range(3)}
+        held = set(runner._eval_files)
+        # capped at len(class a) - 1 = 2 and entirely class a
+        assert len(held) == 2
+        assert held <= class_a
+        ref = runner._fid_reference_set(cfg.fid_samples)
+        assert len(ref) == 2  # smaller unbiased set, never mixed-class
+    finally:
+        runner.close()

@@ -86,3 +86,23 @@ def test_console_script_help():
     )
     assert out.returncode == 0
     assert "train" in out.stdout and "serve" in out.stdout
+
+
+def test_wheel_ships_fid_extractor_weights(tmp_path):
+    """Non-editable installs must carry the pinned FID extractor weights
+    (pyproject [tool.setuptools.package-data]); without them
+    fid_extractor='auto' silently degrades to the random-feature embedding
+    (different units than docs/FID.md)."""
+    import glob
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "pip", "wheel", repo, "--no-deps",
+         "--no-build-isolation", "-w", str(tmp_path), "-q"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    (wheel,) = glob.glob(str(tmp_path / "*.whl"))
+    names = zipfile.ZipFile(wheel).namelist()
+    assert "gan_class_transfer2_tpu/weights/fid_extractor.npz" in names

@@ -33,6 +33,13 @@ def main():
     )
     ap.add_argument("--max-steps", type=int, default=12000)
     ap.add_argument("--check-every", type=int, default=1000)
+    ap.add_argument(
+        "--lr-schedule", default="warmup",
+        help="Config.lr_schedule; 'cosine' decays to zero over --max-steps "
+        "(the horizon is wired to the budget here)",
+    )
+    ap.add_argument("--learning-rate", type=float, default=2e-4)
+    ap.add_argument("--ema-decay", type=float, default=0.99)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -57,9 +64,13 @@ def main():
 
     cfg = Config(
         size=32, pixel_size=32, max_size=64, octaves=3, steps=10,
-        batch_size=64, learning_rate=2e-4, warm_up=0,
+        batch_size=64, learning_rate=args.learning_rate, warm_up=0,
+        lr_schedule=args.lr_schedule,
+        # cosine horizon = the full step budget (epochs × steps_per_epoch)
+        epochs=max(args.max_steps // args.check_every, 1),
+        steps_per_epoch=args.check_every,
         gan_loss="lsgan", cycle_weight=5.0, identity_weight=0.5,
-        ema_decay=0.99, compute_dtype="float32", fused_diffusion=False,
+        ema_decay=args.ema_decay, compute_dtype="float32", fused_diffusion=False,
         classes=("circles", "crosses"), log_dir="/tmp/fid_logs", checkpoint_dir=None,
         mesh_data=1, fid_samples=64, donate_state=False,
     ).validate()
@@ -103,6 +114,9 @@ def main():
     runner.close()
     print(json.dumps({
         "metric": "steps_to_fixed_fid_heldout",
+        "lr_schedule": args.lr_schedule,
+        "learning_rate": args.learning_rate,
+        "ema_decay": args.ema_decay,
         "target_fid": args.target,
         "steps": steps,
         "final_fid": round(float(fid), 5),
