@@ -40,6 +40,10 @@ def main():
     )
     ap.add_argument("--learning-rate", type=float, default=2e-4)
     ap.add_argument("--ema-decay", type=float, default=0.99)
+    ap.add_argument("--pixel-size", type=int, default=32)
+    ap.add_argument("--max-size", type=int, default=64)
+    ap.add_argument("--cycle-weight", type=float, default=5.0)
+    ap.add_argument("--identity-weight", type=float, default=0.5)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -63,13 +67,15 @@ def main():
     from gan_class_transfer2_tpu.utils.benchmark import steps_to_fixed_fid
 
     cfg = Config(
-        size=32, pixel_size=32, max_size=64, octaves=3, steps=10,
+        size=32, pixel_size=args.pixel_size, max_size=args.max_size,
+        octaves=3, steps=10,
         batch_size=64, learning_rate=args.learning_rate, warm_up=0,
         lr_schedule=args.lr_schedule,
         # cosine horizon = the full step budget (epochs × steps_per_epoch)
         epochs=max(args.max_steps // args.check_every, 1),
         steps_per_epoch=args.check_every,
-        gan_loss="lsgan", cycle_weight=5.0, identity_weight=0.5,
+        gan_loss="lsgan", cycle_weight=args.cycle_weight,
+        identity_weight=args.identity_weight,
         ema_decay=args.ema_decay, compute_dtype="float32", fused_diffusion=False,
         classes=("circles", "crosses"), log_dir="/tmp/fid_logs", checkpoint_dir=None,
         mesh_data=1, fid_samples=64, donate_state=False,
