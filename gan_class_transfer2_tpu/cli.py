@@ -86,7 +86,7 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="command", required=True)
 
     for cmd in ("train", "gan-train", "cgan-train", "sample", "edit", "bench",
-                "serve", "build-cache", "export-weights"):
+                "serve", "build-cache", "export-weights", "eval"):
         p = sub.add_parser(cmd)
         p.add_argument("--config", type=str, default=None, help="config JSON")
         p.add_argument(
@@ -147,6 +147,13 @@ def main(argv=None):
                 help="output npz of flat weights in Keras build order "
                 "(load with tf_import docs or model.set_weights)",
             )
+        if cmd == "eval":
+            p.add_argument(
+                "--model", type=str, default="diffusion",
+                choices=("diffusion", "gan", "cgan"),
+                help="which runner's quality metric to score (held-out FID "
+                "for diffusion, transfer-FID pairs for gan/cgan)",
+            )
         if cmd == "serve":
             p.add_argument("--host", type=str, default="127.0.0.1")
             p.add_argument("--port", type=int, default=8080)
@@ -191,7 +198,7 @@ def main(argv=None):
     cfg = config_from_args(
         args,
         checkpoint_config=args.command
-        in ("sample", "edit", "serve", "export-weights"),
+        in ("sample", "edit", "serve", "export-weights", "eval"),
     )
 
     if args.command == "train":
@@ -238,6 +245,9 @@ def main(argv=None):
 
     if args.command == "edit":
         return _edit(cfg, args)
+
+    if args.command == "eval":
+        return _eval(cfg, args)
 
     if args.command == "bench":
         from .utils.benchmark import run_benchmark
@@ -348,6 +358,71 @@ def _sample(cfg: Config, args) -> int:
         arr = np.clip((img * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
         Image.fromarray(arr).save(os.path.join(args.out, f"sample_{i}.png"))
     print(f"wrote {len(images)} samples to {args.out}")
+    return 0
+
+
+def _eval(cfg: Config, args) -> int:
+    """Score a checkpoint's quality metric without training: held-out FID
+    for diffusion checkpoints, the transfer-FID pairs for gan/cgan ones
+    (BASELINE.json's steps-to-fixed-FID metric, on demand). Prints one
+    JSON line. Uses the runners' own held-out file reservation, so the
+    scores match what training logs to TensorBoard."""
+    import json as json_lib
+    import tempfile
+
+    from .utils import checkpoint as ckpt_lib
+
+    if cfg.fid_samples <= 0:
+        raise SystemExit("eval requires fid_samples > 0")
+    if not (
+        cfg.checkpoint_dir
+        and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None
+    ):
+        print(
+            f"warning: no checkpoint found in {cfg.checkpoint_dir!r}; "
+            "scoring randomly initialised weights",
+            file=sys.stderr,
+        )
+    out = {"command": "eval", "model": args.model,
+           "fid_extractor": cfg.fid_extractor}
+    # runners create event writers on construction; keep eval side-effect
+    # free by pointing them at a throwaway dir
+    scratch = tempfile.mkdtemp(prefix="gct2_eval_logs_")
+    if args.model == "diffusion":
+        from .train.loop import Runner
+
+        runner = Runner(cfg, log_dir=scratch)
+        try:
+            out["step"] = int(runner.state.step)
+            out["fid"] = float(runner.compute_fid())
+        finally:
+            runner.close()
+    elif args.model == "gan":
+        from .train.gan_loop import GANRunner
+
+        runner = GANRunner(cfg, log_dir=scratch)
+        try:
+            out["step"] = int(runner.state.step)
+            out["transfer_fid_ab"] = float(runner.transfer_fid("ab"))
+            out["transfer_fid_ba"] = float(runner.transfer_fid("ba"))
+        finally:
+            runner.close()
+    else:
+        from .train.conditional_gan_loop import ConditionalGANRunner
+
+        runner = ConditionalGANRunner(cfg, log_dir=scratch)
+        try:
+            out["step"] = int(runner.state.step)
+            for s in range(cfg.num_classes):
+                for t in range(cfg.num_classes):
+                    if s == t:
+                        continue
+                    fid = runner.transfer_fid(s, t)
+                    if fid is not None:
+                        out[f"transfer_fid_{s}_to_{t}"] = float(fid)
+        finally:
+            runner.close()
+    print(json_lib.dumps(out))
     return 0
 
 

@@ -237,3 +237,49 @@ def test_gan_data_position_restored_across_restart(tmp_path):
     assert abs(ds_a2.state_dict()["position"] - 2) <= 1
     assert abs(ds_b2.state_dict()["position"] - 2) <= 1
     runner2.close()
+
+
+def test_cli_gan_train_then_eval(tmp_path, capsys):
+    """The product loop for the transfer headline: `gct2 gan-train` on two
+    class globs, then `gct2 eval --model gan` re-scores the checkpoint's
+    transfer-FID pair from the inherited config."""
+    import json
+
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from gan_class_transfer2_tpu import cli
+
+    r = np.random.default_rng(0)
+    for cls in ("a", "b"):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(6):
+            arr = r.integers(0, 256, size=(20, 20, 3), dtype=np.uint8)
+            PILImage.fromarray(arr).save(d / f"{i}.png")
+
+    ckpt = str(tmp_path / "ckpt")
+    common = [
+        "--platform", "cpu",
+        "--classes", str(tmp_path / "a" / "*.png"), str(tmp_path / "b" / "*.png"),
+        "--size", "16", "--pixel-size", "4", "--max-size", "8",
+        "--octaves", "2", "--steps", "4", "--batch-size", "2",
+        "--warm-up", "0", "--fused-diffusion", "false",
+        "--fid-samples", "2", "--native-loader", "false", "--mesh-data", "1",
+    ]
+    rc = cli.main([
+        "gan-train", *common,
+        "--steps-per-epoch", "2", "--epochs", "1",
+        "--log-dir", str(tmp_path / "logs"), "--checkpoint-dir", ckpt,
+        "--checkpoint-every", "2",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = cli.main(["eval", "--model", "gan", "--platform", "cpu",
+                   "--checkpoint-dir", ckpt])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["step"] == 2
+    for k in ("transfer_fid_ab", "transfer_fid_ba"):
+        assert np.isfinite(out[k]) and out[k] >= 0

@@ -368,3 +368,43 @@ def test_fid_reference_set_stays_class_0(tmp_path):
         assert len(ref) == 2  # smaller unbiased set, never mixed-class
     finally:
         runner.close()
+
+
+def test_cli_eval_scores_checkpoint(tmp_path, capsys):
+    """`gct2 eval` scores a trained checkpoint's held-out FID without
+    training — one JSON line, config inherited from the checkpoint dir."""
+    import json
+
+    from PIL import Image as PILImage
+
+    from gan_class_transfer2_tpu import cli
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    r = np.random.default_rng(0)
+    for i in range(8):
+        arr = r.integers(0, 256, size=(20, 20, 3), dtype=np.uint8)
+        PILImage.fromarray(arr).save(d / f"{i}.png")
+
+    ckpt = str(tmp_path / "ckpt")
+    rc = cli.main([
+        "train", "--platform", "cpu",
+        "--dataset-pattern", str(d / "*.png"),
+        "--size", "16", "--pixel-size", "4", "--max-size", "8",
+        "--octaves", "2", "--steps", "4", "--batch-size", "2",
+        "--steps-per-epoch", "3", "--epochs", "1", "--warm-up", "2",
+        "--test-step", "2", "--fused-diffusion", "false",
+        "--fid-samples", "3", "--native-loader", "false", "--mesh-data", "1",
+        "--log-dir", str(tmp_path / "logs"), "--checkpoint-dir", ckpt,
+        "--checkpoint-every", "3",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = cli.main(["eval", "--platform", "cpu", "--checkpoint-dir", ckpt])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["model"] == "diffusion"
+    assert out["step"] == 3
+    assert np.isfinite(out["fid"]) and out["fid"] >= 0
