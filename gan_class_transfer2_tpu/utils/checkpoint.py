@@ -200,6 +200,19 @@ def prune(ckpt_dir: str, keep: int, protect: Optional[int] = None) -> int:
         for extra in globlib.glob(globlib.escape(path) + ".extra*.json"):
             os.remove(extra)
         removed += 1
+    # orphan sidecars: host sidecars are written BEFORE the coordinator's
+    # save commits the step dir (resilience._checkpoint_now), so a crashed
+    # save leaves step_<N>.extra.host<k>.json with no step_<N> dir. Sweep
+    # them — but only for steps strictly older than the newest committed
+    # dir: a sidecar newer than that may belong to a save in flight.
+    if steps:
+        have = set(steps)
+        pat = os.path.join(globlib.escape(os.path.abspath(ckpt_dir)),
+                           "step_*.extra*.json")
+        for extra in globlib.glob(pat):
+            m = re.match(r"step_(\d+)\.extra", os.path.basename(extra))
+            if m and int(m.group(1)) < steps[-1] and int(m.group(1)) not in have:
+                os.remove(extra)
     return removed
 
 

@@ -219,3 +219,31 @@ def test_host_extra_sidecar_roundtrip_and_prune(tmp_path):
     assert ckpt.all_steps(str(tmp_path)) == [6]
     leftovers = [e for e in os.listdir(tmp_path) if ".extra" in e]
     assert leftovers == []
+
+
+def test_prune_sweeps_orphan_host_sidecars(tmp_path):
+    """Host sidecars are written before the coordinator's save commits, so
+    a crashed save leaves an orphan step_<N>.extra.host<k>.json. prune
+    sweeps orphans older than the newest committed dir but leaves newer
+    ones (a save may be in flight)."""
+    import os
+
+    import jax
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.train import trainer
+    from gan_class_transfer2_tpu.utils import checkpoint as ckpt
+
+    cfg = tiny_test_config(checkpoint_dir=str(tmp_path), donate_state=False)
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    for s in (5, 8):
+        ckpt.save(str(tmp_path), state, cfg, step=s)
+    ckpt.save_host_extra(str(tmp_path), 3, {"data": {}})   # orphan, old
+    ckpt.save_host_extra(str(tmp_path), 8, {"data": {}})   # committed step
+    ckpt.save_host_extra(str(tmp_path), 11, {"data": {}})  # in-flight save
+
+    ckpt.prune(str(tmp_path), keep=2)
+    names = set(os.listdir(tmp_path))
+    assert "step_000000003.extra.host0.json" not in names
+    assert "step_000000008.extra.host0.json" in names
+    assert "step_000000011.extra.host0.json" in names
