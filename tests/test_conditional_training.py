@@ -128,3 +128,47 @@ def test_conditional_transfer_fid_heldout(tmp_path):
         assert "transfer_fid_1_to_0" in tags
     finally:
         runner.close()
+
+
+def test_cli_cgan_train_then_eval(tmp_path, capsys):
+    """`gct2 cgan-train` then `gct2 eval --model cgan` re-scores every
+    class pair's transfer FID from the inherited checkpoint config."""
+    import json
+
+    import numpy as np
+    from PIL import Image as PILImage
+
+    from gan_class_transfer2_tpu import cli
+
+    r = np.random.default_rng(0)
+    patterns = []
+    for cls in range(2):
+        d = tmp_path / f"c{cls}"
+        d.mkdir()
+        for i in range(6):
+            arr = r.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+            PILImage.fromarray(arr).save(d / f"{i}.png")
+        patterns.append(str(d / "*.png"))
+
+    ckpt = str(tmp_path / "ckpt")
+    rc = cli.main([
+        "cgan-train", "--platform", "cpu",
+        "--classes", *patterns, "--num-classes", "2",
+        "--size", "16", "--pixel-size", "4", "--max-size", "8",
+        "--octaves", "2", "--steps", "4", "--batch-size", "2",
+        "--warm-up", "0", "--fused-diffusion", "false",
+        "--fid-samples", "2", "--native-loader", "false", "--mesh-data", "1",
+        "--steps-per-epoch", "2", "--epochs", "1",
+        "--log-dir", str(tmp_path / "logs"), "--checkpoint-dir", ckpt,
+        "--checkpoint-every", "2",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = cli.main(["eval", "--model", "cgan", "--platform", "cpu",
+                   "--checkpoint-dir", ckpt])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["step"] == 2
+    for k in ("transfer_fid_0_to_1", "transfer_fid_1_to_0"):
+        assert np.isfinite(out[k]) and out[k] >= 0
