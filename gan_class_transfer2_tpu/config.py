@@ -138,6 +138,15 @@ class Config:
     # keeps both off): none | instance (Pallas-fused on TPU) | batch
     d_norm: str = "none"
     g_norm: str = "none"
+    # R1 gradient penalty on the discriminators' real inputs
+    # (0.5 · r1_weight · E‖∇ₓD(x)‖² per discriminator; 0 = off) — the
+    # standard GAN regulariser for limited-data stability
+    r1_weight: float = 0.0
+    # differentiable augmentation of every discriminator input (DiffAugment
+    # policy; comma list from color,translation,cutout; "" = off). Both real
+    # and fake batches are augmented inside the D and G adversarial terms,
+    # so no augmentation leaks into the generator outputs themselves.
+    diffaug: str = ""
 
     # ----------------------------------------------------- TPU / performance
     conv_impl: str = "auto"  # lax | shuffle | pallas | auto (see ops/conv.py)
@@ -207,6 +216,14 @@ class Config:
         for knob in (self.d_norm, self.g_norm):
             if knob not in ("none", "instance", "batch"):
                 raise ValueError(f"unknown norm {knob!r}")
+        for aug in filter(None, self.diffaug.split(",")):
+            if aug not in ("color", "translation", "cutout"):
+                raise ValueError(
+                    f"unknown diffaug policy {aug!r} "
+                    "(comma list from color,translation,cutout)"
+                )
+        if self.r1_weight < 0:
+            raise ValueError(f"r1_weight must be >= 0, got {self.r1_weight}")
         if self.fid_extractor not in ("auto", "trained", "random"):
             raise ValueError(
                 f"unknown fid_extractor {self.fid_extractor!r} "

@@ -180,11 +180,13 @@ def make_parallel_gan_train_step(cfg, mesh: Mesh, example_state=None):
     st_sh = state_shardings(example_state, mesh)
     b_sh = batch_sharding(mesh)
     rep = NamedSharding(mesh, P())
-    metrics_sh = {k: rep for k in ("g_loss", "d_loss", "adversarial", "cycle", "identity")}
+    # `rep` as a PREFIX sharding for the whole metrics dict — the key set
+    # varies with cfg (e.g. "r1" appears when r1_weight > 0), and every
+    # metric is a replicated scalar
     return jax.jit(
         step,
         in_shardings=(st_sh, b_sh, b_sh, rep),
-        out_shardings=(st_sh, metrics_sh),
+        out_shardings=(st_sh, rep),
         donate_argnums=(0,) if cfg.donate_state else (),
     )
 
@@ -234,13 +236,11 @@ def make_parallel_conditional_gan_train_step(cfg, mesh: Mesh, example_state=None
     st_sh = state_shardings(example_state, mesh)
     b_sh = batch_sharding(mesh)
     rep = NamedSharding(mesh, P())
-    metrics_sh = {
-        k: rep for k in ("g_loss", "d_loss", "adversarial", "cycle", "identity")
-    }
+    # prefix sharding for the metrics dict (key set varies with cfg)
     return jax.jit(
         step,
         in_shardings=(st_sh, b_sh, rep),
-        out_shardings=(st_sh, metrics_sh),
+        out_shardings=(st_sh, rep),
         donate_argnums=(0,) if cfg.donate_state else (),
     )
 

@@ -25,6 +25,7 @@ import optax
 
 from ..models import conditional as cond_lib
 from ..models import discriminator as d_lib
+from ..ops import diffaug
 from .gan import _d_optimizer, adversarial_loss, _l1
 from .trainer import make_optimizer
 
@@ -62,16 +63,20 @@ def conditional_gan_train_step(
     images, labels = batch["image"], batch["label"]
     rng = jax.random.fold_in(rng, state.step)
     # per-sample random target class != source (shift by U[1, C-1] mod C)
+    k_shift, k_gf, k_dr, k_df = jax.random.split(rng, 4)
     shift = jax.random.randint(
-        rng, labels.shape, 1, cfg.num_classes
+        k_shift, labels.shape, 1, cfg.num_classes
     )
     targets = (labels + shift) % cfg.num_classes
+    # every discriminator input goes through the diffaug policy (no-op
+    # when cfg.diffaug is ""), exactly as in gan.gan_train_step
+    aug = lambda k, x: diffaug.augment(cfg, k, x)
 
     def g_loss_fn(g_params, d_params):
         fake = cond_lib.conditional_unet_apply(cfg, g_params, images, targets)
         adv = adversarial_loss(
             cfg,
-            d_lib.discriminator_apply(cfg, d_params, fake, targets),
+            d_lib.discriminator_apply(cfg, d_params, aug(k_gf, fake), targets),
             True,
             True,
         )
@@ -88,17 +93,34 @@ def conditional_gan_train_step(
         return total, (fake, adv, cycle, ident)
 
     def d_loss_fn(d_params, fake):
-        real_logits = d_lib.discriminator_apply(cfg, d_params, images, labels)
-        fake_logits = d_lib.discriminator_apply(cfg, d_params, fake, targets)
-        return 0.5 * (
+        real = aug(k_dr, images)
+        real_logits = d_lib.discriminator_apply(cfg, d_params, real, labels)
+        fake_logits = d_lib.discriminator_apply(
+            cfg, d_params, aug(k_df, fake), targets
+        )
+        loss = 0.5 * (
             adversarial_loss(cfg, real_logits, True, False)
             + adversarial_loss(cfg, fake_logits, False, False)
         )
+        r1 = jnp.zeros((), jnp.float32)
+        if cfg.r1_weight > 0:
+            # R1 at D's actual (augmented) real input, class held fixed
+            def d_sum(x):
+                return jnp.sum(
+                    d_lib.discriminator_apply(cfg, d_params, x, labels).astype(
+                        jnp.float32
+                    )
+                )
+
+            g = jax.grad(d_sum)(real)
+            r1 = jnp.mean(jnp.sum(g.astype(jnp.float32) ** 2, axis=(1, 2, 3)))
+            loss = loss + 0.5 * cfg.r1_weight * r1
+        return loss, r1
 
     (g_loss, (fake, adv, cycle, ident)), g_grads = jax.value_and_grad(
         g_loss_fn, has_aux=True
     )(state.generator, state.discriminator)
-    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
+    (d_loss, r1), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
         state.discriminator, jax.lax.stop_gradient(fake)
     )
 
@@ -119,13 +141,16 @@ def conditional_gan_train_step(
     new_state = ConditionalGANState(
         state.step + 1, generator, discriminator, g_opt, d_opt, ema
     )
-    return new_state, {
+    metrics = {
         "g_loss": g_loss,
         "d_loss": d_loss,
         "adversarial": adv,
         "cycle": cycle,
         "identity": ident,
     }
+    if cfg.r1_weight > 0:
+        metrics["r1"] = r1
+    return new_state, metrics
 
 
 def make_conditional_gan_train_step(cfg):

@@ -29,6 +29,7 @@ import optax
 
 from ..models import discriminator as d_lib
 from ..models import unet
+from ..ops import diffaug
 from .trainer import make_optimizer
 
 
@@ -96,6 +97,22 @@ def _generate(cfg, g_params, x):
     return unet.unet_apply(cfg, g_params, x)
 
 
+def r1_penalty(cfg, d_params_one, real):
+    """E over the batch of ‖∇ₓD(x)‖² (summed over pixels per sample) — the
+    R1 gradient penalty's raw term; the step scales it by 0.5·r1_weight.
+    Differentiating it w.r.t. d_params (the outer value_and_grad) is a
+    double backward through the discriminator convs, which XLA compiles
+    into the same program as the rest of the step."""
+
+    def d_sum(x):
+        return jnp.sum(
+            d_lib.discriminator_apply(cfg, d_params_one, x).astype(jnp.float32)
+        )
+
+    g = jax.grad(d_sum)(real)
+    return jnp.mean(jnp.sum(g.astype(jnp.float32) ** 2, axis=(1, 2, 3)))
+
+
 # -------------------------------------------------------------------- step ---
 
 
@@ -103,48 +120,61 @@ def gan_train_step(
     cfg, g_optimizer, d_optimizer, state: GANState, batch_a, batch_b, rng
 ) -> Tuple[GANState, dict]:
     """One alternating G/D update (both computed in one XLA program)."""
+    # every discriminator input (real and fake, D and G terms) goes through
+    # the diffaug policy with an independent draw; a "" policy is a no-op
+    k_dra, k_dfa, k_drb, k_dfb, k_gfa, k_gfb = jax.random.split(rng, 6)
+    aug = lambda k, x: diffaug.augment(cfg, k, x)
 
     def d_loss_fn(d_params, fakes):
         fake_a, fake_b = fakes
+        real_a, real_b = aug(k_dra, batch_a), aug(k_drb, batch_b)
         loss = (
             adversarial_loss(
                 cfg,
-                d_lib.discriminator_apply(cfg, d_params["a"], batch_a),
+                d_lib.discriminator_apply(cfg, d_params["a"], real_a),
                 True,
                 False,
             )
             + adversarial_loss(
                 cfg,
-                d_lib.discriminator_apply(cfg, d_params["a"], fake_a),
+                d_lib.discriminator_apply(cfg, d_params["a"], aug(k_dfa, fake_a)),
                 False,
                 False,
             )
             + adversarial_loss(
                 cfg,
-                d_lib.discriminator_apply(cfg, d_params["b"], batch_b),
+                d_lib.discriminator_apply(cfg, d_params["b"], real_b),
                 True,
                 False,
             )
             + adversarial_loss(
                 cfg,
-                d_lib.discriminator_apply(cfg, d_params["b"], fake_b),
+                d_lib.discriminator_apply(cfg, d_params["b"], aug(k_dfb, fake_b)),
                 False,
                 False,
             )
         ) * 0.5
-        return loss
+        r1 = jnp.zeros((), jnp.float32)
+        if cfg.r1_weight > 0:
+            # penalised at D's ACTUAL input (the augmented reals), as in
+            # the augmented-R1 formulation
+            r1 = r1_penalty(cfg, d_params["a"], real_a) + r1_penalty(
+                cfg, d_params["b"], real_b
+            )
+            loss = loss + 0.5 * cfg.r1_weight * r1
+        return loss, r1
 
     def g_loss_fn(g_params, d_params):
         fake_b = _generate(cfg, g_params["ab"], batch_a)
         fake_a = _generate(cfg, g_params["ba"], batch_b)
         adv = adversarial_loss(
             cfg,
-            d_lib.discriminator_apply(cfg, d_params["b"], fake_b),
+            d_lib.discriminator_apply(cfg, d_params["b"], aug(k_gfb, fake_b)),
             True,
             True,
         ) + adversarial_loss(
             cfg,
-            d_lib.discriminator_apply(cfg, d_params["a"], fake_a),
+            d_lib.discriminator_apply(cfg, d_params["a"], aug(k_gfa, fake_a)),
             True,
             True,
         )
@@ -174,7 +204,9 @@ def gan_train_step(
     )(g_params, d_params)
 
     fakes = (jax.lax.stop_gradient(fake_a), jax.lax.stop_gradient(fake_b))
-    d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_params, fakes)
+    (d_loss, r1), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+        d_params, fakes
+    )
 
     g_updates, g_opt = g_optimizer.update(g_grads, state.g_opt, g_params)
     g_params = optax.apply_updates(g_params, g_updates)
@@ -208,6 +240,8 @@ def gan_train_step(
         "cycle": cycle,
         "identity": ident,
     }
+    if cfg.r1_weight > 0:
+        metrics["r1"] = r1
     return new_state, metrics
 
 
