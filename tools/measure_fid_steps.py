@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--max-size", type=int, default=64)
     ap.add_argument("--cycle-weight", type=float, default=5.0)
     ap.add_argument("--identity-weight", type=float, default=0.5)
+    ap.add_argument("--diffaug", type=str, default="",
+                    help="Config.diffaug policy (color,translation,cutout)")
+    ap.add_argument("--r1-weight", type=float, default=0.0)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -76,6 +79,7 @@ def main():
         steps_per_epoch=args.check_every,
         gan_loss="lsgan", cycle_weight=args.cycle_weight,
         identity_weight=args.identity_weight,
+        diffaug=args.diffaug, r1_weight=args.r1_weight,
         ema_decay=args.ema_decay, compute_dtype="float32", fused_diffusion=False,
         classes=("circles", "crosses"), log_dir="/tmp/fid_logs", checkpoint_dir=None,
         mesh_data=1, fid_samples=64, donate_state=False,
@@ -123,6 +127,9 @@ def main():
         "lr_schedule": args.lr_schedule,
         "learning_rate": args.learning_rate,
         "ema_decay": args.ema_decay,
+        "pixel_size": args.pixel_size,
+        "diffaug": args.diffaug,
+        "r1_weight": args.r1_weight,
         "target_fid": args.target,
         "steps": steps,
         "final_fid": round(float(fid), 5),
