@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--diffaug", type=str, default="",
                     help="Config.diffaug policy (color,translation,cutout)")
     ap.add_argument("--r1-weight", type=float, default=0.0)
+    ap.add_argument(
+        "--fid-samples", type=int, default=64,
+        help="eval-set size per class; larger sets shrink the FID "
+        "estimator's finite-sample bias (the floor drops with n)",
+    )
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -82,7 +87,7 @@ def main():
         diffaug=args.diffaug, r1_weight=args.r1_weight,
         ema_decay=args.ema_decay, compute_dtype="float32", fused_diffusion=False,
         classes=("circles", "crosses"), log_dir="/tmp/fid_logs", checkpoint_dir=None,
-        mesh_data=1, fid_samples=64, donate_state=False,
+        mesh_data=1, fid_samples=args.fid_samples, donate_state=False,
     ).validate()
 
     # train pool: seeds 0/1; eval pool: seeds 1000/1001 — disjoint draws
@@ -130,6 +135,7 @@ def main():
         "pixel_size": args.pixel_size,
         "diffaug": args.diffaug,
         "r1_weight": args.r1_weight,
+        "fid_samples": args.fid_samples,
         "target_fid": args.target,
         "steps": steps,
         "final_fid": round(float(fid), 5),
