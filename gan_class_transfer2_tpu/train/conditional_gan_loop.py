@@ -167,8 +167,7 @@ class ConditionalGANRunner(ResilientRunnerMixin):
             if log_samples and epoch % cfg.log_images_every == 0:
                 self.log_sample(epoch)
             t0 = time.perf_counter()
-            acc = {k: jnp.zeros((), jnp.float32) for k in
-                   ("g_loss", "d_loss", "adversarial", "cycle", "identity")}
+            acc = None  # keyed off the step's metrics (cfg-dependent, e.g. r1)
             global_step = int(self.state.step)
             n_steps = max(
                 origin + (epoch + 1) * steps_per_epoch - global_step, 0
@@ -176,6 +175,8 @@ class ConditionalGANRunner(ResilientRunnerMixin):
             for _ in range(n_steps):
                 batch = next(self.data_iter)
                 self.state, metrics = self.train_step(self.state, batch, rng)
+                if acc is None:
+                    acc = {k: jnp.zeros((), jnp.float32) for k in metrics}
                 acc = {k: acc[k] + metrics[k] for k in acc}
                 global_step += 1
                 if cfg.checkpoint_dir and global_step % cfg.checkpoint_every == 0:

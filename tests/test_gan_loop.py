@@ -283,3 +283,24 @@ def test_cli_gan_train_then_eval(tmp_path, capsys):
     assert out["step"] == 2
     for k in ("transfer_fid_ab", "transfer_fid_ba"):
         assert np.isfinite(out[k]) and out[k] >= 0
+
+
+def test_r1_metric_reaches_tensorboard(tmp_path):
+    """cfg-dependent step metrics (r1) must flow through the epoch
+    accumulator into the event file, not be dropped by a fixed key set."""
+    cfg = tiny_test_config(
+        steps_per_epoch=2, epochs=1, learning_rate=1e-4,
+        r1_weight=1.0, gan_loss="lsgan",
+        log_dir=str(tmp_path / "logs"), checkpoint_dir=None,
+        donate_state=False, classes=("a", "b"), mesh_data=1,
+    )
+    r = np.random.default_rng(0)
+    mk = lambda seed: ArrayDataset(
+        r.integers(0, 256, size=(6, cfg.size, cfg.size, 3), dtype=np.uint8),
+        cfg.batch_size, seed=seed,
+    )
+    runner = GANRunner(cfg, dataset_a=mk(0), dataset_b=mk(1))
+    runner.fit(epochs=1, steps_per_epoch=2, log_samples=False)
+    runner.close()
+    events = [e for e in tb.read_events(runner.writer.path) if e[1] == "r1"]
+    assert events and events[0][2] == "scalar" and events[0][3] > 0
