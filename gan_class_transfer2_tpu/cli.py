@@ -386,8 +386,19 @@ def _eval(cfg: Config, args) -> int:
     out = {"command": "eval", "model": args.model,
            "fid_extractor": cfg.fid_extractor}
     # runners create event writers on construction; keep eval side-effect
-    # free by pointing them at a throwaway dir
+    # free by pointing them at a throwaway dir (removed on the way out)
     scratch = tempfile.mkdtemp(prefix="gct2_eval_logs_")
+    try:
+        _eval_into(cfg, args, out, scratch)
+    finally:
+        import shutil
+
+        shutil.rmtree(scratch, ignore_errors=True)
+    print(json_lib.dumps(out))
+    return 0
+
+
+def _eval_into(cfg: Config, args, out: dict, scratch: str) -> None:
     if args.model == "diffusion":
         from .train.loop import Runner
 
@@ -422,8 +433,6 @@ def _eval(cfg: Config, args) -> int:
                         out[f"transfer_fid_{s}_to_{t}"] = float(fid)
         finally:
             runner.close()
-    print(json_lib.dumps(out))
-    return 0
 
 
 def _edit(cfg: Config, args) -> int:

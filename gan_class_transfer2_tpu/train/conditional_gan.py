@@ -26,7 +26,7 @@ import optax
 from ..models import conditional as cond_lib
 from ..models import discriminator as d_lib
 from ..ops import diffaug
-from .gan import _d_optimizer, adversarial_loss, _l1
+from .gan import _d_optimizer, adversarial_loss, _l1, r1_penalty
 from .trainer import make_optimizer
 
 
@@ -105,15 +105,7 @@ def conditional_gan_train_step(
         r1 = jnp.zeros((), jnp.float32)
         if cfg.r1_weight > 0:
             # R1 at D's actual (augmented) real input, class held fixed
-            def d_sum(x):
-                return jnp.sum(
-                    d_lib.discriminator_apply(cfg, d_params, x, labels).astype(
-                        jnp.float32
-                    )
-                )
-
-            g = jax.grad(d_sum)(real)
-            r1 = jnp.mean(jnp.sum(g.astype(jnp.float32) ** 2, axis=(1, 2, 3)))
+            r1 = r1_penalty(cfg, d_params, real, labels)
             loss = loss + 0.5 * cfg.r1_weight * r1
         return loss, r1
 

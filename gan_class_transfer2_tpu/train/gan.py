@@ -97,17 +97,22 @@ def _generate(cfg, g_params, x):
     return unet.unet_apply(cfg, g_params, x)
 
 
-def r1_penalty(cfg, d_params_one, real):
+def r1_penalty(cfg, d_params_one, real, labels=None):
     """E over the batch of ‖∇ₓD(x)‖² (summed over pixels per sample) — the
     R1 gradient penalty's raw term; the step scales it by 0.5·r1_weight.
+    ``labels``: class vector for the projection-conditioned discriminator
+    (conditional GAN); gradients are w.r.t. the image input only.
     Differentiating it w.r.t. d_params (the outer value_and_grad) is a
     double backward through the discriminator convs, which XLA compiles
     into the same program as the rest of the step."""
 
     def d_sum(x):
-        return jnp.sum(
-            d_lib.discriminator_apply(cfg, d_params_one, x).astype(jnp.float32)
+        out = (
+            d_lib.discriminator_apply(cfg, d_params_one, x)
+            if labels is None
+            else d_lib.discriminator_apply(cfg, d_params_one, x, labels)
         )
+        return jnp.sum(out.astype(jnp.float32))
 
     g = jax.grad(d_sum)(real)
     return jnp.mean(jnp.sum(g.astype(jnp.float32) ** 2, axis=(1, 2, 3)))
@@ -121,7 +126,10 @@ def gan_train_step(
 ) -> Tuple[GANState, dict]:
     """One alternating G/D update (both computed in one XLA program)."""
     # every discriminator input (real and fake, D and G terms) goes through
-    # the diffaug policy with an independent draw; a "" policy is a no-op
+    # the diffaug policy with an independent draw; a "" policy is a no-op.
+    # fold_in(step): the runner passes one rng per fit call, so without the
+    # fold the augmentation draws would be FROZEN across steps (review r3c)
+    rng = jax.random.fold_in(rng, state.step)
     k_dra, k_dfa, k_drb, k_dfb, k_gfa, k_gfb = jax.random.split(rng, 6)
     aug = lambda k, x: diffaug.augment(cfg, k, x)
 

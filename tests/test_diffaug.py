@@ -137,3 +137,34 @@ def test_r1_penalty_matches_manual_value():
 
     want = float(jnp.mean(jax.vmap(one)(x)))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_diffaug_draws_vary_with_step(monkeypatch):
+    """Augmentation keys must differ between consecutive training steps —
+    the runner passes ONE rng per fit call, so the step must fold in
+    state.step or every step reuses identical draws (review r3c)."""
+    from gan_class_transfer2_tpu.ops import diffaug as da
+    from gan_class_transfer2_tpu.train import gan
+    from gan_class_transfer2_tpu.train.trainer import make_optimizer
+
+    seen = []
+    real_augment = da.augment
+
+    def spy(cfg, k, x):
+        seen.append(np.asarray(k).tobytes())
+        return real_augment(cfg, k, x)
+
+    monkeypatch.setattr(da, "augment", spy)
+
+    cfg = tiny_test_config(
+        diffaug="cutout", gan_loss="lsgan", donate_state=False
+    )
+    state = gan.init_gan_state(cfg, jax.random.PRNGKey(0))
+    g_opt, d_opt = make_optimizer(cfg), gan._d_optimizer(cfg)
+    a, b = _x(2, cfg.size), _x(2, cfg.size)
+    rng = jax.random.PRNGKey(7)  # SAME rng both steps, as the runner does
+    state, _ = gan.gan_train_step(cfg, g_opt, d_opt, state, a, b, rng)
+    n = len(seen)
+    state, _ = gan.gan_train_step(cfg, g_opt, d_opt, state, a, b, rng)
+    assert n and len(seen) == 2 * n
+    assert set(seen[:n]).isdisjoint(seen[n:])

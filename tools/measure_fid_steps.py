@@ -63,6 +63,8 @@ def main():
     )
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
+    if args.target_closure is not None and not 0 < args.target_closure < 1:
+        ap.error("--target-closure must be a FRACTION in (0, 1), e.g. 0.995")
 
     import jax
 
