@@ -80,10 +80,21 @@ def conditional_gan_train_step(
             True,
             True,
         )
-        cycled = cond_lib.conditional_unet_apply(cfg, g_params, fake, labels)
-        cycle = _l1(cycled, images)
-        ident = _l1(
-            cond_lib.conditional_unet_apply(cfg, g_params, images, labels), images
+        # zero-weight terms are elided (each is a full generator forward
+        # XLA cannot DCE while the value feeds metrics); disabled → 0
+        zero = jnp.zeros((), jnp.float32)
+        cycle = (
+            _l1(cond_lib.conditional_unet_apply(cfg, g_params, fake, labels), images)
+            if cfg.cycle_weight > 0
+            else zero
+        )
+        ident = (
+            _l1(
+                cond_lib.conditional_unet_apply(cfg, g_params, images, labels),
+                images,
+            )
+            if cfg.identity_weight > 0
+            else zero
         )
         total = (
             cfg.adversarial_weight * adv

@@ -186,16 +186,31 @@ def gan_train_step(
             True,
             True,
         )
-        cycle = _l1(_generate(cfg, g_params["ba"], fake_b), batch_a) + _l1(
-            _generate(cfg, g_params["ab"], fake_a), batch_b
+        # zero-weight loss terms are elided from the program entirely (cfg
+        # is static under jit): cycle and identity each cost two full U-Net
+        # forwards, which XLA can NOT dead-code-eliminate while their values
+        # feed the metrics dict. A disabled term reports 0 in TensorBoard.
+        zero = jnp.zeros((), jnp.float32)
+        cycle = (
+            _l1(_generate(cfg, g_params["ba"], fake_b), batch_a)
+            + _l1(_generate(cfg, g_params["ab"], fake_a), batch_b)
+            if cfg.cycle_weight > 0
+            else zero
         )
-        ident = _l1(_generate(cfg, g_params["ab"], batch_b), batch_b) + _l1(
-            _generate(cfg, g_params["ba"], batch_a), batch_a
+        ident = (
+            _l1(_generate(cfg, g_params["ab"], batch_b), batch_b)
+            + _l1(_generate(cfg, g_params["ba"], batch_a), batch_a)
+            if cfg.identity_weight > 0
+            else zero
         )
         # reconstruction anchors the transfer to its *input* (the data is
         # unpaired — comparing to the opposite-class batch would be
         # meaningless and collapse G toward the target-class batch mean)
-        recon = _l1(fake_b, batch_a) + _l1(fake_a, batch_b)
+        recon = (
+            _l1(fake_b, batch_a) + _l1(fake_a, batch_b)
+            if cfg.reconstruction_weight > 0
+            else zero
+        )
         total = (
             cfg.adversarial_weight * adv
             + cfg.cycle_weight * cycle

@@ -104,3 +104,36 @@ def test_identity_warm_generator_prefers_identity():
         state, _ = step(state, a, b, jax.random.PRNGKey(i))
     after = ident_err(state)
     assert after < before
+
+
+def _traced_conv_count(cfg):
+    """conv ops in the traced (pre-optimization) step program."""
+    from gan_class_transfer2_tpu.train.trainer import make_optimizer
+
+    state = gan.init_gan_state(cfg, jax.random.PRNGKey(0))
+    a, b = _batches(cfg)
+    jaxpr = jax.make_jaxpr(
+        lambda s, x, y, k: gan.gan_train_step(
+            cfg, make_optimizer(cfg), gan._d_optimizer(cfg), s, x, y, k
+        )
+    )(state, a, b, jax.random.PRNGKey(1))
+    return str(jaxpr).count("conv_general_dilated")
+
+
+def test_zero_weight_terms_are_elided():
+    """cycle/identity at weight 0 must not be computed at all — each costs
+    two full U-Net forwards that XLA cannot DCE while the value feeds the
+    metrics dict. Disabled terms report 0 in metrics instead."""
+    full = _traced_conv_count(_cfg())
+    no_ident = _traced_conv_count(_cfg(identity_weight=0.0))
+    no_both = _traced_conv_count(_cfg(identity_weight=0.0, cycle_weight=0.0))
+    assert no_ident < full
+    assert no_both < no_ident
+
+    cfg = _cfg(identity_weight=0.0, cycle_weight=0.0)
+    state = gan.init_gan_state(cfg, jax.random.PRNGKey(0))
+    a, b = _batches(cfg)
+    step = gan.make_gan_train_step(cfg)
+    _, metrics = step(state, a, b, jax.random.PRNGKey(1))
+    assert float(metrics["cycle"]) == 0.0
+    assert float(metrics["identity"]) == 0.0
