@@ -179,6 +179,10 @@ class Config:
     # (utils/fid_extractor.py), "random" = fixed-seed random-conv projection,
     # "auto" = trained when its weights exist (the default).
     fid_extractor: str = "auto"
+    # Serving load shed: max images queued per request batcher before the
+    # HTTP frontends answer 503 + Retry-After (serve/server.ServerBusy).
+    # 0 = unbounded (requests queue without limit under overload).
+    serve_max_queue: int = 512
 
     # ------------------------------------------------------------ derived ---
     def class_patterns(self) -> Tuple[str, ...]:
@@ -224,6 +228,11 @@ class Config:
                 )
         if self.r1_weight < 0:
             raise ValueError(f"r1_weight must be >= 0, got {self.r1_weight}")
+        if self.serve_max_queue < 0:
+            raise ValueError(
+                f"serve_max_queue must be >= 0 (0 = unbounded), "
+                f"got {self.serve_max_queue}"
+            )
         if self.fid_extractor not in ("auto", "trained", "random"):
             raise ValueError(
                 f"unknown fid_extractor {self.fid_extractor!r} "

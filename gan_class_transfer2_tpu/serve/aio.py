@@ -26,16 +26,19 @@ from urllib.parse import parse_qs
 
 import numpy as np
 
-from .server import ModelService, _decode_png, _png_bytes
+from .server import ModelService, ServerBusy, _decode_png, _png_bytes
 
 
 def _response(code: int, content_type: str, body: bytes) -> bytes:
     reason = {200: "OK", 400: "Bad Request", 404: "Not Found",
-              500: "Internal Server Error"}.get(code, "OK")
+              500: "Internal Server Error",
+              503: "Service Unavailable"}.get(code, "OK")
+    retry = "Retry-After: 1\r\n" if code == 503 else ""
     return (
         f"HTTP/1.1 {code} {reason}\r\n"
         f"Content-Type: {content_type}\r\n"
         f"Content-Length: {len(body)}\r\n"
+        f"{retry}"
         "Connection: close\r\n\r\n"
     ).encode() + body
 
@@ -242,6 +245,13 @@ class AsyncServer:
                 return
             try:
                 resp = await self._route(method, target, body, writer)
+            except ServerBusy as e:
+                # load shed: overloaded batcher queue — tell the client to
+                # back off instead of queueing unboundedly (server.ServerBusy)
+                resp = _response(
+                    503, "application/json",
+                    json.dumps({"error": str(e)}).encode(),
+                )
             except ValueError as e:
                 resp = _json_response(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — fault barrier per request

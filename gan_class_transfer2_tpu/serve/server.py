@@ -50,6 +50,13 @@ def _pow2(n: int) -> int:
     return p
 
 
+class ServerBusy(RuntimeError):
+    """Raised when a batcher's queue is at ``Config.serve_max_queue`` —
+    load shedding: the frontend maps this to HTTP 503 + Retry-After so an
+    overloaded server answers fast instead of queueing unboundedly (each
+    queued sample holds host memory and stretches tail latency)."""
+
+
 class _BatchRequest:
     __slots__ = ("num", "payload", "event", "result", "error")
 
@@ -71,19 +78,34 @@ class SampleBatcher:
     slices the results back out to the callers."""
 
     def __init__(self, run_fn: Callable[[int], np.ndarray],
-                 max_batch: int = 64, max_wait_s: float = 0.01):
+                 max_batch: int = 64, max_wait_s: float = 0.01,
+                 max_queue: int = 0):
         self._run = run_fn  # total images -> (total, H, W, 3)
         self._max_batch = max_batch
         self._max_wait = max_wait_s
+        self._max_queue = max_queue  # queued-image cap; 0 = unbounded
         self._pending: list[_BatchRequest] = []
         self._cv = threading.Condition()
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
+    def depth(self) -> int:
+        """Images currently queued (not yet handed to a device batch)."""
+        with self._cv:
+            return sum(r.num for r in self._pending)
+
     def submit(self, num: int, payload=None) -> np.ndarray:
         req = _BatchRequest(num, payload)
         with self._cv:
+            if (
+                self._max_queue > 0
+                and sum(r.num for r in self._pending) + num > self._max_queue
+            ):
+                raise ServerBusy(
+                    f"request queue full ({self._max_queue} images); "
+                    "retry later"
+                )
             self._pending.append(req)
             self._cv.notify_all()
         req.event.wait()
@@ -185,8 +207,9 @@ class ImageBatcher(SampleBatcher):
     Payload order is carried on the request objects, so caller/result
     pairing is race-free."""
 
-    def __init__(self, stack_run_fn, max_batch: int = 16, max_wait_s: float = 0.01):
-        super().__init__(None, max_batch, max_wait_s)
+    def __init__(self, stack_run_fn, max_batch: int = 16,
+                 max_wait_s: float = 0.01, max_queue: int = 0):
+        super().__init__(None, max_batch, max_wait_s, max_queue)
         self._stack_run = stack_run_fn  # (N,H,W,C) -> (N,H,W,C)
 
     def submit_image(self, img: np.ndarray) -> np.ndarray:
@@ -202,8 +225,9 @@ class TargetedImageBatcher(SampleBatcher):
     DIFFERENT target classes still share one device batch — the transfer
     program takes a per-sample (B,) target vector."""
 
-    def __init__(self, run_fn, max_batch: int = 16, max_wait_s: float = 0.01):
-        super().__init__(None, max_batch, max_wait_s)
+    def __init__(self, run_fn, max_batch: int = 16, max_wait_s: float = 0.01,
+                 max_queue: int = 0):
+        super().__init__(None, max_batch, max_wait_s, max_queue)
         self._targeted_run = run_fn  # (N,H,W,C), (N,) int32 -> (N,H,W,C)
 
     def submit_targeted(self, img: np.ndarray, target: int) -> np.ndarray:
@@ -256,7 +280,11 @@ class ModelService:
             "requests_stream": 0,
             "device_batches": 0,
             "reloads": 0,
+            "rejected_busy": 0,
         }
+        # load shedding: queued-image cap per batcher (Config.serve_max_queue;
+        # 0 = unbounded). The frontends answer 503 instead of queueing past it.
+        self._max_queue = getattr(cfg, "serve_max_queue", 0)
 
         if state is not None:
             params = state.ema_params if state.ema_params is not None else state.params
@@ -271,8 +299,12 @@ class ModelService:
             self._sample = jax.jit(_sample_prog)
             self._preview = jax.jit(lambda p, x, n: sampler.preview(cfg, p, x, n))
             self._segment = sampler.make_segment_fn(cfg, mesh=self.mesh)
-            self._batcher = SampleBatcher(self._run_sample)
-            self._denoise_batcher = ImageBatcher(self._run_denoise)
+            self._batcher = SampleBatcher(
+                self._run_sample, max_queue=self._max_queue
+            )
+            self._denoise_batcher = ImageBatcher(
+                self._run_denoise, max_queue=self._max_queue
+            )
             self._edit_fns = {}  # edits tuple -> jitted invert+edit+decode
             self._segment_by_class = {}  # (class, padded) -> segment fn
         if gan_state is not None:
@@ -280,12 +312,15 @@ class ModelService:
 
             self._transfer_batchers = {
                 d: ImageBatcher(
-                    lambda imgs, d=d: self._run_transfer(imgs, d)
+                    lambda imgs, d=d: self._run_transfer(imgs, d),
+                    max_queue=self._max_queue,
                 )
                 for d in ("ab", "ba")
             }
         if cgan_state is not None:
-            self._cgan_batcher = TargetedImageBatcher(self._run_cgan_transfer)
+            self._cgan_batcher = TargetedImageBatcher(
+                self._run_cgan_transfer, max_queue=self._max_queue
+            )
 
     def _place_params(self, params):
         """Replicate params over the serving mesh (a committed single-device
@@ -398,7 +433,27 @@ class ModelService:
             lines.append(f"gct2_{name} {val}")
         lines.append("# TYPE gct2_checkpoint_step gauge")
         lines.append(f"gct2_checkpoint_step {self.step}")
+        depths = {}
+        if getattr(self, "_batcher", None) is not None:
+            depths["sample"] = self._batcher.depth()
+            depths["denoise"] = self._denoise_batcher.depth()
+        for d, b in getattr(self, "_transfer_batchers", {}).items():
+            depths[f"transfer_{d}"] = b.depth()
+        if getattr(self, "_cgan_batcher", None) is not None:
+            depths["transfer_to"] = self._cgan_batcher.depth()
+        if depths:
+            lines.append("# TYPE gct2_queue_depth gauge")
+            for name, v in sorted(depths.items()):
+                lines.append(f'gct2_queue_depth{{batcher="{name}"}} {v}')
         return "\n".join(lines) + "\n"
+
+    def _shed(self, submit_call):
+        """Run a batcher submit, counting load-shed rejections."""
+        try:
+            return submit_call()
+        except ServerBusy:
+            self._bump("rejected_busy")
+            raise
 
     def _bump(self, name: str):
         with self._counters_lock:
@@ -424,7 +479,7 @@ class ModelService:
             # guess what a None payload means in a mixed-class batch
             class_idx = 0
         # concurrent requests coalesce into one device batch (SampleBatcher)
-        return self._batcher.submit(num, payload=class_idx)
+        return self._shed(lambda: self._batcher.submit(num, payload=class_idx))
 
     def check_streamable(self, class_idx: Optional[int] = None):
         """Raise the errors sample_stream would — BEFORE the HTTP layer has
@@ -572,13 +627,15 @@ class ModelService:
         if self.state is None:
             raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
         self._bump("requests_denoise")
-        return self._denoise_batcher.submit_image(image)
+        return self._shed(lambda: self._denoise_batcher.submit_image(image))
 
     def transfer(self, image: np.ndarray, direction: str = "ab") -> np.ndarray:
         if self.gan_state is None:
             raise ValueError("no GAN checkpoint loaded")
         self._bump("requests_transfer")
-        return self._transfer_batchers[direction].submit_image(image)
+        return self._shed(
+            lambda: self._transfer_batchers[direction].submit_image(image)
+        )
 
     def transfer_to(self, image: np.ndarray, target: int) -> np.ndarray:
         """Multi-class conditional transfer (BASELINE config 5): requests
@@ -588,7 +645,9 @@ class ModelService:
         if not 0 <= target < self.cfg.num_classes:
             raise ValueError(f"target must be in [0, {self.cfg.num_classes})")
         self._bump("requests_transfer")
-        return self._cgan_batcher.submit_targeted(image, target)
+        return self._shed(
+            lambda: self._cgan_batcher.submit_targeted(image, target)
+        )
 
 
 def make_handler(service: ModelService):
@@ -725,6 +784,15 @@ def make_handler(service: ModelService):
                     img = _decode_png(self._body(), service.cfg.size)
                     return self._png(service.transfer(img, direction)[0])
                 return self._json(404, {"error": f"unknown path {path}"})
+            except ServerBusy as e:
+                self.send_response(503)
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except ValueError as e:
                 return self._json(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001

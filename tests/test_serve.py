@@ -395,3 +395,69 @@ def test_build_service_ignores_oversized_train_mesh(tmp_path):
         assert out.shape == (2, cfg.size, cfg.size, 3)
     finally:
         svc.close()
+
+
+def test_batcher_load_shed():
+    """serve_max_queue: submits past the queued-image cap raise ServerBusy
+    while a device batch is in flight; queued work still completes."""
+    import threading
+    import time
+
+    from gan_class_transfer2_tpu.serve import server as srv_mod
+
+    release = threading.Event()
+    started = threading.Event()
+
+    def run(total):
+        started.set()
+        release.wait(10)
+        return np.zeros((total, 4, 4, 3), np.float32)
+
+    b = srv_mod.SampleBatcher(run, max_batch=8, max_wait_s=0.0, max_queue=4)
+    try:
+        results = []
+        t1 = threading.Thread(target=lambda: results.append(b.submit(2)))
+        t1.start()
+        assert started.wait(5)  # collector now blocked inside run()
+        t2 = threading.Thread(target=lambda: results.append(b.submit(4)))
+        t2.start()
+        deadline = time.time() + 5
+        while b.depth() < 4 and time.time() < deadline:
+            time.sleep(0.01)
+        assert b.depth() == 4
+        with pytest.raises(srv_mod.ServerBusy):
+            b.submit(1)  # 4 queued + 1 > max_queue
+        release.set()
+        t1.join(5)
+        t2.join(5)
+        assert [r.shape[0] for r in results] == [2, 4]
+    finally:
+        release.set()
+        b.close()
+
+
+def test_busy_maps_to_503(server):
+    from gan_class_transfer2_tpu.serve.server import ServerBusy
+
+    srv, _ = server
+    orig = srv.service.sample
+
+    def busy(num, class_idx=None):
+        raise ServerBusy("request queue full (test)")
+
+    srv.service.sample = busy
+    try:
+        status, body = _post(srv, "/sample", json.dumps({"num": 1}).encode())
+    finally:
+        srv.service.sample = orig
+    assert status == 503
+    assert "queue full" in json.loads(body)["error"]
+
+
+def test_metrics_include_queue_depth_and_shed_counter(server):
+    srv, _ = server
+    status, body = _get(srv, "/metrics")
+    assert status == 200
+    assert b'gct2_queue_depth{batcher="sample"}' in body
+    assert b'gct2_queue_depth{batcher="transfer_ab"}' in body
+    assert b"gct2_rejected_busy" in body

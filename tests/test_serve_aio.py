@@ -223,3 +223,31 @@ def test_malformed_request_gets_400(aserver):
         data = s.recv(4096)
     assert data.startswith(b"HTTP/1.1 400")
     assert b"malformed request line" in data
+
+
+def test_busy_maps_to_503_aio(aserver):
+    """Both frontends answer 503 + Retry-After on batcher overload."""
+    from gan_class_transfer2_tpu.serve.server import ServerBusy
+
+    srv, _ = aserver
+    orig = srv.service.sample
+
+    def busy(num, class_idx=None):
+        raise ServerBusy("request queue full (test)")
+
+    srv.service.sample = busy
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/sample",
+            data=json.dumps({"num": 1}).encode(),
+        )
+        try:
+            with urllib.request.urlopen(req) as r:
+                status, hdrs, body = r.status, r.headers, r.read()
+        except urllib.error.HTTPError as e:
+            status, hdrs, body = e.code, e.headers, e.read()
+    finally:
+        srv.service.sample = orig
+    assert status == 503
+    assert hdrs.get("Retry-After") == "1"
+    assert "queue full" in json.loads(body)["error"]
