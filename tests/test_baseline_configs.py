@@ -36,7 +36,10 @@ def test_baseline_config_runs(config, tmp_path):
     out = subprocess.run(
         [sys.executable, TOOL, "--configs", str(config),
          "--epochs", "1", "--steps-per-epoch", "2",
-         "--platform", "cpu", "--workdir", str(tmp_path)],
+         "--platform", "cpu", "--workdir", str(tmp_path),
+         # NEVER the default docs/baseline_grids: the committed grids are
+         # TPU artifact-run outputs; a CI smoke must not overwrite them
+         "--grid-dir", str(tmp_path / "grids")],
         capture_output=True, text=True, timeout=540, env=env, cwd=REPO,
     )
     assert out.returncode == 0, out.stderr[-3000:] + out.stdout[-1000:]

@@ -102,7 +102,7 @@ def run_config3(args):
     runner.fit(epochs=args.epochs, steps_per_epoch=args.steps_per_epoch)
     dt = time.perf_counter() - t0
     fake_b = np.asarray(gan.transfer(cfg, runner.state, jnp.asarray(ev_a[:16]), "ab"))
-    grid = grid_png(fake_b, os.path.join(REPO, "docs", "baseline_grids",
+    grid = grid_png(fake_b, os.path.join(args.grid_dir,
                                          "config3_transfer_ab.png"))
     steps = args.epochs * args.steps_per_epoch
     result = {
@@ -167,7 +167,7 @@ def run_config4(args):
     runner.fit(epochs=args.epochs, steps_per_epoch=args.steps_per_epoch)
     dt = time.perf_counter() - t0
     fake_b = np.asarray(gan.transfer(cfg, runner.state, jnp.asarray(ev_a[:16]), "ab"))
-    grid = grid_png(fake_b, os.path.join(REPO, "docs", "baseline_grids",
+    grid = grid_png(fake_b, os.path.join(args.grid_dir,
                                          "config4_transfer_ab.png"))
     steps = args.epochs * args.steps_per_epoch
     result = {
@@ -241,7 +241,7 @@ def run_config5(args):
         grids.append(
             os.path.relpath(
                 grid_png(out, os.path.join(
-                    REPO, "docs", "baseline_grids", f"config5_to_{tgt}.png"
+                    args.grid_dir, f"config5_to_{tgt}.png"
                 )),
                 REPO,
             )
@@ -273,7 +273,15 @@ def main():
     ap.add_argument("--steps-per-epoch", type=int, default=40)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--workdir", default="/tmp/baseline_configs_logs")
+    ap.add_argument(
+        "--grid-dir", default=os.path.join(REPO, "docs", "baseline_grids"),
+        help="where sample grids are written. The ARTIFACT pass (TPU, full "
+        "step budget) uses the default docs/baseline_grids; the CI smoke "
+        "(tests/test_baseline_configs.py) passes a temp dir so test runs "
+        "never overwrite the committed TPU artifact grids",
+    )
     args = ap.parse_args()
+    os.makedirs(args.grid_dir, exist_ok=True)
 
     import jax
 
