@@ -405,7 +405,9 @@ def _eval_into(cfg: Config, args, out: dict, scratch: str) -> None:
         runner = Runner(cfg, log_dir=scratch)
         try:
             out["step"] = int(runner.state.step)
-            out["fid"] = float(runner.compute_fid())
+            scores = runner.quality_scores()
+            out["fid"] = float(scores["fid"])
+            out["kid"] = float(scores["kid"])
         finally:
             runner.close()
     elif args.model == "gan":
@@ -414,8 +416,10 @@ def _eval_into(cfg: Config, args, out: dict, scratch: str) -> None:
         runner = GANRunner(cfg, log_dir=scratch)
         try:
             out["step"] = int(runner.state.step)
-            out["transfer_fid_ab"] = float(runner.transfer_fid("ab"))
-            out["transfer_fid_ba"] = float(runner.transfer_fid("ba"))
+            for d in ("ab", "ba"):
+                scores = runner.transfer_scores(d)
+                out[f"transfer_fid_{d}"] = float(scores["fid"])
+                out[f"transfer_kid_{d}"] = float(scores["kid"])
         finally:
             runner.close()
     else:
@@ -428,9 +432,10 @@ def _eval_into(cfg: Config, args, out: dict, scratch: str) -> None:
                 for t in range(cfg.num_classes):
                     if s == t:
                         continue
-                    fid = runner.transfer_fid(s, t)
-                    if fid is not None:
-                        out[f"transfer_fid_{s}_to_{t}"] = float(fid)
+                    scores = runner.transfer_scores(s, t)
+                    if scores is not None:
+                        out[f"transfer_fid_{s}_to_{t}"] = float(scores["fid"])
+                        out[f"transfer_kid_{s}_to_{t}"] = float(scores["kid"])
         finally:
             runner.close()
 

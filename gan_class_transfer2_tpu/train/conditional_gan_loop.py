@@ -112,10 +112,13 @@ class ConditionalGANRunner(ResilientRunnerMixin):
                 for tgt in range(self.cfg.num_classes):
                     if src == tgt:
                         continue
-                    fid = self.transfer_fid(src, tgt)
-                    if fid is not None:
+                    scores = self.transfer_scores(src, tgt)
+                    if scores is not None:
                         self.writer.scalar(
-                            f"transfer_fid_{src}_to_{tgt}", fid, epoch
+                            f"transfer_fid_{src}_to_{tgt}", scores["fid"], epoch
+                        )
+                        self.writer.scalar(
+                            f"transfer_kid_{src}_to_{tgt}", scores["kid"], epoch
                         )
 
     def transfer_fid(self, src: int, tgt: int):
@@ -123,6 +126,13 @@ class ConditionalGANRunner(ResilientRunnerMixin):
         against the held-out ``tgt`` set (None when eval sets are missing).
         Same hygiene as GANRunner.transfer_fid: eval images never feed the
         training iterators."""
+        scores = self.transfer_scores(src, tgt)
+        return None if scores is None else scores["fid"]
+
+    def transfer_scores(self, src: int, tgt: int):
+        """{"fid", "kid"} for one (src → tgt) transfer of the held-out
+        sets, or None when eval sets are missing (KID = unbiased MMD²,
+        comparable across eval-set sizes — docs/FID.md)."""
         from ..utils import metrics
 
         if not self._eval_sets:
@@ -134,11 +144,11 @@ class ConditionalGANRunner(ResilientRunnerMixin):
         fake = np.asarray(
             cgan.transfer(self.cfg, self.state, jnp.asarray(src_imgs), tgt)
         )
-        return metrics.fid(
-            fake,
-            np.asarray(tgt_imgs),
-            extractor=metrics.get_extractor(self.cfg.fid_extractor),
-        )
+        x = metrics.get_extractor(self.cfg.fid_extractor)
+        return {
+            "fid": metrics.fid(fake, np.asarray(tgt_imgs), extractor=x),
+            "kid": metrics.kid(fake, np.asarray(tgt_imgs), extractor=x),
+        }
 
     def _data_sources(self) -> dict:
         return {"labeled": self.labeled}

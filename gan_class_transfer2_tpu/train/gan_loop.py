@@ -107,8 +107,10 @@ class GANRunner(ResilientRunnerMixin):
         self.writer.image("transfer_ba", np.asarray(fake_a) * 0.5 + 0.5, epoch, 10)
         self.writer.image("cycle_aba", np.asarray(cycled) * 0.5 + 0.5, epoch, 10)
         if self.cfg.fid_samples > 0:
-            self.writer.scalar("transfer_fid_ab", self.transfer_fid("ab"), epoch)
-            self.writer.scalar("transfer_fid_ba", self.transfer_fid("ba"), epoch)
+            for d in ("ab", "ba"):
+                scores = self.transfer_scores(d)
+                self.writer.scalar(f"transfer_fid_{d}", scores["fid"], epoch)
+                self.writer.scalar(f"transfer_kid_{d}", scores["kid"], epoch)
 
     def _eval_set(self, cls: str) -> np.ndarray:
         """Fixed per-class eval images, disjoint from training data.
@@ -143,16 +145,24 @@ class GANRunner(ResilientRunnerMixin):
     def transfer_fid(self, direction: str = "ab") -> float:
         """FID of transferred HELD-OUT images against the target class's
         held-out set — BASELINE.json's "steps-to-fixed-FID on class-transfer
-        pairs" metric (random-feature extractor; utils/metrics.py). The eval
-        sets never feed the training iterators (see _eval_set)."""
+        pairs" metric. The eval sets never feed the training iterators
+        (see _eval_set)."""
+        return self.transfer_scores(direction)["fid"]
+
+    def transfer_scores(self, direction: str = "ab") -> dict:
+        """{"fid", "kid"} of ONE transferred held-out batch vs the target
+        class's held-out set (KID = unbiased MMD², comparable across
+        eval-set sizes — docs/FID.md)."""
         from ..utils import metrics
 
         src = self._eval_set("a" if direction == "ab" else "b")
         tgt = self._eval_set("b" if direction == "ab" else "a")
         fake = np.asarray(gan.transfer(self.cfg, self.state, jnp.asarray(src), direction))
-        return metrics.fid(
-            fake, tgt, extractor=metrics.get_extractor(self.cfg.fid_extractor)
-        )
+        x = metrics.get_extractor(self.cfg.fid_extractor)
+        return {
+            "fid": metrics.fid(fake, tgt, extractor=x),
+            "kid": metrics.kid(fake, tgt, extractor=x),
+        }
 
     def fit(self, epochs: Optional[int] = None, steps_per_epoch: Optional[int] = None,
             log_samples: bool = True):

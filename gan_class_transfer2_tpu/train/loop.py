@@ -126,11 +126,22 @@ class Runner(ResilientRunnerMixin):
             self.writer.image(tag, out[tag] * 0.5 + 0.5, epoch, max_outputs=10)
         self.writer.image("fake", out["fake"] * 0.5 + 0.5, epoch, max_outputs=10)
         if self.cfg.fid_samples > 0:
-            self.writer.scalar("fid", self.compute_fid(params), epoch)
+            scores = self.quality_scores(params)
+            self.writer.scalar("fid", scores["fid"], epoch)
+            self.writer.scalar("kid", scores["kid"], epoch)
 
     def compute_fid(self, params=None) -> float:
-        """FID-style score of fresh reverse-diffusion samples vs data
-        (utils/metrics random-feature proxy; BASELINE 'steps-to-fixed-FID')."""
+        """FID of fresh reverse-diffusion samples vs the held-out set
+        (BASELINE 'steps-to-fixed-FID')."""
+        return self.quality_scores(params)["fid"]
+
+    def quality_scores(self, params=None) -> dict:
+        """{"fid", "kid"} of ONE fresh sample batch vs the held-out set.
+
+        FID is the BASELINE-named metric; KID (unbiased MMD², metrics.kid)
+        rides along because the FID estimator's finite-sample bias makes
+        absolute FID values incomparable across eval-set sizes
+        (docs/FID.md)."""
         from ..sample import sampler
         from ..utils import metrics
 
@@ -145,11 +156,12 @@ class Runner(ResilientRunnerMixin):
         self.rng, sub = jax.random.split(self.rng)
         init = jax.random.normal(sub, (n, cfg.size, cfg.size, 3), jnp.float32)
         samples = np.asarray(sampler.sample(cfg, params, init).images)
-        return metrics.fid(
-            samples,
-            self._fid_reference_set(n),
-            extractor=metrics.get_extractor(cfg.fid_extractor),
-        )
+        ref = self._fid_reference_set(n)
+        x = metrics.get_extractor(cfg.fid_extractor)
+        return {
+            "fid": metrics.fid(samples, ref, extractor=x),
+            "kid": metrics.kid(samples, ref, extractor=x),
+        }
 
     def _fid_reference_set(self, n: int) -> np.ndarray:
         """Fixed comparison set for FID, disjoint from training data.

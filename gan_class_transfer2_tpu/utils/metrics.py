@@ -1,4 +1,5 @@
-"""Sample-quality metrics: Fréchet distance (FID-style), PSNR, RMSE.
+"""Sample-quality metrics: Fréchet distance (FID-style), KID (unbiased
+MMD²), PSNR, RMSE.
 
 BASELINE.json names "steps-to-fixed-FID" as a tracked metric. True FID uses
 InceptionV3 pool3 activations; no pretrained Inception weights exist in this
@@ -116,6 +117,13 @@ def get_extractor(name: str = "auto") -> Callable:
     raise ValueError(f"unknown extractor {name!r} (trained | random | auto)")
 
 
+def _features(images, extractor: Callable, batch_size: int) -> np.ndarray:
+    out = []
+    for i in range(0, len(images), batch_size):
+        out.append(np.asarray(extractor(jnp.asarray(images[i : i + batch_size]))))
+    return np.concatenate(out, 0).astype(np.float64)
+
+
 def fid(
     images_a,
     images_b,
@@ -128,16 +136,53 @@ def fid(
     ("auto")`` — the pinned trained embedding when committed weights are
     present)."""
     extractor = extractor or get_extractor("auto")
-
-    def feats(images):
-        out = []
-        for i in range(0, len(images), batch_size):
-            out.append(np.asarray(extractor(jnp.asarray(images[i : i + batch_size]))))
-        return np.concatenate(out, 0).astype(np.float64)
-
-    mu_a, s_a = _stats(feats(images_a))
-    mu_b, s_b = _stats(feats(images_b))
+    mu_a, s_a = _stats(_features(images_a, extractor, batch_size))
+    mu_b, s_b = _stats(_features(images_b, extractor, batch_size))
     return frechet_distance(mu_a, s_a, mu_b, s_b)
+
+
+# --------------------------------------------------------------------- KID ---
+
+
+def _poly_kernel(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    d = x.shape[1]
+    return (x @ y.T / d + 1.0) ** 3
+
+
+def kid(
+    images_a,
+    images_b,
+    extractor: Optional[Callable] = None,
+    batch_size: int = 64,
+) -> float:
+    """Kernel Inception Distance: UNBIASED MMD² between the two feature
+    sets under the polynomial kernel k(x,y) = (xᵀy/d + 1)³ (Bińkowski et
+    al., "Demystifying MMD GANs", 2018 — the standard KID formulation,
+    here over the same pinned embedding FID uses).
+
+    Why it exists next to ``fid``: the FID *estimator* is biased at small
+    eval-set sizes — docs/FID.md measures the same-class "floor" falling
+    23→3.5 as n goes 64→512 purely from that bias, which made
+    floor-multiple targets ill-posed. KID's estimator is unbiased:
+    matched distributions score ≈ 0 at ANY n (slightly negative values
+    are normal noise), so absolute KID values are comparable across
+    eval-set sizes."""
+    extractor = extractor or get_extractor("auto")
+    x = _features(images_a, extractor, batch_size)
+    y = _features(images_b, extractor, batch_size)
+    n, m = len(x), len(y)
+    if n < 2 or m < 2:
+        raise ValueError(f"kid needs >= 2 images per set, got {n} and {m}")
+    kxx = _poly_kernel(x, x)
+    kyy = _poly_kernel(y, y)
+    kxy = _poly_kernel(x, y)
+    sum_off_xx = kxx.sum() - np.trace(kxx)
+    sum_off_yy = kyy.sum() - np.trace(kyy)
+    return float(
+        sum_off_xx / (n * (n - 1))
+        + sum_off_yy / (m * (m - 1))
+        - 2.0 * kxy.mean()
+    )
 
 
 # ------------------------------------------------------------ pixel metrics ---

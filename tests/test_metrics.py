@@ -100,3 +100,59 @@ def test_shape_corpus_classes_distinct():
         assert x.shape == (3, 32, 32, 3), name
         np.testing.assert_array_equal(x, y)
         assert x.min() >= -1.0 and x.max() <= 1.0, name
+
+
+def test_kid_separates_distributions():
+    r = np.random.default_rng(0)
+    a1 = r.uniform(-1, 1, (48, 16, 16, 3)).astype(np.float32)
+    a2 = r.uniform(-1, 1, (48, 16, 16, 3)).astype(np.float32)
+    b = np.clip(a1 * 0.2 + 0.7, -1, 0.99).astype(np.float32)
+    assert metrics.kid(a1, b) > metrics.kid(a1, a2)
+
+
+def test_kid_unbiased_where_fid_is_not():
+    """The motivating property (docs/FID.md): on two disjoint draws from
+    the SAME distribution, the FID estimator shows a clearly positive
+    floor at small n while KID stays near zero relative to a true
+    distribution shift."""
+    from gan_class_transfer2_tpu.data import synthetic
+
+    a1 = synthetic.circles(64, 32, seed=5)
+    a2 = synthetic.circles(64, 32, seed=6)
+    cross = synthetic.crosses(64, 32, seed=7)
+    x = metrics.get_extractor("random")
+    kid_same = metrics.kid(a1, a2, extractor=x)
+    kid_diff = metrics.kid(a1, cross, extractor=x)
+    fid_same = metrics.fid(a1, a2, extractor=x)
+    fid_diff = metrics.fid(a1, cross, extractor=x)
+    # same-distribution KID is tiny vs the real shift (measured 2% here);
+    # the FID estimator's same-distribution floor is ~half the real shift
+    assert abs(kid_same) < 0.1 * kid_diff
+    assert fid_same > 0.2 * fid_diff
+
+
+def test_kid_matches_manual_mmd():
+    """Cross-check the unbiased estimator against a direct loop."""
+    r = np.random.default_rng(1)
+    # pre-round to float32: metrics.kid's feature path goes through
+    # jnp.asarray (float32), the manual loop below stays float64
+    x = r.normal(size=(5, 3)).astype(np.float32).astype(np.float64)
+    y = r.normal(size=(4, 3)).astype(np.float32).astype(np.float64)
+    ident = lambda imgs: np.asarray(imgs)  # features = inputs
+    got = metrics.kid(x, y, extractor=ident)
+
+    def k(a, b):
+        return (a @ b / 3 + 1.0) ** 3
+
+    xx = sum(k(x[i], x[j]) for i in range(5) for j in range(5) if i != j)
+    yy = sum(k(y[i], y[j]) for i in range(4) for j in range(4) if i != j)
+    xy = sum(k(x[i], y[j]) for i in range(5) for j in range(4))
+    want = xx / (5 * 4) + yy / (4 * 3) - 2 * xy / 20
+    assert abs(got - want) < 1e-9
+
+
+def test_kid_rejects_tiny_sets():
+    with pytest.raises(ValueError, match="kid needs"):
+        metrics.kid(
+            np.zeros((1, 8, 8, 3), np.float32), np.zeros((4, 8, 8, 3), np.float32)
+        )
