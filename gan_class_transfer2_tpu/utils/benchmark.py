@@ -38,20 +38,28 @@ class BenchResult:
 
 
 def steps_to_fixed_fid(runner, target_fid: float, max_steps: int = 20_000,
-                       check_every: int = 500, direction: str = "ab"):
+                       check_every: int = 500, direction: str = "ab",
+                       metric: str = "fid"):
     """BASELINE.json's second headline metric: train the class-transfer GAN
-    until the transfer FID reaches ``target_fid``; return (steps, fid).
+    until the transfer quality score reaches ``target_fid``; return
+    (steps, score).
 
-    ``runner``: a train.gan_loop.GANRunner. Returns (None, last_fid) when
-    the budget is exhausted."""
+    ``metric``: "fid" (the BASELINE-named metric) or "kid" (unbiased MMD² —
+    comparable across eval-set sizes, docs/FID.md). ``runner``: a
+    train.gan_loop.GANRunner. Returns (None, last_score) when the budget
+    is exhausted."""
     steps_done = int(runner.state.step)
-    fid = runner.transfer_fid(direction)
-    while fid > target_fid and steps_done < max_steps:
+    score = runner.transfer_scores(direction)[metric]
+    while score > target_fid and steps_done < max_steps:
         runner.fit(epochs=1, steps_per_epoch=check_every, log_samples=False)
         steps_done = int(runner.state.step)
-        fid = runner.transfer_fid(direction)
-        print(f"steps_to_fixed_fid: step {steps_done} fid {fid:.4f}", flush=True)
-    return (steps_done if fid <= target_fid else None), fid
+        score = runner.transfer_scores(direction)[metric]
+        print(
+            f"steps_to_fixed_{metric}: step {steps_done} {metric} "
+            f"{score:.4f}",
+            flush=True,
+        )
+    return (steps_done if score <= target_fid else None), score
 
 
 # Peak dense-MXU bf16 throughput per chip for MFU accounting, keyed by the

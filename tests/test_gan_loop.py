@@ -283,6 +283,8 @@ def test_cli_gan_train_then_eval(tmp_path, capsys):
     assert out["step"] == 2
     for k in ("transfer_fid_ab", "transfer_fid_ba"):
         assert np.isfinite(out[k]) and out[k] >= 0
+    for k in ("transfer_kid_ab", "transfer_kid_ba"):
+        assert np.isfinite(out[k])  # unbiased: slightly negative is valid
 
 
 def test_r1_metric_reaches_tensorboard(tmp_path):

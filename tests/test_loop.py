@@ -408,3 +408,4 @@ def test_cli_eval_scores_checkpoint(tmp_path, capsys):
     assert out["model"] == "diffusion"
     assert out["step"] == 3
     assert np.isfinite(out["fid"]) and out["fid"] >= 0
+    assert np.isfinite(out["kid"])  # unbiased: slightly negative is valid

@@ -40,6 +40,12 @@ def main():
         "--extractor", default="auto", choices=("auto", "trained", "random"),
         help="feature embedding (utils/metrics.get_extractor)",
     )
+    ap.add_argument(
+        "--metric", default="fid", choices=("fid", "kid"),
+        help="quality score: fid (BASELINE-named; finite-sample-biased "
+        "floor) or kid (unbiased MMD² — floor ≈ 0 at any eval-set size, "
+        "docs/FID.md)",
+    )
     ap.add_argument("--max-steps", type=int, default=12000)
     ap.add_argument("--check-every", type=int, default=1000)
     ap.add_argument(
@@ -119,11 +125,12 @@ def main():
     # projection's were hundredths.
     from gan_class_transfer2_tpu.utils import metrics
     x = metrics.get_extractor(args.extractor)
-    floor = metrics.fid(
+    metric_fn = metrics.fid if args.metric == "fid" else metrics.kid
+    floor = metric_fn(
         synthetic.crosses(cfg.fid_samples, cfg.size, seed=77), eval_b,
         extractor=x,
     )
-    untransferred = metrics.fid(eval_a, eval_b, extractor=x)
+    untransferred = metric_fn(eval_a, eval_b, extractor=x)
     if args.target is None:
         if args.target_closure is not None:
             args.target = float(floor) + (1.0 - args.target_closure) * (
@@ -132,19 +139,20 @@ def main():
         else:
             args.target = args.target_x * float(floor)
     print(json.dumps({"extractor": args.extractor,
-                      "fid_floor_same_class": round(float(floor), 5),
-                      "fid_untransferred": round(float(untransferred), 5),
+                      "quality_metric": args.metric,
+                      f"{args.metric}_floor_same_class": round(float(floor), 5),
+                      f"{args.metric}_untransferred": round(float(untransferred), 5),
                       "target": round(float(args.target), 5)}),
           flush=True)
 
     t0 = time.time()
     steps, fid = steps_to_fixed_fid(
         runner, target_fid=args.target, max_steps=args.max_steps,
-        check_every=args.check_every,
+        check_every=args.check_every, metric=args.metric,
     )
     runner.close()
     print(json.dumps({
-        "metric": "steps_to_fixed_fid_heldout",
+        "metric": f"steps_to_fixed_{args.metric}_heldout",
         "lr_schedule": args.lr_schedule,
         "learning_rate": args.learning_rate,
         "ema_decay": args.ema_decay,
