@@ -86,7 +86,7 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="command", required=True)
 
     for cmd in ("train", "gan-train", "cgan-train", "sample", "edit", "bench",
-                "serve", "build-cache", "export-weights", "eval"):
+                "serve", "build-cache", "export-weights", "eval", "profile"):
         p = sub.add_parser(cmd)
         p.add_argument("--config", type=str, default=None, help="config JSON")
         p.add_argument(
@@ -153,6 +153,20 @@ def main(argv=None):
                 choices=("diffusion", "gan", "cgan"),
                 help="which runner's quality metric to score (held-out FID "
                 "for diffusion, transfer-FID pairs for gan/cgan)",
+            )
+        if cmd == "profile":
+            p.add_argument(
+                "--model", type=str, default="diffusion",
+                choices=("diffusion", "gan", "cgan"),
+                help="which training step to trace",
+            )
+            p.add_argument("--profile-steps", type=int, default=3)
+            p.add_argument("--top", type=int, default=25,
+                           help="op rows to print from the device plane")
+            p.add_argument(
+                "--trace-dir", type=str, default=None,
+                help="where the raw trace lands (kept for TensorBoard/"
+                "Perfetto/XProf; default: a fresh temp dir)",
             )
         if cmd == "serve":
             p.add_argument("--host", type=str, default="127.0.0.1")
@@ -248,6 +262,9 @@ def main(argv=None):
 
     if args.command == "eval":
         return _eval(cfg, args)
+
+    if args.command == "profile":
+        return _profile(cfg, args)
 
     if args.command == "bench":
         from .utils.benchmark import run_benchmark
@@ -438,6 +455,89 @@ def _eval_into(cfg: Config, args, out: dict, scratch: str) -> None:
                         out[f"transfer_kid_{s}_to_{t}"] = float(scores["kid"])
         finally:
             runner.close()
+
+
+def _profile(cfg: Config, args) -> int:
+    """Trace N training steps and print the device-plane op-time breakdown
+    (the user surface over utils/profiler; raw trace kept for TensorBoard/
+    Perfetto/XProf). The reference has no profiling at all (SURVEY §5)."""
+    import json as json_lib
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .utils import profiler
+
+    rng = np.random.default_rng(cfg.seed)
+
+    def batch():
+        return jnp.asarray(
+            rng.uniform(-1, 1, (cfg.batch_size, cfg.size, cfg.size, 3)),
+            jnp.float32,
+        )
+
+    key = jax.random.PRNGKey(cfg.seed)
+    if args.model == "diffusion":
+        from .train import trainer as trainer_lib
+
+        state = trainer_lib.init_state(cfg, key)
+        step = trainer_lib.make_train_step(cfg)
+        run = lambda s: step(s, batch(), jax.random.PRNGKey(1))
+        sync = lambda out: float(out[1])  # loss
+    elif args.model == "gan":
+        from .train import gan
+
+        state = gan.init_gan_state(cfg, key)
+        step = gan.make_gan_train_step(cfg)
+        run = lambda s: step(s, batch(), batch(), jax.random.PRNGKey(1))
+        sync = lambda out: float(out[1]["g_loss"])
+    else:
+        from .train import conditional_gan as cgan_lib
+
+        state = cgan_lib.init_conditional_gan_state(cfg, key)
+        step = cgan_lib.make_conditional_gan_train_step(cfg)
+        labels = jnp.zeros((cfg.batch_size,), jnp.int32)
+        run = lambda s: step(
+            s, {"image": batch(), "label": labels}, jax.random.PRNGKey(1)
+        )
+        sync = lambda out: float(out[1]["g_loss"])
+
+    # compile + one warm step, synced by value fetch (block_until_ready
+    # returns early on the tunneled TPU platform — StepTimer docstring)
+    out = run(state)
+    sync(out)
+    state2 = out[0]
+    out = run(state2)
+    sync(out)
+    state2 = out[0]
+
+    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="gct2_profile_")
+    timer = profiler.StepTimer()
+    with profiler.trace(trace_dir):
+        timer.start()
+        for _ in range(max(args.profile_steps, 1)):
+            out = run(state2)
+            state2 = out[0]
+        timer.lap(sync(out))
+    rows = profiler.parse_xplane_device_ops(trace_dir, top=args.top)
+    for r in rows:
+        r["ms_per_step"] = round(r.pop("ms") / max(args.profile_steps, 1), 3)
+        print(json_lib.dumps(r))
+    wall = timer.times[0] / max(args.profile_steps, 1)
+    print(json_lib.dumps({
+        "command": "profile", "model": args.model,
+        "steps": int(args.profile_steps),
+        "wall_ms_per_step": round(wall * 1000, 2),
+        "images_per_sec": round(cfg.batch_size / wall, 2),
+        "trace_dir": trace_dir,
+        "device_rows": len(rows),
+        "note": (None if rows else
+                 "no device plane parsed (CPU backend or xplane proto "
+                 "unavailable); raw trace kept at trace_dir"),
+    }))
+    return 0
 
 
 def _edit(cfg: Config, args) -> int:

@@ -67,6 +67,51 @@ class StepTimer:
         }
 
 
+def parse_xplane_device_ops(trace_dir: str, top: int = 25) -> list:
+    """Aggregate device-plane event durations by op name from the xplane
+    proto a ``trace()`` capture wrote.
+
+    Returns up to ``top`` rows ``{"ms", "calls", "op"}`` sorted by total
+    time (summed across traced steps; async ops overlap, so the column sum
+    can exceed wall time). Parsing needs the xplane protobuf that ships
+    with the TensorFlow installed in this image — returns [] when either
+    the proto module or a capture file is unavailable (the trace directory
+    itself stays viewable in TensorBoard/Perfetto/XProf)."""
+    import glob as globlib
+    from collections import defaultdict
+
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except Exception:  # pragma: no cover — TF-less environments
+        return []
+    paths = globlib.glob(
+        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
+    )
+    if not paths:
+        return []
+    xs = xplane_pb2.XSpace()
+    with open(paths[0], "rb") as f:
+        xs.ParseFromString(f.read())
+    rows = []
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "/device:" not in plane.name:
+            continue
+        ev_names = {k: v.name for k, v in plane.event_metadata.items()}
+        agg = defaultdict(lambda: [0.0, 0])
+        for line in plane.lines:
+            for ev in line.events:
+                name = ev_names.get(ev.metadata_id, str(ev.metadata_id))
+                agg[name][0] += ev.duration_ps / 1e9  # → ms
+                agg[name][1] += 1
+        for name, (ms, n) in agg.items():
+            rows.append((ms, n, name))
+    rows.sort(reverse=True)
+    return [
+        {"ms": round(ms, 3), "calls": n, "op": name[:120]}
+        for ms, n, name in rows[:top]
+    ]
+
+
 def compiled_stats(fn: Callable, *args) -> dict:
     """Compile ``fn`` (no execute) and report XLA cost analysis."""
     lowered = jax.jit(fn).lower(*args)

@@ -36,3 +36,27 @@ def test_trace_writes_files(tmp_path):
     for root, _, files in os.walk(d):
         found += files
     assert found  # some trace artifact was written
+
+
+def test_cli_profile_command(tmp_path, capsys):
+    """gct2 profile traces N steps and prints a JSON summary line."""
+    import json
+
+    from gan_class_transfer2_tpu import cli
+
+    rc = cli.main([
+        "profile", "--platform", "cpu", "--model", "diffusion",
+        "--size", "16", "--pixel-size", "4", "--max-size", "8",
+        "--octaves", "2", "--steps", "4", "--batch-size", "2",
+        "--fused-diffusion", "false", "--warm-up", "0",
+        "--profile-steps", "2", "--trace-dir", str(tmp_path / "trace"),
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["command"] == "profile"
+    assert out["wall_ms_per_step"] > 0
+    assert out["images_per_sec"] > 0
+    import os
+
+    assert os.path.isdir(out["trace_dir"])

@@ -430,7 +430,9 @@ def test_batcher_load_shed():
         release.set()
         t1.join(5)
         t2.join(5)
-        assert [r.shape[0] for r in results] == [2, 4]
+        # completion-wait order between the two waiter threads races once
+        # release fires; compare as a multiset
+        assert sorted(r.shape[0] for r in results) == [2, 4]
     finally:
         release.set()
         b.close()
