@@ -163,6 +163,13 @@ class Config:
     mesh_data: int = 0
     mesh_model: int = 1
     mesh_slice: int = 1  # >1: multi-slice pod (DCN axis; see parallel/mesh.py)
+    # Pipeline parallelism (parallel/pipeline.py): partition the U-Net's
+    # octave V into nested stage bands on separate devices, GPipe-style
+    # microbatching with recompute-backward. For models that do NOT fit one
+    # chip. 1 = off. Composes with neither TP nor multi-slice.
+    pipeline_stages: int = 1
+    # Microbatches per step (0 -> pipeline_stages). batch_size must divide.
+    pipeline_microbatches: int = 0
 
     # -------------------------------------------------------------------- io
     log_dir: str = "logs"  # reference train.py:499-503 layout logs/<day>/<time>
@@ -259,6 +266,23 @@ class Config:
             raise ValueError(
                 "grad_accum > 1 is not supported with dynamic_loss_scale"
             )
+        if self.pipeline_stages < 1:
+            raise ValueError(
+                f"pipeline_stages must be >= 1, got {self.pipeline_stages}"
+            )
+        if self.pipeline_microbatches < 0:
+            raise ValueError(
+                "pipeline_microbatches must be >= 0 (0 = pipeline_stages), "
+                f"got {self.pipeline_microbatches}"
+            )
+        if self.pipeline_stages > 1:
+            # the full compatibility matrix is enforced by
+            # parallel/pipeline._validate at trainer construction
+            if self.pipeline_stages > self.octaves:
+                raise ValueError(
+                    f"pipeline_stages={self.pipeline_stages} cannot exceed "
+                    f"octaves={self.octaves} (stages own octave bands)"
+                )
         return self
 
     # --------------------------------------------------------- serialization

@@ -161,6 +161,80 @@ def _pair_dense(h, kernel, bias):
     return conv_ops.dense(a, kernel[:ca], None) + conv_ops.dense(b, kernel[ca:], bias)
 
 
+def octave_down(cfg, level, h, impl=None):
+    """One octave's descent: down conv (+ optional norm) + block_in convs.
+    Returns ``(h, skip)`` where ``skip`` is the level input the matching
+    :func:`octave_up` merges back in. Shared by :func:`unet_apply` and the
+    pipeline-parallel stage functions (parallel/pipeline.py) so the two paths
+    are op-for-op identical."""
+    impl = cfg.conv_impl if impl is None else impl
+    inp = h  # always a plain array (pre_block / block_in output)
+    if cfg.g_norm != "none":
+        h = conv_ops.down_conv(
+            h, level["down"]["kernel"], level["down"]["bias"], impl, relu=False
+        )
+        h = norm_ops.apply_norm(cfg.g_norm, h, level["down_norm"])
+        h = jax.nn.relu(h)
+    else:
+        h = conv_ops.down_conv(
+            h, level["down"]["kernel"], level["down"]["bias"], impl
+        )
+    for layer in level["block_in"]:
+        h = conv_ops.conv2d(h, layer["kernel"], layer["bias"], stride=1, relu=True)
+    return h, inp
+
+
+def octave_up(cfg, level, h, inp, elide=None, impl=None):
+    """One octave's ascent: block_out convs + up conv + skip merge with the
+    ``inp`` saved by :func:`octave_down`. ``h`` may be a (branch, skip) pair
+    from the inner level (concat elision); the return is likewise a pair when
+    eliding. Shared with parallel/pipeline.py."""
+    impl = cfg.conv_impl if impl is None else impl
+    if elide is None:
+        elide = cfg.skip_mode == "concat" and getattr(cfg, "concat_elision", True)
+    first = True
+    for layer in level["block_out"]:
+        h = _pair_block_conv(h, layer["kernel"], layer["bias"], impl) if first else conv_ops.conv2d(h, layer["kernel"], layer["bias"], stride=1, relu=True)
+        first = False
+    if cfg.g_norm != "none":
+        h = _pair_up_conv(
+            h, level["up"]["kernel"], level["up"]["bias"], impl, relu=False
+        )
+        h = norm_ops.apply_norm(cfg.g_norm, h, level["up_norm"])
+        h = jax.nn.relu(h)
+    else:
+        h = _pair_up_conv(h, level["up"]["kernel"], level["up"]["bias"], impl)
+    if cfg.skip_mode == "concat":
+        h = h.astype(inp.dtype)  # branch cast (reference train.py:113-119)
+        if elide:
+            return (h, inp)
+        return jnp.concatenate([h, inp], axis=-1)
+    if cfg.skip_mode == "residual":
+        return inp + conv_ops.dense(h, level["skip_dense"]).astype(inp.dtype)
+    return h
+
+
+def unet_head(cfg, params: Params, h, t=None):
+    """post_block + Dense head (+ the vestigial per-step gather). ``h`` may be
+    a (branch, skip) pair. Shared with parallel/pipeline.py."""
+    impl = cfg.conv_impl
+    first = True
+    for layer in params["post_block"]:
+        h = _pair_block_conv(h, layer["kernel"], layer["bias"], impl) if first else conv_ops.conv2d(h, layer["kernel"], layer["bias"], stride=1, relu=True)
+        first = False
+    pred = _pair_dense(h, params["head"]["kernel"], params["head"]["bias"])
+
+    if cfg.per_step_output:
+        # Vestigial per-timestep head (reference train.py:199, 211-214):
+        # reshape (B,H,W,steps,3) and gather t−1 per sample.
+        b, hh, ww, _ = pred.shape
+        pred = pred.reshape(b, hh, ww, cfg.steps, 3)
+        t_idx = jnp.reshape(t, (b, 1, 1, 1, 1)).astype(jnp.int32) - 1
+        pred = jnp.take_along_axis(pred, jnp.broadcast_to(t_idx, (b, hh, ww, 1, 3)), axis=3)
+        pred = pred[..., 0, :]
+    return pred
+
+
 def unet_apply(cfg, params: Params, x, t=None):
     """Forward pass. ``x``: (B, H, W, C) in [-1, 1). ``t``: (B,) int timesteps,
     accepted for interface parity and ignored unless ``per_step_output``.
@@ -177,19 +251,7 @@ def unet_apply(cfg, params: Params, x, t=None):
 
     def rec(i, h):
         level = params["octaves"][i]
-        inp = h  # always a plain array (pre_block / block_in output)
-        if cfg.g_norm != "none":
-            h = conv_ops.down_conv(
-                h, level["down"]["kernel"], level["down"]["bias"], impl, relu=False
-            )
-            h = norm_ops.apply_norm(cfg.g_norm, h, level["down_norm"])
-            h = jax.nn.relu(h)
-        else:
-            h = conv_ops.down_conv(
-                h, level["down"]["kernel"], level["down"]["bias"], impl
-            )
-        for layer in level["block_in"]:
-            h = conv_ops.conv2d(h, layer["kernel"], layer["bias"], stride=1, relu=True)
+        h, inp = octave_down(cfg, level, h, impl)
         if i + 1 < cfg.octaves:
             inner = lambda y: rec(i + 1, y)
             if cfg.remat:
@@ -197,47 +259,14 @@ def unet_apply(cfg, params: Params, x, t=None):
             h = inner(h)
         else:
             h = _apply_block(params["middle"], h, impl)
-        first = True
-        for layer in level["block_out"]:
-            h = _pair_block_conv(h, layer["kernel"], layer["bias"], impl) if first else conv_ops.conv2d(h, layer["kernel"], layer["bias"], stride=1, relu=True)
-            first = False
-        if cfg.g_norm != "none":
-            h = _pair_up_conv(
-                h, level["up"]["kernel"], level["up"]["bias"], impl, relu=False
-            )
-            h = norm_ops.apply_norm(cfg.g_norm, h, level["up_norm"])
-            h = jax.nn.relu(h)
-        else:
-            h = _pair_up_conv(h, level["up"]["kernel"], level["up"]["bias"], impl)
-        if cfg.skip_mode == "concat":
-            h = h.astype(inp.dtype)  # branch cast (reference train.py:113-119)
-            if elide:
-                return (h, inp)
-            return jnp.concatenate([h, inp], axis=-1)
-        if cfg.skip_mode == "residual":
-            return inp + conv_ops.dense(h, level["skip_dense"]).astype(inp.dtype)
-        return h
+        return octave_up(cfg, level, h, inp, elide, impl)
 
     if cfg.octaves > 0:
         h = rec(0, h)
     else:
         h = _apply_block(params["middle"], h, impl)
 
-    first = True
-    for layer in params["post_block"]:
-        h = _pair_block_conv(h, layer["kernel"], layer["bias"], impl) if first else conv_ops.conv2d(h, layer["kernel"], layer["bias"], stride=1, relu=True)
-        first = False
-    pred = _pair_dense(h, params["head"]["kernel"], params["head"]["bias"])
-
-    if cfg.per_step_output:
-        # Vestigial per-timestep head (reference train.py:199, 211-214):
-        # reshape (B,H,W,steps,3) and gather t−1 per sample.
-        b, hh, ww, _ = pred.shape
-        pred = pred.reshape(b, hh, ww, cfg.steps, 3)
-        t_idx = jnp.reshape(t, (b, 1, 1, 1, 1)).astype(jnp.int32) - 1
-        pred = jnp.take_along_axis(pred, jnp.broadcast_to(t_idx, (b, hh, ww, 1, 3)), axis=3)
-        pred = pred[..., 0, :]
-    return pred
+    return unet_head(cfg, params, h, t)
 
 
 def param_count(params) -> int:

@@ -1,0 +1,621 @@
+"""Pipeline parallelism (PP) over the U-Net's octave structure.
+
+The reference is single-device (reference train.py:40) and the 41.7 M-param
+default fits one chip, so PP — like TP (SURVEY §2.3) — is a scaling
+capability the TPU framework adds for configurations that do NOT fit:
+deep/wide U-Nets (``max_size``/``octaves`` up) or high resolutions where
+even remat + ZeRO-1 exhaust a chip's HBM.
+
+Design — *nested* stage partitioning of the V:
+
+The U-Net is a palindrome: down₀ … downₙ middle upₙ … up₀ with a skip from
+each downᵢ's input to upᵢ's merge (models/unet.py). Stages own contiguous
+*octave bands*, so every skip connection stays **stage-local** — the only
+inter-stage traffic is the boundary activation at the band's resolution
+(spatially downsampled 2^band per crossing, i.e. cheap), not the
+full-resolution skips a sequential split would ship:
+
+    stage 0: pre_block · octaves [0, k₁) · post_block · head · loss
+    stage s: octaves [kₛ, kₛ₊₁)
+    stage S-1: its band + middle
+
+One microbatch therefore visits 0 → 1 → … → S-1 → … → 1 → 0 (2S-1 virtual
+stages on S devices). Microbatches are dispatched back-to-back; JAX's
+asynchronous dispatch overlaps them across devices (GPipe fill-drain without
+a hand-written schedule — stage s's program for microbatch m+1 runs while
+m's is downstream). The backward pass recomputes each stage's forward
+inside its VJP (GPipe-style remat), so only the stage *inputs* and the
+stage-local skips are stashed per microbatch.
+
+Semantics: exactly the single-device ``train_step`` at the same global
+batch. The (t, ε) draws are made once for the full batch with the same
+fold/split order as ``trainer.diffusion_loss``, microbatch losses are
+equally-weighted means, gradients accumulate with cotangent 1/M, and the
+optimizer applies once per step — the grad-accum ≡ big-batch equivalence
+already validated for MultiSteps (tests/test_trainer.py).
+
+Checkpoint compatibility: the pipeline state IS a plain ``TrainState`` —
+the same pytree the single-device and mesh paths checkpoint — whose leaves
+are *placed* per stage (``place_state``). Pipeline runs restore
+single-device checkpoints and vice versa; optimizer state is re-placed by
+structural reflection (any params-shaped subtree of the optax state, e.g.
+Adam's mu/nu, follows its parameters' stage).
+
+Stage balance: analytic per-octave MACs (the conv shapes are static,
+utils/benchmark.model_flops_per_image) drive a min-max contiguous
+partition; the outer block/head cost is pinned to stage 0 and the middle
+block to the last stage.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import diffusion
+from ..models import unet
+from ..train import trainer as trainer_lib
+
+# --------------------------------------------------------------------- plan
+
+
+def octave_costs(cfg, in_channels: int = 3) -> Tuple[int, List[int], int]:
+    """(outer_macs, per_octave_macs, middle_macs) — MACs per image.
+
+    Same walk as utils/benchmark.model_flops_per_image, attributed per
+    octave: octave i owns its down conv + block_in + block_out + up conv
+    (+ residual-mode skip dense); 'outer' owns pre/post blocks + head."""
+
+    def block(spatial, cin, filters, depth):
+        m, c = 0, cin
+        for _ in range(depth):
+            m += spatial * spatial * 9 * c * filters
+            c = filters
+        return m, c
+
+    outer, c = block(cfg.size, in_channels, cfg.pixel_size, cfg.block_depth)
+    per = [0] * cfg.octaves
+    skip = []
+    for i in range(cfg.octaves):
+        f = cfg.octave_filters(i)
+        skip.append(c)
+        s_half = cfg.size >> (i + 1)
+        per[i] += s_half * s_half * 16 * c * f  # down 4×4/s2
+        m, c = block(s_half, f, f, cfg.block_depth)
+        per[i] += m
+    mid, c = block(cfg.size >> cfg.octaves, c, cfg.middle_filters(), cfg.block_depth)
+    for i in reversed(range(cfg.octaves)):
+        f = cfg.octave_filters(i)
+        u = cfg.octave_up_filters(i)
+        s_half = cfg.size >> (i + 1)
+        m, c = block(s_half, c, f, cfg.block_depth)
+        per[i] += m
+        per[i] += s_half * s_half * 16 * c * u  # up convT 4×4/s2
+        c = u
+        if cfg.skip_mode == "concat":
+            c += skip[i]
+        elif cfg.skip_mode == "residual":
+            per[i] += (cfg.size >> i) ** 2 * c * skip[i]
+            c = skip[i]
+    m, c = block(cfg.size, c, cfg.pixel_size, cfg.block_depth)
+    outer += m
+    outer += cfg.size * cfg.size * c * cfg.out_channels()  # head dense
+    return outer, per, mid
+
+
+def plan_stages(cfg, n_stages: int) -> Tuple[Tuple[int, int], ...]:
+    """Contiguous octave bands minimising the max per-stage MACs.
+
+    Returns ((0, k₁), (k₁, k₂), …, (k_{S-1}, octaves)). Brute force over the
+    C(octaves-1, S-1) cut placements — octaves is single digits."""
+    if not 1 <= n_stages <= cfg.octaves:
+        raise ValueError(
+            f"pipeline_stages={n_stages} needs 1 <= stages <= octaves={cfg.octaves}"
+        )
+    outer, per, mid = octave_costs(cfg)
+    best, best_cost = None, None
+    for cuts in itertools.combinations(range(1, cfg.octaves), n_stages - 1):
+        bounds = (0,) + cuts + (cfg.octaves,)
+        cost = 0
+        for s in range(n_stages):
+            c = sum(per[bounds[s] : bounds[s + 1]])
+            if s == 0:
+                c += outer
+            if s == n_stages - 1:
+                c += mid
+            cost = max(cost, c)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = bounds, cost
+    return tuple((best[s], best[s + 1]) for s in range(n_stages))
+
+
+# ------------------------------------------------------ stage views of trees
+
+
+def tree_stage_view(plan, tree, s: int):
+    """The stage-s subtree of any params-structured tree (params, EMA, Adam
+    mu/nu share the structure). Leaves are referenced, not copied."""
+    lo, hi = plan[s]
+    out: dict = {"octaves": list(tree["octaves"][lo:hi])}
+    if s == 0:
+        out["pre_block"] = tree["pre_block"]
+        out["post_block"] = tree["post_block"]
+        out["head"] = tree["head"]
+    if s == len(plan) - 1:
+        out["middle"] = tree["middle"]
+    return out
+
+
+def tree_stage_merge(plan, full, s: int, sub):
+    """Inverse of tree_stage_view: a new full tree with stage s's leaves
+    replaced by ``sub``'s."""
+    lo, hi = plan[s]
+    out = dict(full)
+    octs = list(full["octaves"])
+    octs[lo:hi] = list(sub["octaves"])
+    out["octaves"] = octs
+    if s == 0:
+        out["pre_block"] = sub["pre_block"]
+        out["post_block"] = sub["post_block"]
+        out["head"] = sub["head"]
+    if s == len(plan) - 1:
+        out["middle"] = sub["middle"]
+    return out
+
+
+def _params_structured(obj, params_treedef) -> bool:
+    try:
+        return jax.tree_util.tree_structure(obj) == params_treedef
+    except Exception:
+        return False
+
+
+def _rewrite_state(obj, params_treedef, subtree_fn, leaf_fn):
+    """Walk an optax state pytree; apply ``subtree_fn`` to every
+    params-structured subtree (Adam mu/nu, momentum trace, MultiSteps acc …)
+    and ``leaf_fn`` to every other leaf (step counts, scales)."""
+    if _params_structured(obj, params_treedef):
+        return subtree_fn(obj)
+    if isinstance(obj, tuple) and hasattr(obj, "_fields"):  # NamedTuple
+        return type(obj)(
+            *[_rewrite_state(v, params_treedef, subtree_fn, leaf_fn) for v in obj]
+        )
+    if isinstance(obj, (tuple, list)):
+        return type(obj)(
+            _rewrite_state(v, params_treedef, subtree_fn, leaf_fn) for v in obj
+        )
+    if isinstance(obj, dict):
+        return {
+            k: _rewrite_state(v, params_treedef, subtree_fn, leaf_fn)
+            for k, v in obj.items()
+        }
+    return leaf_fn(obj)
+
+
+# ----------------------------------------------------------- stage programs
+
+
+def _stage_down_fn(cfg, plan, s: int):
+    """(stage_params, h_in) -> (h_out, skips). Stage 0 also casts to the
+    compute dtype and applies pre_block (models/unet.unet_apply head)."""
+    first = s == 0
+
+    def f(sp, h):
+        if first:
+            h = h.astype(jnp.dtype(cfg.compute_dtype))
+            h = unet._apply_block(sp["pre_block"], h, cfg.conv_impl)
+        skips = []
+        for level in sp["octaves"]:
+            h, inp = unet.octave_down(cfg, level, h)
+            skips.append(inp)
+        return h, tuple(skips)
+
+    return f
+
+
+def _stage_mid_fn(cfg, plan):
+    """Last stage: its band's downs + middle + its band's ups in one program
+    (matches unet_apply's recursion at i+1 == octaves)."""
+    s = len(plan) - 1
+
+    def f(sp, h):
+        skips = []
+        for level in sp["octaves"]:
+            h, inp = unet.octave_down(cfg, level, h)
+            skips.append(inp)
+        h = unet._apply_block(sp["middle"], h, cfg.conv_impl)
+        for level, inp in zip(reversed(sp["octaves"]), reversed(skips)):
+            h = unet.octave_up(cfg, level, h, inp)
+        return h
+
+    return f
+
+
+def _stage_up_fn(cfg, plan, s: int):
+    """(stage_params, h_in, skips) -> h_out for middle stages (0 < s < S-1)."""
+
+    def f(sp, h, skips):
+        for level, inp in zip(reversed(sp["octaves"]), reversed(skips)):
+            h = unet.octave_up(cfg, level, h, inp)
+        return h
+
+    return f
+
+
+def _stage_loss_fn(cfg, plan):
+    """Stage 0's ascent + head + loss: (p0, h, skips, target, pred_scale, t)
+    -> scalar fp32 loss (mean over the microbatch) — the exact tail of
+    trainer.diffusion_loss."""
+
+    def f(sp, h, skips, target, pred_scale, t_b):
+        for level, inp in zip(reversed(sp["octaves"]), reversed(skips)):
+            h = unet.octave_up(cfg, level, h, inp)
+        pred = unet.unet_head(cfg, sp, h, t_b)
+        prediction = pred.astype(jnp.float32) * pred_scale
+        return trainer_lib.compute_loss(cfg, target, prediction)
+
+    return f
+
+
+# ------------------------------------------------------------------- trainer
+
+
+def _validate(cfg) -> None:
+    if cfg.pipeline_stages < 2:
+        raise ValueError("PipelineTrainer needs pipeline_stages >= 2")
+    if cfg.num_classes > 0:
+        raise ValueError("pipeline parallelism supports the unconditional "
+                         "Denoiser only (num_classes == 0)")
+    if cfg.mesh_model != 1 or cfg.mesh_slice != 1:
+        raise ValueError("pipeline_stages > 1 composes with neither TP nor "
+                         "multi-slice meshes (mesh_model = mesh_slice = 1)")
+    if cfg.zero1:
+        raise ValueError("pipeline_stages > 1 already partitions optimizer "
+                         "state by stage; zero1 is unsupported")
+    if cfg.grad_accum > 1:
+        raise ValueError("pipeline microbatching IS gradient accumulation; "
+                         "use pipeline_microbatches, not grad_accum")
+    if cfg.dynamic_loss_scale or cfg.loss_scale > 0:
+        raise ValueError("loss scaling is unsupported on the pipeline path "
+                         "(bf16 on TPU needs none)")
+    m = cfg.pipeline_microbatches or cfg.pipeline_stages
+    if cfg.batch_size % m != 0:
+        raise ValueError(
+            f"batch_size={cfg.batch_size} not divisible by "
+            f"pipeline_microbatches={m}"
+        )
+
+
+class PipelineTrainer:
+    """Owns the stage plan, per-stage jitted programs, and devices.
+
+    ``step(state, batch, rng) -> (state, loss)`` with the single-device
+    train-step semantics; ``state`` is a standard TrainState whose leaves
+    live on the stage devices (use :meth:`place_state` after a restore and
+    :meth:`gather_params` before feeding params to an eval/sampler jit)."""
+
+    def __init__(self, cfg, devices: Sequence[Any] | None = None):
+        cfg.validate()
+        _validate(cfg)
+        self.cfg = cfg
+        self.n_stages = cfg.pipeline_stages
+        self.n_micro = cfg.pipeline_microbatches or cfg.pipeline_stages
+        self.plan = plan_stages(cfg, self.n_stages)
+        devices = list(devices if devices is not None else jax.devices())
+        if len(devices) < self.n_stages:
+            raise ValueError(
+                f"pipeline_stages={self.n_stages} needs that many devices, "
+                f"have {len(devices)}"
+            )
+        self.devices = devices[: self.n_stages]
+        self.optimizer = trainer_lib.make_optimizer(cfg)
+        self._params_treedef = jax.tree_util.tree_structure(
+            jax.eval_shape(lambda r: trainer_lib.init_state(cfg, r),
+                           jax.random.PRNGKey(0)).params
+        )
+
+        S = self.n_stages
+        self._prep = jax.jit(self._prep_fn)
+        self._down = [jax.jit(_stage_down_fn(cfg, self.plan, s))
+                      for s in range(S - 1)]
+        self._mid = jax.jit(_stage_mid_fn(cfg, self.plan))
+        self._up = [jax.jit(_stage_up_fn(cfg, self.plan, s))
+                    for s in range(S - 1)]  # index 0 unused (loss fn instead)
+        loss_f = _stage_loss_fn(cfg, self.plan)
+        self._loss = jax.jit(loss_f)
+
+        def bwd_loss(sp, h, skips, target, pred_scale, t_b, ct):
+            _, vjp = jax.vjp(
+                lambda p, hh, ss: loss_f(p, hh, ss, target, pred_scale, t_b),
+                sp, h, skips,
+            )
+            return vjp(ct)
+
+        self._bwd_loss = jax.jit(bwd_loss)
+
+        def make_bwd_up(s):
+            f = _stage_up_fn(cfg, self.plan, s)
+
+            def bwd(sp, h, skips, ct):
+                _, vjp = jax.vjp(f, sp, h, skips)
+                return vjp(ct)
+
+            return jax.jit(bwd)
+
+        self._bwd_up = [make_bwd_up(s) if s > 0 else None for s in range(S - 1)]
+
+        mid_f = _stage_mid_fn(cfg, self.plan)
+
+        def bwd_mid(sp, h, ct):
+            _, vjp = jax.vjp(mid_f, sp, h)
+            return vjp(ct)
+
+        self._bwd_mid = jax.jit(bwd_mid)
+
+        def make_bwd_down(s):
+            f = _stage_down_fn(cfg, self.plan, s)
+
+            def bwd(sp, x, ct_h, ct_skips):
+                _, vjp = jax.vjp(f, sp, x)
+                return vjp((ct_h, ct_skips))
+
+            return jax.jit(bwd)
+
+        self._bwd_down = [make_bwd_down(s) for s in range(S - 1)]
+
+        self._acc = jax.jit(
+            lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+        )
+
+        def update(p, o, g):
+            updates, new_o = self.optimizer.update(g, o, p)
+            import optax
+
+            return optax.apply_updates(p, updates), new_o
+
+        self._update = jax.jit(update)
+        d = cfg.ema_decay
+        self._ema_blend = jax.jit(
+            lambda e, p: jax.tree_util.tree_map(
+                lambda ee, pp: ee * d + pp * (1.0 - d), e, p
+            )
+        )
+
+    # ------------------------------------------------------------- placement
+    def _leaf_device(self):
+        """params-structured tree of stage devices (which device owns which
+        leaf), for place_state."""
+        plan, devs = self.plan, self.devices
+
+        def stage_of_octave(i):
+            for s, (lo, hi) in enumerate(plan):
+                if lo <= i < hi:
+                    return s
+            raise AssertionError(i)
+
+        return stage_of_octave
+
+    def place_params_like(self, tree):
+        """Place a params-structured tree's leaves onto their stage devices."""
+        out = dict(tree)
+        stage_of = self._leaf_device()
+        out["pre_block"] = jax.device_put(tree["pre_block"], self.devices[0])
+        out["post_block"] = jax.device_put(tree["post_block"], self.devices[0])
+        out["head"] = jax.device_put(tree["head"], self.devices[0])
+        out["middle"] = jax.device_put(tree["middle"], self.devices[-1])
+        out["octaves"] = [
+            jax.device_put(lvl, self.devices[stage_of(i)])
+            for i, lvl in enumerate(tree["octaves"])
+        ]
+        return out
+
+    def place_state(self, state: trainer_lib.TrainState) -> trainer_lib.TrainState:
+        """Place every TrainState leaf on its owning stage device — params,
+        EMA, and each params-structured subtree of the optax state; scalars
+        (step, Adam count) live on stage-0's device."""
+        dev0 = self.devices[0]
+        opt = _rewrite_state(
+            state.opt_state,
+            self._params_treedef,
+            self.place_params_like,
+            lambda leaf: jax.device_put(leaf, dev0),
+        )
+        ema = (
+            self.place_params_like(state.ema_params)
+            if state.ema_params is not None
+            else None
+        )
+        return trainer_lib.TrainState(
+            jax.device_put(state.step, dev0),
+            self.place_params_like(state.params),
+            opt,
+            ema,
+            state.scale_state,
+        )
+
+    def init_state(self, rng) -> trainer_lib.TrainState:
+        return self.place_state(trainer_lib.init_state(self.cfg, rng))
+
+    def gather_params(self, tree, device=None):
+        """Copy a params-structured tree onto one device (for eval/sampler
+        jits, which need co-located inputs)."""
+        return jax.device_put(tree, device or self.devices[0])
+
+    # ------------------------------------------------------------------ prep
+    def _prep_fn(self, batch, rng, step):
+        """Full-batch (t, ε) draws + forward diffusion + target, with the
+        exact fold/split order of trainer.train_step/diffusion_loss so the
+        pipeline step is value-identical to the single-device step."""
+        cfg = self.cfg
+        rng = jax.random.fold_in(rng, step)
+        if batch.dtype == jnp.uint8:
+            from ..data import device_augment
+
+            rng, rng_aug = jax.random.split(rng)
+            batch = device_augment.augment_batch(batch, rng_aug, size=cfg.size)
+        rng_t, rng_eps = jax.random.split(rng)
+        b = batch.shape[0]
+        t_int = jax.random.randint(rng_t, (b, 1, 1, 1), 1, cfg.steps + 1)
+        t = t_int.astype(batch.dtype)
+        use_fused = (
+            cfg.fused_diffusion
+            and cfg.parameterization == "x"
+            and jax.default_backend() == "tpu"
+            and (batch.shape[1] * batch.shape[2] * batch.shape[3]) % 128 == 0
+        )
+        if use_fused:
+            from ..ops import kernels
+
+            noised = kernels.forward_diffuse_fused(cfg, batch, t, rng_eps)
+            target, pred_scale = batch, 1.0  # parameterization "x"
+        else:
+            epsilon = jax.random.normal(rng_eps, batch.shape, batch.dtype)
+            noised = diffusion.forward_diffuse(cfg, batch, epsilon, t)
+            target, pred_scale = diffusion.training_target(cfg, batch, epsilon, t)
+        return (
+            noised,
+            target.astype(jnp.float32),
+            jnp.asarray(pred_scale, jnp.float32),
+            t_int[:, 0, 0, 0],
+        )
+
+    # ------------------------------------------------------------------ step
+    def step(self, state: trainer_lib.TrainState, batch, rng):
+        cfg = self.cfg
+        S, M = self.n_stages, self.n_micro
+        devs = self.devices
+        plan = self.plan
+        if isinstance(batch, dict):
+            batch = batch["image"]
+        # normalise input placement: callers may hand a mesh-sharded or
+        # differently-placed batch; the prep program runs on stage 0
+        batch = jax.device_put(batch, devs[0])
+
+        p = [tree_stage_view(plan, state.params, s) for s in range(S)]
+
+        noised, target, pred_scale, t_b = self._prep(batch, rng, state.step)
+        mb = noised.shape[0] // M
+
+        def sl(x, m):
+            return x[m * mb : (m + 1) * mb] if x.ndim >= 1 else x
+
+        # ---- forward: dispatch every microbatch's chain back-to-back; the
+        # async runtime overlaps stage s of microbatch m with stage s+1 of
+        # microbatch m-1 (fill-drain pipelining without an explicit schedule)
+        x_in = [[None] * S for _ in range(M)]   # down-stage inputs (stashed)
+        skips = [[None] * S for _ in range(M)]  # stage-local skips (stashed)
+        h_up_in = [[None] * S for _ in range(M)]  # up-stage inputs (stashed)
+        losses = []
+        for m in range(M):
+            h = sl(noised, m)
+            for s in range(S - 1):
+                x_in[m][s] = h
+                h, sk = self._down[s](p[s], h)
+                skips[m][s] = sk
+                h = jax.device_put(h, devs[s + 1])
+            x_in[m][S - 1] = h
+            h = self._mid(p[S - 1], h)
+            for s in range(S - 2, 0, -1):
+                h = jax.device_put(h, devs[s])
+                h_up_in[m][s] = h
+                h = self._up[s](p[s], h, skips[m][s])
+            h = jax.device_put(h, devs[0])
+            h_up_in[m][0] = h
+            losses.append(
+                self._loss(p[0], h, skips[m][0], sl(target, m),
+                           sl(pred_scale, m), sl(t_b, m))
+            )
+
+        # ---- backward (reverse microbatch order drains the pipeline);
+        # each stage recomputes its forward inside the jitted VJP
+        ct = jnp.full((), 1.0 / M, jnp.float32)
+        g = [None] * S
+        for m in range(M - 1, -1, -1):
+            pg, h_ct, sk_ct = self._bwd_loss(
+                p[0], h_up_in[m][0], skips[m][0], sl(target, m),
+                sl(pred_scale, m), sl(t_b, m), jax.device_put(ct, devs[0]),
+            )
+            g[0] = pg if g[0] is None else self._acc(g[0], pg)
+            skips_ct = [None] * S
+            skips_ct[0] = sk_ct
+            for s in range(1, S - 1):
+                h_ct = jax.device_put(h_ct, devs[s])
+                pg, h_ct, sk_ct = self._bwd_up[s](
+                    p[s], h_up_in[m][s], skips[m][s], h_ct
+                )
+                g[s] = pg if g[s] is None else self._acc(g[s], pg)
+                skips_ct[s] = sk_ct
+            h_ct = jax.device_put(h_ct, devs[S - 1])
+            pg, h_ct = self._bwd_mid(p[S - 1], x_in[m][S - 1], h_ct)
+            g[S - 1] = pg if g[S - 1] is None else self._acc(g[S - 1], pg)
+            for s in range(S - 2, -1, -1):
+                h_ct = jax.device_put(h_ct, devs[s])
+                pg, h_ct = self._bwd_down[s](
+                    p[s], x_in[m][s], h_ct, skips_ct[s]
+                )
+                g[s] = self._acc(g[s], pg)
+
+        # ---- per-stage optimizer update (scalar opt leaves hop to the stage)
+        new_params_full = state.params
+        new_opt_full = state.opt_state
+        ema_full = state.ema_params
+        for s in range(S):
+            opt_s = _rewrite_state(
+                state.opt_state,
+                self._params_treedef,
+                lambda tr, s=s: tree_stage_view(plan, tr, s),
+                lambda leaf, s=s: jax.device_put(leaf, devs[s]),
+            )
+            new_p, new_o = self._update(p[s], opt_s, g[s])
+            new_params_full = tree_stage_merge(plan, new_params_full, s, new_p)
+            # write back: params-shaped subtrees take the stage's leaves;
+            # scalar leaves (counts) advanced identically on every stage —
+            # keep stage 0's copy (it lives on the state's scalar device)
+            new_opt_full = _merge_opt(
+                new_opt_full, new_o, plan, s, self._params_treedef,
+                take_scalar=(s == 0),
+            )
+            if ema_full is not None:
+                e_s = tree_stage_view(plan, ema_full, s)
+                e_new = self._ema_blend(e_s, new_p)
+                ema_full = tree_stage_merge(plan, ema_full, s, e_new)
+
+        loss = losses[0]
+        for l in losses[1:]:
+            loss = loss + l
+        loss = loss / M
+        new_state = trainer_lib.TrainState(
+            state.step + 1, new_params_full, new_opt_full, ema_full, None
+        )
+        return new_state, loss
+
+
+def _merge_opt(full, stage, plan, s, params_treedef, take_scalar):
+    """Merge a stage's updated optax state back into the full state: every
+    params-structured subtree gets the stage's leaves via tree_stage_merge;
+    scalar leaves (step counts) are taken from stage 0 only (all stages
+    advance them identically)."""
+    if _params_structured(full, params_treedef):
+        # `stage` here is the matching stage-view subtree
+        return tree_stage_merge(plan, full, s, stage)
+    if isinstance(full, tuple) and hasattr(full, "_fields"):
+        return type(full)(
+            *[
+                _merge_opt(f, g, plan, s, params_treedef, take_scalar)
+                for f, g in zip(full, stage)
+            ]
+        )
+    if isinstance(full, (tuple, list)):
+        return type(full)(
+            _merge_opt(f, g, plan, s, params_treedef, take_scalar)
+            for f, g in zip(full, stage)
+        )
+    if isinstance(full, dict):
+        return {
+            k: _merge_opt(full[k], stage[k], plan, s, params_treedef, take_scalar)
+            for k in full
+        }
+    return stage if take_scalar else full

@@ -29,17 +29,41 @@ class Runner(ResilientRunnerMixin):
 
     def __init__(self, cfg: Config, dataset=None, log_dir: Optional[str] = None):
         self.cfg = cfg.validate()
-        self.mesh = mesh_lib.make_mesh(cfg)
+        # pipeline parallelism (parallel/pipeline.py): stage devices are
+        # owned by the PipelineTrainer; the mesh collapses to stage-0's
+        # device (eval/sampler jits and batch staging run there)
+        self._pipeline = None
+        if cfg.pipeline_stages > 1:
+            from ..parallel import pipeline as pipeline_lib
+
+            self._pipeline = pipeline_lib.PipelineTrainer(cfg)
+            self.mesh = mesh_lib.make_mesh(
+                devices=self._pipeline.devices[:1], data=1, model=1
+            )
+        else:
+            self.mesh = mesh_lib.make_mesh(cfg)
         # pod runs: every process computes (collectives must stay aligned),
         # but exactly ONE writes checkpoints/events/config.json
         self._is_coordinator = multihost.is_coordinator()
         self.rng = jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(self.rng)
-        self.state = mesh_lib.init_sharded_state(cfg, self.mesh, init_rng)
+        if self._pipeline is not None:
+            self.state = self._pipeline.init_state(init_rng)
+        else:
+            self.state = mesh_lib.init_sharded_state(cfg, self.mesh, init_rng)
         # resume if a checkpoint exists (new capability vs reference)
         if cfg.checkpoint_dir and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None:
             self.state = ckpt_lib.restore(cfg.checkpoint_dir, self.state)
-        self.train_step = mesh_lib.make_parallel_train_step(cfg, self.mesh)
+            if self._pipeline is not None:
+                # restored leaves land on the default device; re-place them
+                # onto their stage devices (checkpoints are interchangeable
+                # between the pipeline and single-device paths)
+                self.state = self._pipeline.place_state(self.state)
+        self.train_step = (
+            self._pipeline.step
+            if self._pipeline is not None
+            else mesh_lib.make_parallel_train_step(cfg, self.mesh)
+        )
         self.eval_fn = mesh_lib.make_parallel_eval_fn(cfg, self.mesh)
 
         # held-out eval split (FID hygiene, same as GANRunner): when the
@@ -116,6 +140,9 @@ class Runner(ResilientRunnerMixin):
             if self.state.ema_params is not None
             else self.state.params
         )
+        if self._pipeline is not None:
+            # stage-scattered leaves -> one device for the eval jit
+            params = self._pipeline.gather_params(params)
         out = self.eval_fn(
             params, self.example_image, self.noise_bank, self.dictionary
         )
@@ -153,6 +180,8 @@ class Runner(ResilientRunnerMixin):
                 if self.state.ema_params is not None
                 else self.state.params
             )
+        if self._pipeline is not None:
+            params = self._pipeline.gather_params(params)
         self.rng, sub = jax.random.split(self.rng)
         init = jax.random.normal(sub, (n, cfg.size, cfg.size, 3), jnp.float32)
         samples = np.asarray(sampler.sample(cfg, params, init).images)
