@@ -86,7 +86,8 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="command", required=True)
 
     for cmd in ("train", "gan-train", "cgan-train", "sample", "edit", "bench",
-                "serve", "build-cache", "export-weights", "eval", "profile"):
+                "serve", "build-cache", "export-weights", "eval", "profile",
+                "distill"):
         p = sub.add_parser(cmd)
         p.add_argument("--config", type=str, default=None, help="config JSON")
         p.add_argument(
@@ -168,6 +169,22 @@ def main(argv=None):
                 help="where the raw trace lands (kept for TensorBoard/"
                 "Perfetto/XProf; default: a fresh temp dir)",
             )
+        if cmd == "distill":
+            p.add_argument(
+                "--out", type=str, required=True,
+                help="directory for the distilled student checkpoint "
+                "(its config.json carries the doubled sample_stride, so "
+                "sample/serve/eval pick the fast schedule up automatically)",
+            )
+            p.add_argument(
+                "--target-stride", type=int, default=None,
+                help="final sample_stride (teacher stride · 2^k); default: "
+                "one halving round, 2 · the teacher's stride",
+            )
+            p.add_argument(
+                "--distill-steps", type=int, default=2000,
+                help="optimizer steps per halving round",
+            )
         if cmd == "serve":
             p.add_argument("--host", type=str, default="127.0.0.1")
             p.add_argument("--port", type=int, default=8080)
@@ -212,7 +229,7 @@ def main(argv=None):
     cfg = config_from_args(
         args,
         checkpoint_config=args.command
-        in ("sample", "edit", "serve", "export-weights", "eval"),
+        in ("sample", "edit", "serve", "export-weights", "eval", "distill"),
     )
 
     if args.command == "train":
@@ -256,6 +273,9 @@ def main(argv=None):
 
     if args.command == "sample":
         return _sample(cfg, args)
+
+    if args.command == "distill":
+        return _distill(cfg, args)
 
     if args.command == "edit":
         return _edit(cfg, args)
@@ -375,6 +395,57 @@ def _sample(cfg: Config, args) -> int:
         arr = np.clip((img * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
         Image.fromarray(arr).save(os.path.join(args.out, f"sample_{i}.png"))
     print(f"wrote {len(images)} samples to {args.out}")
+    return 0
+
+
+def _distill(cfg: Config, args) -> int:
+    """Progressive sampler distillation (train/distill.py): halve the
+    reverse-diffusion step count per round and write a drop-in student
+    checkpoint whose config.json carries the final sample_stride."""
+    import jax
+
+    from .data import pipeline as data_pipeline
+    from .train import distill as distill_lib
+    from .train import trainer as trainer_lib
+    from .utils import checkpoint as ckpt_lib
+
+    if not (
+        cfg.checkpoint_dir
+        and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None
+    ):
+        raise SystemExit(
+            f"no checkpoint found in {cfg.checkpoint_dir!r} "
+            "(distillation needs a trained teacher)"
+        )
+    state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
+    state = ckpt_lib.restore(cfg.checkpoint_dir, state)
+    teacher = state.ema_params if state.ema_params is not None else state.params
+
+    target = args.target_stride or 2 * max(cfg.sample_stride, 1)
+    dsets = data_pipeline.make_datasets(cfg)
+    try:
+        data_iter = data_pipeline.device_iterator(dsets[0])
+        params, stride = distill_lib.progressive_distill(
+            cfg, teacher, data_iter, target, args.distill_steps
+        )
+    finally:
+        for d in dsets:
+            if hasattr(d, "close"):
+                d.close()
+
+    student_cfg = cfg.replace(sample_stride=stride, checkpoint_dir=args.out)
+    out_state = state._replace(
+        params=params,
+        ema_params=params if state.ema_params is not None else None,
+    )
+    path = ckpt_lib.save(args.out, out_state, student_cfg)
+    print(
+        f"wrote distilled student (sample_stride={stride}, "
+        f"{len(distill_lib.student_grid(student_cfg, stride))} sampler steps "
+        f"vs the teacher's "
+        f"{len(distill_lib.student_grid(cfg, max(cfg.sample_stride, 1)))}) "
+        f"to {path}"
+    )
     return 0
 
 

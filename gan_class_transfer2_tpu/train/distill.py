@@ -1,0 +1,223 @@
+"""Progressive sampler distillation — halve reverse-diffusion steps.
+
+The serving/eval cost of this framework is dominated by the T-step sampler
+(SURVEY §3.4: 401 denoiser calls per epoch; ~15.6 img/s at T=200 on a v5e
+chip). ``cfg.sample_stride`` already trades steps for quality mechanically;
+this module makes the trade *free*: train a student to land in ONE stride-2s
+step exactly where the teacher lands in TWO stride-s steps (progressive
+distillation, Salimans & Ho 2022 — adapted to the reference's sampler
+algebra). Repeating k rounds gives a model whose ``sample_stride = 2^k``
+samples match the original stride-1 trajectory, at 1/2^k the denoiser calls.
+
+Derivation (x-parameterization, the reference's active default,
+train.py:29,243-244): the sampler state update (core/diffusion.step_update)
+is deterministic — from latent z_t and prediction x̂,
+
+    x_θ = x̂,  ε_θ = (z_t − √ᾱ(t)·x̂) / √(1−ᾱ(t)),
+
+and the next latent is z_{t'} = √ᾱ(t')·x_θ + √(1−ᾱ(t'))·ε_θ (renoise).
+Let the teacher take two stride-s steps from z_t: t → t−s → arriving state
+(x₂, ε₂), whose latent at t'' = t−2s is z'' = renoise(x₂, ε₂, t''). The
+single student prediction x̂* that reproduces z'' solves
+
+    √ᾱ''·x̂* + r·(z_t − √ᾱ_t·x̂*) = z'',   r = √(1−ᾱ'')/√(1−ᾱ_t)
+    ⇒  x̂* = (z'' − r·z_t) / (√ᾱ'' − r·√ᾱ_t).
+
+The denominator is positive for this schedule (ᾱ decreases in t, so
+ᾱ'' > ᾱ_t and r < 1). At the grid's final point (t − 2s < 1) the sampler
+returns x_θ directly, so the target is the teacher's final clean estimate.
+Loss: x-space MSE against the stopped-gradient target — the same loss space
+the base trainer uses (trainer.compute_loss, loss="mse").
+
+The distilled model is a drop-in checkpoint: ``config.json`` carries the
+doubled ``sample_stride``, so ``sample``/``serve``/eval pick the fast
+schedule up automatically (cli.config_from_args reads checkpoint configs).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import diffusion
+from ..core.schedule import alpha_dash
+from ..models import api as model_api
+from . import trainer as trainer_lib
+
+
+def _validate(cfg, stride: int) -> None:
+    if cfg.parameterization != "x":
+        raise ValueError(
+            "progressive distillation is derived for the x-parameterization "
+            f"(the reference's active default); got {cfg.parameterization!r}"
+        )
+    if cfg.num_classes > 0:
+        raise ValueError(
+            "distillation currently supports unconditional checkpoints only"
+        )
+    if stride % 2 != 0:
+        raise ValueError(f"student stride must be even, got {stride}")
+    if stride > cfg.steps:
+        raise ValueError(f"stride {stride} exceeds steps T={cfg.steps}")
+
+
+def student_grid(cfg, stride: int) -> np.ndarray:
+    """The student's visit schedule T, T−stride, … (descending) — identical
+    to sampler.sample_timesteps at ``sample_stride=stride``."""
+    return np.arange(cfg.steps, 0, -stride)
+
+
+def distill_target(cfg, teacher_params, z_t, t, stride: int):
+    """The student's x-space regression target at latent ``z_t``, timestep
+    ``t`` (per-sample, (B,1,1,1) float), for a student of ``stride`` (even;
+    the teacher runs at stride/2). Pure teacher computation — wrap in
+    stop_gradient at the loss."""
+    s = stride // 2
+    t_vec = t[:, 0, 0, 0].astype(jnp.int32)
+
+    def call(params, z, tv):
+        return model_api.apply_denoiser(
+            cfg, params, z.astype(jnp.dtype(cfg.compute_dtype)), tv
+        ).astype(jnp.float32)
+
+    # teacher step 1 at t
+    pred1 = call(teacher_params, z_t, t_vec)
+    x1, e1 = diffusion.step_update(cfg, pred1, z_t, None, t)
+    # teacher step 2 at t − s (masked out below when t − s < 1)
+    t_mid = t - s
+    z_mid = diffusion.renoise(cfg, x1, e1, t_mid)
+    pred2 = call(teacher_params, z_mid, t_mid[:, 0, 0, 0].astype(jnp.int32))
+    x2, e2 = diffusion.step_update(cfg, pred2, z_mid, e1, t_mid)
+
+    t2 = t - stride
+    ad_t = alpha_dash(t, cfg.steps, cfg.schedule)
+    ad2 = alpha_dash(t2, cfg.steps, cfg.schedule)
+    r = (1 - ad2) ** 0.5 / (1 - ad_t) ** 0.5
+    z2 = diffusion.renoise(cfg, x2, e2, t2)
+    x_mid_target = (z2 - r * z_t) / (ad2**0.5 - r * ad_t**0.5)
+
+    # terminal handling: the sampler's output is x_θ at the last grid point,
+    # so when the student has no further visit (t − stride < 1) the target is
+    # the teacher's final clean estimate — x₂ when the teacher itself still
+    # visits t − s, else x₁
+    teacher_final = jnp.where(t_mid >= 1, x2, x1)
+    return jnp.where(t2 >= 1, x_mid_target, teacher_final)
+
+
+def distill_loss(cfg, student_params, teacher_params, batch, rng, stride: int):
+    """Draw (t, ε) on the student grid, build z_t from data, regress the
+    student's prediction onto the two-teacher-step target."""
+    rng_t, rng_eps = jax.random.split(rng)
+    b = batch.shape[0]
+    grid = jnp.asarray(student_grid(cfg, stride))
+    idx = jax.random.randint(rng_t, (b,), 0, grid.shape[0])
+    t = grid[idx].reshape(b, 1, 1, 1).astype(jnp.float32)
+    epsilon = jax.random.normal(rng_eps, batch.shape, batch.dtype)
+    z_t = diffusion.forward_diffuse(cfg, batch, epsilon, t)
+
+    target = jax.lax.stop_gradient(
+        distill_target(cfg, teacher_params, z_t, t, stride)
+    )
+    pred = model_api.apply_denoiser(
+        cfg, student_params, z_t.astype(jnp.dtype(cfg.compute_dtype)),
+        t[:, 0, 0, 0].astype(jnp.int32),
+    ).astype(jnp.float32)
+    return trainer_lib.compute_loss(cfg, target, pred)
+
+
+def make_distill_step(cfg, stride: int):
+    """Jitted distillation step: (state, teacher_params, batch, rng) →
+    (state, loss). ``state`` is a standard TrainState (fresh optimizer over
+    the student params); uint8 batches run the on-device augment pipeline
+    exactly like the base train step."""
+    _validate(cfg, stride)
+    optimizer = trainer_lib.make_optimizer(cfg)
+
+    def step(state, teacher_params, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        if batch.dtype == jnp.uint8:
+            from ..data import device_augment
+
+            rng, rng_aug = jax.random.split(rng)
+            batch = device_augment.augment_batch(batch, rng_aug, size=cfg.size)
+        loss, grads = jax.value_and_grad(
+            lambda p: distill_loss(cfg, p, teacher_params, batch, rng, stride)
+        )(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            d = cfg.ema_decay
+            ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p * (1.0 - d), ema, params
+            )
+        return trainer_lib.TrainState(
+            state.step + 1, params, opt_state, ema, state.scale_state
+        ), loss
+
+    donate = (0,) if cfg.donate_state else ()
+    return jax.jit(step, donate_argnums=donate)
+
+
+def distill_round(cfg, teacher_params, data_iter, stride: int,
+                  steps: int, rng, log=print) -> Tuple[dict, float]:
+    """One halving round: student initialised FROM the teacher, trained
+    ``steps`` optimizer steps to stride ``stride``. Returns
+    (student_params, final_loss). Uses EMA params as the round's output when
+    ``cfg.ema_decay > 0``."""
+    state = trainer_lib.TrainState(
+        jnp.zeros((), jnp.int32),
+        jax.tree_util.tree_map(jnp.copy, teacher_params),
+        trainer_lib.make_optimizer(cfg).init(teacher_params),
+        jax.tree_util.tree_map(jnp.copy, teacher_params)
+        if cfg.ema_decay > 0 else None,
+        None,
+    )
+    step_fn = make_distill_step(cfg, stride)
+    loss = float("nan")
+    for i in range(steps):
+        batch = next(data_iter)
+        if isinstance(batch, dict):
+            batch = batch["image"]
+        state, loss_dev = step_fn(state, teacher_params, batch, rng)
+        if i % max(steps // 5, 1) == 0 or i == steps - 1:
+            loss = float(loss_dev)  # synchronising fetch
+            log(f"  distill stride {stride}: step {i + 1}/{steps} "
+                f"loss={loss:.6f}")
+    out = state.ema_params if state.ema_params is not None else state.params
+    return out, loss
+
+
+def progressive_distill(cfg, teacher_params, data_iter, target_stride: int,
+                        steps_per_round: int, rng=None, log=print):
+    """Full schedule: stride doubles each round from 2·sample_stride to
+    ``target_stride``; each round's student becomes the next teacher.
+    Returns (params, final_stride)."""
+    if rng is None:
+        rng = jax.random.PRNGKey(cfg.seed + 101)
+    stride = max(cfg.sample_stride, 1)
+    if target_stride < stride or (target_stride % stride) != 0 or (
+        target_stride // stride
+    ) & (target_stride // stride - 1):
+        raise ValueError(
+            f"target stride {target_stride} is not reachable by doubling "
+            f"from the teacher's sample_stride {stride} "
+            "(must be stride · 2^k)"
+        )
+    if target_stride > cfg.steps:
+        raise ValueError(
+            f"target stride {target_stride} exceeds steps T={cfg.steps}"
+        )
+    params = teacher_params
+    while stride < target_stride:
+        stride *= 2
+        rng, sub = jax.random.split(rng)
+        log(f"distillation round -> stride {stride}")
+        params, loss = distill_round(
+            cfg, params, data_iter, stride, steps_per_round, sub, log=log
+        )
+    return params, stride

@@ -1,0 +1,179 @@
+"""Progressive sampler distillation (train/distill.py).
+
+The load-bearing test is the oracle check: a student whose prediction IS the
+closed-form distillation target must, sampled at stride 2s, reproduce the
+stride-s teacher sampler's output exactly — this pins the target algebra to
+the real sampler recurrence (sample/sampler.py, reference train.py:439-496)
+rather than to the derivation in the module docstring.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_class_transfer2_tpu.config import tiny_test_config
+from gan_class_transfer2_tpu.core import diffusion
+from gan_class_transfer2_tpu.data.pipeline import ArrayDataset, device_iterator
+from gan_class_transfer2_tpu.models import unet
+from gan_class_transfer2_tpu.sample import sampler
+from gan_class_transfer2_tpu.train import distill
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_test_config()  # steps=10, x-parameterization default
+    params = unet.init_unet(jax.random.PRNGKey(0), cfg)
+    r = np.random.default_rng(0)
+    init = jnp.asarray(r.normal(size=(2, cfg.size, cfg.size, 3)), jnp.float32)
+    return cfg, params, init
+
+
+def _oracle_student_sample(cfg, teacher_params, init, stride):
+    """Run the student sampler grid with the CLOSED-FORM target as the
+    student's prediction (a perfectly-distilled student)."""
+    x_theta = epsilon_theta = init
+    b = init.shape[0]
+    for t in distill.student_grid(cfg, stride):
+        t_b = jnp.full((b, 1, 1, 1), float(t), jnp.float32)
+        fake = diffusion.renoise(cfg, x_theta, epsilon_theta, float(t))
+        pred = distill.distill_target(cfg, teacher_params, fake, t_b, stride)
+        x_theta, epsilon_theta = diffusion.step_update(
+            cfg, pred, fake, epsilon_theta, float(t)
+        )
+    return x_theta
+
+
+@pytest.mark.parametrize("teacher_stride", [1, 2])
+def test_oracle_student_matches_teacher_sampler(setup, teacher_stride):
+    """Perfect student at stride 2s == teacher sampler at stride s, exactly
+    (both trajectories are the same deterministic DDIM recurrence)."""
+    cfg, params, init = setup
+    teacher_cfg = cfg.replace(sample_stride=teacher_stride)
+    teacher_out = jax.jit(
+        lambda p, b: sampler.sample(teacher_cfg, p, b).images
+    )(params, init)
+    student_out = _oracle_student_sample(
+        teacher_cfg, params, init, 2 * teacher_stride
+    )
+    np.testing.assert_allclose(
+        np.asarray(student_out), np.asarray(teacher_out), atol=1e-4
+    )
+
+
+def test_distill_round_trains(setup):
+    """A few optimizer steps on the real loss: finite, and the student moves
+    toward the two-step teacher target (loss drops from the self-init)."""
+    cfg, params, _ = setup
+    images = np.random.default_rng(1).integers(
+        0, 256, size=(8, cfg.size, cfg.size, 3), dtype=np.uint8
+    )
+    data_iter = device_iterator(ArrayDataset(images, cfg.batch_size, seed=0))
+
+    # initial loss of the untouched student (== teacher)
+    rng = jax.random.PRNGKey(3)
+    batch0 = next(data_iter).astype(jnp.float32) / 128.0 - 1.0
+    loss0 = float(distill.distill_loss(cfg, params, params, batch0, rng, 2))
+    assert np.isfinite(loss0) and loss0 > 0
+
+    student, loss = distill.distill_round(
+        cfg, params, data_iter, stride=2, steps=8, rng=rng, log=lambda *_: None
+    )
+    assert np.isfinite(loss)
+    assert jax.tree_util.tree_structure(student) == jax.tree_util.tree_structure(
+        params
+    )
+    # the student must actually have moved
+    moved = jax.tree_util.tree_reduce(
+        lambda acc, pair: acc + float(jnp.abs(pair).sum()),
+        jax.tree_util.tree_map(lambda a, b: a - b, student, params),
+        0.0,
+    )
+    assert moved > 0
+
+
+def test_progressive_distill_reaches_target_stride(setup):
+    cfg, params, _ = setup
+    images = np.random.default_rng(2).integers(
+        0, 256, size=(8, cfg.size, cfg.size, 3), dtype=np.uint8
+    )
+    data_iter = device_iterator(ArrayDataset(images, cfg.batch_size, seed=0))
+    student, stride = distill.progressive_distill(
+        cfg, params, data_iter, target_stride=4, steps_per_round=2,
+        log=lambda *_: None,
+    )
+    assert stride == 4
+    assert jax.tree_util.tree_structure(student) == jax.tree_util.tree_structure(
+        params
+    )
+
+
+def test_validation_errors(setup):
+    cfg, params, _ = setup
+    with pytest.raises(ValueError, match="x-parameterization"):
+        distill.make_distill_step(cfg.replace(parameterization="epsilon"), 2)
+    with pytest.raises(ValueError, match="even"):
+        distill.make_distill_step(cfg, 3)
+    with pytest.raises(ValueError, match="exceeds steps"):
+        distill.make_distill_step(cfg, 2 * cfg.steps)
+    with pytest.raises(ValueError, match="unconditional"):
+        distill.make_distill_step(cfg.replace(num_classes=2), 2)
+    with pytest.raises(ValueError, match="not reachable"):
+        distill.progressive_distill(cfg, params, iter([]), target_stride=6,
+                                    steps_per_round=1)
+    with pytest.raises(ValueError, match="not reachable"):
+        distill.progressive_distill(
+            cfg.replace(sample_stride=4), params, iter([]), target_stride=2,
+            steps_per_round=1,
+        )
+
+
+def test_cli_distill_roundtrip(tmp_path):
+    """train -> distill -> sample: the student checkpoint is a drop-in whose
+    config.json carries the doubled sample_stride."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from gan_class_transfer2_tpu import cli
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    r = np.random.default_rng(0)
+    for i in range(6):
+        Image.fromarray(
+            r.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+        ).save(str(data_dir / f"img_{i}.png"))
+
+    common = [
+        "--platform", "cpu", "--dataset-pattern", str(data_dir / "*.png"),
+        "--size", "16", "--pixel-size", "4", "--max-size", "8",
+        "--octaves", "2", "--steps", "4", "--batch-size", "2",
+        "--fused-diffusion", "false", "--mesh-data", "1",
+    ]
+    ckpt = str(tmp_path / "teacher")
+    rc = cli.main([
+        "train", *common, "--steps-per-epoch", "2", "--epochs", "1",
+        "--warm-up", "2", "--test-step", "2", "--checkpoint-every", "2",
+        "--log-dir", str(tmp_path / "logs"), "--checkpoint-dir", ckpt,
+    ])
+    assert rc == 0
+
+    student = str(tmp_path / "student")
+    rc = cli.main([
+        "distill", "--platform", "cpu", "--checkpoint-dir", ckpt,
+        "--out", student, "--target-stride", "2", "--distill-steps", "2",
+    ])
+    assert rc == 0
+    saved = json.loads((tmp_path / "student" / "config.json").read_text())
+    assert saved["sample_stride"] == 2
+    assert saved["checkpoint_dir"] == student
+
+    out = str(tmp_path / "samples")
+    rc = cli.main([
+        "sample", "--platform", "cpu", "--checkpoint-dir", student,
+        "--out", out, "--num", "2",
+    ])
+    assert rc == 0
+    assert sorted(os.listdir(out)) == ["sample_0.png", "sample_1.png"]
