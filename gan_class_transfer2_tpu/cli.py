@@ -424,7 +424,13 @@ def _distill(cfg: Config, args) -> int:
     target = args.target_stride or 2 * max(cfg.sample_stride, 1)
     dsets = data_pipeline.make_datasets(cfg)
     try:
-        data_iter = data_pipeline.device_iterator(dsets[0])
+        # class-conditional checkpoints distill on labeled round-robin
+        # batches, mirroring the training Runner (train/loop.py)
+        dataset = (
+            data_pipeline.LabeledDataset(dsets)
+            if cfg.num_classes > 0 else dsets[0]
+        )
+        data_iter = data_pipeline.device_iterator(dataset)
         params, stride = distill_lib.progressive_distill(
             cfg, teacher, data_iter, target, args.distill_steps
         )

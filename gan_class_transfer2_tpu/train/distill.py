@@ -26,8 +26,20 @@ single student prediction x̂* that reproduces z'' solves
 The denominator is positive for this schedule (ᾱ decreases in t, so
 ᾱ'' > ᾱ_t and r < 1). At the grid's final point (t − 2s < 1) the sampler
 returns x_θ directly, so the target is the teacher's final clean estimate.
-Loss: x-space MSE against the stopped-gradient target — the same loss space
-the base trainer uses (trainer.compute_loss, loss="mse").
+
+The same closed form covers the ε and scaled-ε parameterizations: their
+sampler update (step_update) maps the prediction to a state pair on the
+same line √ᾱ_t·x_θ + √(1−ᾱ_t)·ε_θ = z_t, so the x-space solution x̂* is
+parameterization-independent and the regression target is its image in the
+model's prediction space — ε̂* = (z_t − √ᾱ_t·x̂*)/√(1−ᾱ_t), scaled by
+√(1−ᾱ_t) for scaled-ε. Only the ODE mode is excluded: its recurrence
+carries a stale ε_θ (a faithful reference quirk), so the trajectory is not
+a function of the current latent alone. Class-conditional checkpoints
+distill by threading the batch's labels through teacher and student alike.
+
+Loss: prediction-space MSE against the stopped-gradient target — the same
+loss space the base trainer uses (trainer.compute_loss, loss="mse"),
+including the prediction_weighting √(1−ᾱ) factor when configured.
 
 The distilled model is a drop-in checkpoint: ``config.json`` carries the
 doubled ``sample_stride``, so ``sample``/``serve``/eval pick the fast
@@ -50,14 +62,13 @@ from . import trainer as trainer_lib
 
 
 def _validate(cfg, stride: int) -> None:
-    if cfg.parameterization != "x":
+    if cfg.parameterization == "ode":
         raise ValueError(
-            "progressive distillation is derived for the x-parameterization "
-            f"(the reference's active default); got {cfg.parameterization!r}"
-        )
-    if cfg.num_classes > 0:
-        raise ValueError(
-            "distillation currently supports unconditional checkpoints only"
+            "progressive distillation does not support the ODE "
+            "parameterization: its sampler recurrence carries a stale "
+            "epsilon_theta (core/diffusion.step_update, reference "
+            "train.py:392,462), so the trajectory is not a function of the "
+            "current latent alone and the one-step target is ill-defined"
         )
     if stride % 2 != 0:
         raise ValueError(f"student stride must be even, got {stride}")
@@ -71,17 +82,19 @@ def student_grid(cfg, stride: int) -> np.ndarray:
     return np.arange(cfg.steps, 0, -stride)
 
 
-def distill_target(cfg, teacher_params, z_t, t, stride: int):
+def distill_target(cfg, teacher_params, z_t, t, stride: int, class_idx=None):
     """The student's x-space regression target at latent ``z_t``, timestep
     ``t`` (per-sample, (B,1,1,1) float), for a student of ``stride`` (even;
     the teacher runs at stride/2). Pure teacher computation — wrap in
-    stop_gradient at the loss."""
+    stop_gradient at the loss. ``class_idx`` threads through conditional
+    checkpoints (models/api.apply_denoiser)."""
     s = stride // 2
     t_vec = t[:, 0, 0, 0].astype(jnp.int32)
 
     def call(params, z, tv):
         return model_api.apply_denoiser(
-            cfg, params, z.astype(jnp.dtype(cfg.compute_dtype)), tv
+            cfg, params, z.astype(jnp.dtype(cfg.compute_dtype)), tv,
+            class_idx=class_idx,
         ).astype(jnp.float32)
 
     # teacher step 1 at t
@@ -108,9 +121,24 @@ def distill_target(cfg, teacher_params, z_t, t, stride: int):
     return jnp.where(t2 >= 1, x_mid_target, teacher_final)
 
 
-def distill_loss(cfg, student_params, teacher_params, batch, rng, stride: int):
+def x_to_prediction(cfg, x_target, z_t, t):
+    """Map an x-space target to the model's prediction space (the inverse of
+    step_update's prediction → x_θ map at latent ``z_t``, timestep ``t``)."""
+    if cfg.parameterization == "x":
+        return x_target
+    ad = alpha_dash(t, cfg.steps, cfg.schedule)
+    eps = (z_t - ad**0.5 * x_target) / (1 - ad) ** 0.5
+    if cfg.parameterization == "scaled_epsilon":
+        return eps * (1 - ad) ** 0.5
+    return eps  # epsilon
+
+
+def distill_loss(cfg, student_params, teacher_params, batch, rng, stride: int,
+                 class_idx=None):
     """Draw (t, ε) on the student grid, build z_t from data, regress the
-    student's prediction onto the two-teacher-step target."""
+    student's prediction onto the two-teacher-step target (in the model's
+    prediction space, with the trainer's prediction_weighting factor when
+    configured)."""
     rng_t, rng_eps = jax.random.split(rng)
     b = batch.shape[0]
     grid = jnp.asarray(student_grid(cfg, stride))
@@ -119,13 +147,19 @@ def distill_loss(cfg, student_params, teacher_params, batch, rng, stride: int):
     epsilon = jax.random.normal(rng_eps, batch.shape, batch.dtype)
     z_t = diffusion.forward_diffuse(cfg, batch, epsilon, t)
 
-    target = jax.lax.stop_gradient(
-        distill_target(cfg, teacher_params, z_t, t, stride)
+    x_target = jax.lax.stop_gradient(
+        distill_target(cfg, teacher_params, z_t, t, stride, class_idx)
     )
+    target = x_to_prediction(cfg, x_target, z_t, t)
     pred = model_api.apply_denoiser(
         cfg, student_params, z_t.astype(jnp.dtype(cfg.compute_dtype)),
-        t[:, 0, 0, 0].astype(jnp.int32),
+        t[:, 0, 0, 0].astype(jnp.int32), class_idx=class_idx,
     ).astype(jnp.float32)
+    if cfg.prediction_weighting and cfg.parameterization in (
+        "epsilon", "scaled_epsilon"
+    ):
+        w = (1 - alpha_dash(t, cfg.steps, cfg.schedule)) ** 0.5
+        target, pred = target * w, pred * w
     return trainer_lib.compute_loss(cfg, target, pred)
 
 
@@ -139,13 +173,19 @@ def make_distill_step(cfg, stride: int):
 
     def step(state, teacher_params, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
+        label = None
+        if isinstance(batch, dict):
+            label = batch.get("label")
+            batch = batch["image"]
         if batch.dtype == jnp.uint8:
             from ..data import device_augment
 
             rng, rng_aug = jax.random.split(rng)
             batch = device_augment.augment_batch(batch, rng_aug, size=cfg.size)
         loss, grads = jax.value_and_grad(
-            lambda p: distill_loss(cfg, p, teacher_params, batch, rng, stride)
+            lambda p: distill_loss(
+                cfg, p, teacher_params, batch, rng, stride, class_idx=label
+            )
         )(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -181,8 +221,6 @@ def distill_round(cfg, teacher_params, data_iter, stride: int,
     loss = float("nan")
     for i in range(steps):
         batch = next(data_iter)
-        if isinstance(batch, dict):
-            batch = batch["image"]
         state, loss_dev = step_fn(state, teacher_params, batch, rng)
         if i % max(steps // 5, 1) == 0 or i == steps - 1:
             loss = float(loss_dev)  # synchronising fetch

@@ -29,15 +29,19 @@ def setup():
     return cfg, params, init
 
 
-def _oracle_student_sample(cfg, teacher_params, init, stride):
-    """Run the student sampler grid with the CLOSED-FORM target as the
-    student's prediction (a perfectly-distilled student)."""
+def _oracle_student_sample(cfg, teacher_params, init, stride, class_idx=None):
+    """Run the student sampler grid with the CLOSED-FORM target (mapped to
+    the model's prediction space) as the student's prediction — a
+    perfectly-distilled student."""
     x_theta = epsilon_theta = init
     b = init.shape[0]
     for t in distill.student_grid(cfg, stride):
         t_b = jnp.full((b, 1, 1, 1), float(t), jnp.float32)
         fake = diffusion.renoise(cfg, x_theta, epsilon_theta, float(t))
-        pred = distill.distill_target(cfg, teacher_params, fake, t_b, stride)
+        x_target = distill.distill_target(
+            cfg, teacher_params, fake, t_b, stride, class_idx
+        )
+        pred = distill.x_to_prediction(cfg, x_target, fake, t_b)
         x_theta, epsilon_theta = diffusion.step_update(
             cfg, pred, fake, epsilon_theta, float(t)
         )
@@ -58,6 +62,44 @@ def test_oracle_student_matches_teacher_sampler(setup, teacher_stride):
     )
     np.testing.assert_allclose(
         np.asarray(student_out), np.asarray(teacher_out), atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("parameterization", ["epsilon", "scaled_epsilon"])
+def test_oracle_matches_for_epsilon_parameterizations(setup, parameterization):
+    """The x-space closed form is parameterization-independent; mapped into
+    ε/scaled-ε prediction space it must still reproduce the teacher
+    trajectory exactly."""
+    cfg, params, init = setup
+    p_cfg = cfg.replace(parameterization=parameterization, sample_stride=1)
+    teacher_out = jax.jit(
+        lambda p, b: sampler.sample(p_cfg, p, b).images
+    )(params, init)
+    student_out = _oracle_student_sample(p_cfg, params, init, 2)
+    np.testing.assert_allclose(
+        np.asarray(student_out), np.asarray(teacher_out), atol=1e-3
+    )
+
+
+def test_oracle_matches_for_conditional_checkpoint(setup):
+    """Class labels thread through teacher and student alike: the oracle
+    student must reproduce the conditional teacher's per-class trajectory."""
+    cfg, _, init = setup
+    c_cfg = cfg.replace(num_classes=2, sample_stride=1)
+    from gan_class_transfer2_tpu.models import api as model_api
+
+    c_params = model_api.init_denoiser(jax.random.PRNGKey(5), c_cfg)
+    cls = jnp.asarray([0, 1], jnp.int32)
+    teacher_out = jax.jit(
+        lambda p, b: sampler.sample(c_cfg, p, b, class_idx=cls).images
+    )(c_params, init)
+    student_out = _oracle_student_sample(c_cfg, c_params, init, 2, cls)
+    np.testing.assert_allclose(
+        np.asarray(student_out), np.asarray(teacher_out), atol=1e-4
+    )
+    # and the two classes genuinely produce different trajectories
+    assert not np.allclose(
+        np.asarray(teacher_out[0]), np.asarray(teacher_out[1]), atol=1e-3
     )
 
 
@@ -92,6 +134,38 @@ def test_distill_round_trains(setup):
     assert moved > 0
 
 
+def test_distill_round_conditional_labeled_batches(setup):
+    """Conditional checkpoints train on labeled dict batches (the
+    LabeledDataset format, {"image", "label"})."""
+    cfg, _, _ = setup
+    c_cfg = cfg.replace(num_classes=2)
+    from gan_class_transfer2_tpu.models import api as model_api
+
+    params = model_api.init_denoiser(jax.random.PRNGKey(7), c_cfg)
+    r = np.random.default_rng(3)
+
+    def labeled_iter():
+        while True:
+            yield {
+                "image": jnp.asarray(
+                    r.normal(size=(c_cfg.batch_size, c_cfg.size, c_cfg.size, 3)),
+                    jnp.float32,
+                ),
+                "label": jnp.asarray(
+                    r.integers(0, 2, size=(c_cfg.batch_size,)), jnp.int32
+                ),
+            }
+
+    student, loss = distill.distill_round(
+        c_cfg, params, labeled_iter(), stride=2, steps=3,
+        rng=jax.random.PRNGKey(8), log=lambda *_: None,
+    )
+    assert np.isfinite(loss)
+    assert jax.tree_util.tree_structure(student) == jax.tree_util.tree_structure(
+        params
+    )
+
+
 def test_progressive_distill_reaches_target_stride(setup):
     cfg, params, _ = setup
     images = np.random.default_rng(2).integers(
@@ -110,14 +184,12 @@ def test_progressive_distill_reaches_target_stride(setup):
 
 def test_validation_errors(setup):
     cfg, params, _ = setup
-    with pytest.raises(ValueError, match="x-parameterization"):
-        distill.make_distill_step(cfg.replace(parameterization="epsilon"), 2)
+    with pytest.raises(ValueError, match="ODE"):
+        distill.make_distill_step(cfg.replace(parameterization="ode"), 2)
     with pytest.raises(ValueError, match="even"):
         distill.make_distill_step(cfg, 3)
     with pytest.raises(ValueError, match="exceeds steps"):
         distill.make_distill_step(cfg, 2 * cfg.steps)
-    with pytest.raises(ValueError, match="unconditional"):
-        distill.make_distill_step(cfg.replace(num_classes=2), 2)
     with pytest.raises(ValueError, match="not reachable"):
         distill.progressive_distill(cfg, params, iter([]), target_stride=6,
                                     steps_per_round=1)
