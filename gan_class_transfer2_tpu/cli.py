@@ -422,7 +422,19 @@ def _distill(cfg: Config, args) -> int:
     teacher = state.ema_params if state.ema_params is not None else state.params
 
     target = args.target_stride or 2 * max(cfg.sample_stride, 1)
-    dsets = data_pipeline.make_datasets(cfg)
+    # FID hygiene, exactly as the training Runner (train/loop.py): reserve
+    # the fid_samples held-out files per class so a later `gct2 eval` of the
+    # student never scores against images the distillation iterator trained on
+    files_per_class = None
+    if cfg.fid_samples > 0:
+        try:
+            files_per_class = [
+                data_pipeline.held_out_split(p, cfg.fid_samples, seed=cfg.seed + i)[0]
+                for i, p in enumerate(cfg.class_patterns())
+            ]
+        except FileNotFoundError:
+            files_per_class = None  # non-file dataset; make_datasets will raise
+    dsets = data_pipeline.make_datasets(cfg, files_per_class=files_per_class)
     try:
         # class-conditional checkpoints distill on labeled round-robin
         # batches, mirroring the training Runner (train/loop.py)

@@ -55,7 +55,6 @@ from typing import Any, List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..core import diffusion
 from ..models import unet
 from ..train import trainer as trainer_lib
 
@@ -370,6 +369,29 @@ class PipelineTrainer:
             lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
         )
 
+        # global-norm clipping must see the GLOBAL norm, not each stage's
+        # own (the per-stage optimizer's internal clip_by_global_norm would
+        # otherwise clip each sub-tree independently, breaking single-device
+        # parity). Pre-scale all stages by clip/max(global_norm, clip) —
+        # optax's exact factor — after which the per-stage clip is a no-op
+        # (every stage's norm is then <= the clip threshold).
+        clip = cfg.grad_clip_norm
+        self._sqnorm = jax.jit(
+            lambda t: sum(
+                jnp.sum(jnp.square(x))
+                for x in jax.tree_util.tree_leaves(t)
+            )
+        )
+        self._clip_factor = jax.jit(
+            lambda sq: jnp.asarray(clip, jnp.float32)
+            / jnp.maximum(jnp.sqrt(sum(sq)), clip)
+        )
+        self._scale_tree = jax.jit(
+            lambda t, f: jax.tree_util.tree_map(
+                lambda x: x * f.astype(x.dtype), t
+            )
+        )
+
         def update(p, o, g):
             updates, new_o = self.optimizer.update(g, o, p)
             import optax
@@ -446,35 +468,16 @@ class PipelineTrainer:
 
     # ------------------------------------------------------------------ prep
     def _prep_fn(self, batch, rng, step):
-        """Full-batch (t, ε) draws + forward diffusion + target, with the
-        exact fold/split order of trainer.train_step/diffusion_loss so the
-        pipeline step is value-identical to the single-device step."""
+        """Full-batch (t, ε) draws + forward diffusion + target, via the
+        SAME helpers the single-device step uses (trainer.fold_and_augment +
+        trainer.draw_and_diffuse) — sharing them, rather than copying the
+        fold/split order and fused-kernel gating, is what keeps the pipeline
+        step value-identical to the single-device step by construction."""
         cfg = self.cfg
-        rng = jax.random.fold_in(rng, step)
-        if batch.dtype == jnp.uint8:
-            from ..data import device_augment
-
-            rng, rng_aug = jax.random.split(rng)
-            batch = device_augment.augment_batch(batch, rng_aug, size=cfg.size)
-        rng_t, rng_eps = jax.random.split(rng)
-        b = batch.shape[0]
-        t_int = jax.random.randint(rng_t, (b, 1, 1, 1), 1, cfg.steps + 1)
-        t = t_int.astype(batch.dtype)
-        use_fused = (
-            cfg.fused_diffusion
-            and cfg.parameterization == "x"
-            and jax.default_backend() == "tpu"
-            and (batch.shape[1] * batch.shape[2] * batch.shape[3]) % 128 == 0
+        batch, rng = trainer_lib.fold_and_augment(cfg, batch, rng, step)
+        noised, target, pred_scale, t_int = trainer_lib.draw_and_diffuse(
+            cfg, batch, rng
         )
-        if use_fused:
-            from ..ops import kernels
-
-            noised = kernels.forward_diffuse_fused(cfg, batch, t, rng_eps)
-            target, pred_scale = batch, 1.0  # parameterization "x"
-        else:
-            epsilon = jax.random.normal(rng_eps, batch.shape, batch.dtype)
-            noised = diffusion.forward_diffuse(cfg, batch, epsilon, t)
-            target, pred_scale = diffusion.training_target(cfg, batch, epsilon, t)
         return (
             noised,
             target.astype(jnp.float32),
@@ -557,6 +560,17 @@ class PipelineTrainer:
                     p[s], x_in[m][s], h_ct, skips_ct[s]
                 )
                 g[s] = self._acc(g[s], pg)
+
+        # ---- global-norm clip across stages (see __init__ note)
+        if cfg.grad_clip_norm > 0:
+            sq = [
+                jax.device_put(self._sqnorm(g[s]), devs[0]) for s in range(S)
+            ]
+            factor = self._clip_factor(sq)
+            g = [
+                self._scale_tree(g[s], jax.device_put(factor, devs[s]))
+                for s in range(S)
+            ]
 
         # ---- per-stage optimizer update (scalar opt leaves hop to the stage)
         new_params_full = state.params

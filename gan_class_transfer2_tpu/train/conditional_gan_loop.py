@@ -145,10 +145,7 @@ class ConditionalGANRunner(ResilientRunnerMixin):
             cgan.transfer(self.cfg, self.state, jnp.asarray(src_imgs), tgt)
         )
         x = metrics.get_extractor(self.cfg.fid_extractor)
-        return {
-            "fid": metrics.fid(fake, np.asarray(tgt_imgs), extractor=x),
-            "kid": metrics.kid(fake, np.asarray(tgt_imgs), extractor=x),
-        }
+        return metrics.fid_and_kid(fake, np.asarray(tgt_imgs), extractor=x)
 
     def _data_sources(self) -> dict:
         return {"labeled": self.labeled}

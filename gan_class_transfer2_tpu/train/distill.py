@@ -163,6 +163,18 @@ def distill_loss(cfg, student_params, teacher_params, batch, rng, stride: int,
     return trainer_lib.compute_loss(cfg, target, pred)
 
 
+def distill_opt_config(cfg, steps: int):
+    """The distillation round's optimizer schedule: the checkpoint's
+    optimizer and base LR, but warmup capped at steps/10 and a constant
+    (non-decaying) schedule — a fresh warmup ramp or cosine restart sized
+    for the ORIGINAL training run would otherwise consume the whole round
+    (config default warm_up=2000 ≥ the default --distill-steps)."""
+    return cfg.replace(
+        warm_up=min(cfg.warm_up, max(steps // 10, 1)),
+        lr_schedule="warmup",  # linear ramp then constant at base LR
+    )
+
+
 def make_distill_step(cfg, stride: int):
     """Jitted distillation step: (state, teacher_params, batch, rng) →
     (state, loss). ``state`` is a standard TrainState (fresh optimizer over
@@ -172,16 +184,11 @@ def make_distill_step(cfg, stride: int):
     optimizer = trainer_lib.make_optimizer(cfg)
 
     def step(state, teacher_params, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
+        batch, rng = trainer_lib.fold_and_augment(cfg, batch, rng, state.step)
         label = None
         if isinstance(batch, dict):
             label = batch.get("label")
             batch = batch["image"]
-        if batch.dtype == jnp.uint8:
-            from ..data import device_augment
-
-            rng, rng_aug = jax.random.split(rng)
-            batch = device_augment.augment_batch(batch, rng_aug, size=cfg.size)
         loss, grads = jax.value_and_grad(
             lambda p: distill_loss(
                 cfg, p, teacher_params, batch, rng, stride, class_idx=label
@@ -192,9 +199,19 @@ def make_distill_step(cfg, stride: int):
         ema = state.ema_params
         if ema is not None:
             d = cfg.ema_decay
-            ema = jax.tree_util.tree_map(
+            blended = jax.tree_util.tree_map(
                 lambda e, p: e * d + p * (1.0 - d), ema, params
             )
+            if cfg.grad_accum > 1:
+                # blend only when MultiSteps actually applied an update
+                # (mini_step wrapped to 0) — same gate as trainer.train_step;
+                # no-op micro-steps would decay EMA toward unchanged params
+                applied = opt_state.mini_step == 0
+                ema = jax.tree_util.tree_map(
+                    lambda b, e: jnp.where(applied, b, e), blended, ema
+                )
+            else:
+                ema = blended
         return trainer_lib.TrainState(
             state.step + 1, params, opt_state, ema, state.scale_state
         ), loss
@@ -208,16 +225,18 @@ def distill_round(cfg, teacher_params, data_iter, stride: int,
     """One halving round: student initialised FROM the teacher, trained
     ``steps`` optimizer steps to stride ``stride``. Returns
     (student_params, final_loss). Uses EMA params as the round's output when
-    ``cfg.ema_decay > 0``."""
+    ``cfg.ema_decay > 0``. The optimizer runs on the round-sized schedule of
+    :func:`distill_opt_config` (constant LR, warmup ≤ steps/10)."""
+    opt_cfg = distill_opt_config(cfg, steps)
     state = trainer_lib.TrainState(
         jnp.zeros((), jnp.int32),
         jax.tree_util.tree_map(jnp.copy, teacher_params),
-        trainer_lib.make_optimizer(cfg).init(teacher_params),
+        trainer_lib.make_optimizer(opt_cfg).init(teacher_params),
         jax.tree_util.tree_map(jnp.copy, teacher_params)
         if cfg.ema_decay > 0 else None,
         None,
     )
-    step_fn = make_distill_step(cfg, stride)
+    step_fn = make_distill_step(opt_cfg, stride)
     loss = float("nan")
     for i in range(steps):
         batch = next(data_iter)

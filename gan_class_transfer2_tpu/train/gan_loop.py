@@ -159,10 +159,7 @@ class GANRunner(ResilientRunnerMixin):
         tgt = self._eval_set("b" if direction == "ab" else "a")
         fake = np.asarray(gan.transfer(self.cfg, self.state, jnp.asarray(src), direction))
         x = metrics.get_extractor(self.cfg.fid_extractor)
-        return {
-            "fid": metrics.fid(fake, tgt, extractor=x),
-            "kid": metrics.kid(fake, tgt, extractor=x),
-        }
+        return metrics.fid_and_kid(fake, tgt, extractor=x)
 
     def fit(self, epochs: Optional[int] = None, steps_per_epoch: Optional[int] = None,
             log_samples: bool = True):

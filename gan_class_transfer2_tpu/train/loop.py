@@ -187,10 +187,7 @@ class Runner(ResilientRunnerMixin):
         samples = np.asarray(sampler.sample(cfg, params, init).images)
         ref = self._fid_reference_set(n)
         x = metrics.get_extractor(cfg.fid_extractor)
-        return {
-            "fid": metrics.fid(samples, ref, extractor=x),
-            "kid": metrics.kid(samples, ref, extractor=x),
-        }
+        return metrics.fid_and_kid(samples, ref, extractor=x)
 
     def _fid_reference_set(self, n: int) -> np.ndarray:
         """Fixed comparison set for FID, disjoint from training data.

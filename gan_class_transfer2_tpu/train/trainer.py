@@ -253,6 +253,26 @@ def diffusion_loss(
     if isinstance(batch, dict):
         label = batch.get("label")
         batch = batch["image"]
+    noised, target, pred_scale, t_int = draw_and_diffuse(
+        cfg, batch, rng, t_int=t_int, epsilon_in=epsilon_in,
+        mesh=mesh, batch_spec=batch_spec,
+    )
+    prediction = model_api.apply_denoiser(
+        cfg, params, noised, t_int[:, 0, 0, 0], class_idx=label
+    )
+    prediction = prediction.astype(jnp.float32) * pred_scale
+    return compute_loss(cfg, target, prediction)
+
+
+def draw_and_diffuse(
+    cfg, batch, rng, *, t_int=None, epsilon_in=None, mesh=None, batch_spec=None
+):
+    """The (t, ε) draws + forward diffusion + target selection of
+    ``diffusion_loss``, shared verbatim with the pipeline-parallel prep
+    program (parallel/pipeline.PipelineTrainer._prep_fn) so the two paths
+    cannot drift apart in RNG order or fused-kernel gating. Returns
+    ``(noised, target, prediction_scale, t_int)`` with ``t_int`` shaped
+    (B,1,1,1) int32."""
     rng_t, rng_eps = jax.random.split(rng)
     b = batch.shape[0]
     if t_int is None:
@@ -293,12 +313,32 @@ def diffusion_loss(
         else:
             epsilon = jnp.asarray(epsilon_in, batch.dtype)
         noised = diffusion.forward_diffuse(cfg, batch, epsilon, t)
-    prediction = model_api.apply_denoiser(
-        cfg, params, noised, t_int[:, 0, 0, 0], class_idx=label
-    )
     target, pred_scale = diffusion.training_target(cfg, batch, epsilon, t)
-    prediction = prediction.astype(jnp.float32) * pred_scale
-    return compute_loss(cfg, target, prediction)
+    return noised, target, pred_scale, t_int
+
+
+def fold_and_augment(cfg, batch, rng, step):
+    """Per-step RNG fold plus the on-device uint8 augment pipeline,
+    preserving dict (labeled) batches. Shared by ``train_step``, the
+    pipeline prep program, and the distillation step so their RNG stream
+    and augment semantics stay identical.
+
+    uint8 (HBM-resident raw-pixel) batches crop/flip/normalize in the same
+    program but OUTSIDE the differentiated region — inside value_and_grad
+    the vmapped dynamic-slice crop degrades XLA's schedule (measured 631 vs
+    991 img/s at b128)."""
+    rng = jax.random.fold_in(rng, step)
+    raw = batch["image"] if isinstance(batch, dict) else batch
+    if raw.dtype == jnp.uint8:
+        from ..data import device_augment
+
+        rng, rng_aug = jax.random.split(rng)
+        augmented = device_augment.augment_batch(raw, rng_aug, size=cfg.size)
+        if isinstance(batch, dict):
+            batch = dict(batch, image=augmented)
+        else:
+            batch = augmented
+    return batch, rng
 
 
 def train_step(
@@ -316,22 +356,7 @@ def train_step(
     fused-Adam kernel, which is single-device only); ``mesh``/``batch_spec``
     route the fused diffusion kernel through a shard_map island on
     multi-device meshes (see diffusion_loss)."""
-    rng = jax.random.fold_in(rng, state.step)
-
-    raw = batch["image"] if isinstance(batch, dict) else batch
-    if raw.dtype == jnp.uint8:
-        # raw-pixel batch (HBM-resident pipeline): crop/flip/normalize in the
-        # same program but OUTSIDE the differentiated region — inside
-        # value_and_grad the vmapped dynamic-slice crop degrades XLA's
-        # schedule (measured 631 vs 991 img/s at b128)
-        from ..data import device_augment
-
-        rng, rng_aug = jax.random.split(rng)
-        augmented = device_augment.augment_batch(raw, rng_aug, size=cfg.size)
-        if isinstance(batch, dict):
-            batch = dict(batch, image=augmented)
-        else:
-            batch = augmented
+    batch, rng = fold_and_augment(cfg, batch, rng, state.step)
 
     dynamic = cfg.dynamic_loss_scale
     if dynamic:

@@ -173,6 +173,11 @@ def kid(
     n, m = len(x), len(y)
     if n < 2 or m < 2:
         raise ValueError(f"kid needs >= 2 images per set, got {n} and {m}")
+    return _kid_from_features(x, y)
+
+
+def _kid_from_features(x: np.ndarray, y: np.ndarray) -> float:
+    n, m = len(x), len(y)
     kxx = _poly_kernel(x, x)
     kyy = _poly_kernel(y, y)
     kxy = _poly_kernel(x, y)
@@ -183,6 +188,31 @@ def kid(
         + sum_off_yy / (m * (m - 1))
         - 2.0 * kxy.mean()
     )
+
+
+def fid_and_kid(
+    images_a,
+    images_b,
+    extractor: Optional[Callable] = None,
+    batch_size: int = 64,
+) -> dict:
+    """Both quality scores from ONE feature-extraction pass per image set —
+    the per-epoch loggers and `gct2 eval` report fid and kid together, and
+    extracting twice doubles the dominant cost (the extractor forward over
+    up to fid_samples images per set)."""
+    extractor = extractor or get_extractor("auto")
+    x = _features(images_a, extractor, batch_size)
+    y = _features(images_b, extractor, batch_size)
+    if len(x) < 2 or len(y) < 2:
+        raise ValueError(
+            f"need >= 2 images per set, got {len(x)} and {len(y)}"
+        )
+    mu_a, s_a = _stats(x)
+    mu_b, s_b = _stats(y)
+    return {
+        "fid": frechet_distance(mu_a, s_a, mu_b, s_b),
+        "kid": _kid_from_features(x, y),
+    }
 
 
 # ------------------------------------------------------------ pixel metrics ---

@@ -89,8 +89,11 @@ def parse_xplane_device_ops(trace_dir: str, top: int = 25) -> list:
     )
     if not paths:
         return []
+    # newest capture wins: a reused --trace-dir (or a multi-host trace) can
+    # hold several xplane.pb files, and glob order is traversal order —
+    # parsing an arbitrary one silently reports a stale capture
     xs = xplane_pb2.XSpace()
-    with open(paths[0], "rb") as f:
+    with open(max(paths, key=os.path.getmtime), "rb") as f:
         xs.ParseFromString(f.read())
     rows = []
     for plane in xs.planes:

@@ -182,6 +182,61 @@ def test_progressive_distill_reaches_target_stride(setup):
     )
 
 
+def test_distill_opt_config_round_sized_schedule(setup):
+    """A fresh warmup/cosine restart sized for the original run must not eat
+    the distillation round: warmup is capped at steps/10 and the schedule is
+    ramp-then-constant."""
+    cfg, _, _ = setup
+    big = cfg.replace(warm_up=2000, lr_schedule="cosine")
+    opt_cfg = distill.distill_opt_config(big, steps=300)
+    assert opt_cfg.warm_up == 30
+    assert opt_cfg.lr_schedule == "warmup"
+    # an already-short warmup is preserved
+    assert distill.distill_opt_config(cfg.replace(warm_up=3), 300).warm_up == 3
+
+
+def test_ema_not_decayed_on_accumulation_micro_steps(setup):
+    """Under grad_accum, EMA blends only when MultiSteps applies an update
+    (the same mini_step==0 gate as trainer.train_step)."""
+    cfg, params, _ = setup
+    a_cfg = cfg.replace(grad_accum=2, ema_decay=0.9, donate_state=False)
+    state = trainer_state_for(a_cfg, params)
+    step_fn = distill.make_distill_step(a_cfg, 2)
+    batch = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, cfg.size, cfg.size, 3)),
+        jnp.float32,
+    )
+    state1, _ = step_fn(state, params, batch, jax.random.PRNGKey(0))
+    # micro-step 1 of 2: no applied update -> EMA must be bit-identical
+    for e0, e1 in zip(
+        jax.tree_util.tree_leaves(state.ema_params),
+        jax.tree_util.tree_leaves(state1.ema_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+    state2, _ = step_fn(state1, params, batch, jax.random.PRNGKey(0))
+    # window closed: EMA moved
+    moved = sum(
+        float(jnp.abs(a - b).sum())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state1.ema_params),
+            jax.tree_util.tree_leaves(state2.ema_params),
+        )
+    )
+    assert moved > 0
+
+
+def trainer_state_for(cfg, params):
+    from gan_class_transfer2_tpu.train import trainer as trainer_lib
+
+    return trainer_lib.TrainState(
+        jnp.zeros((), jnp.int32),
+        jax.tree_util.tree_map(jnp.copy, params),
+        trainer_lib.make_optimizer(cfg).init(params),
+        jax.tree_util.tree_map(jnp.copy, params),
+        None,
+    )
+
+
 def test_validation_errors(setup):
     cfg, params, _ = setup
     with pytest.raises(ValueError, match="ODE"):

@@ -156,3 +156,13 @@ def test_kid_rejects_tiny_sets():
         metrics.kid(
             np.zeros((1, 8, 8, 3), np.float32), np.zeros((4, 8, 8, 3), np.float32)
         )
+
+
+def test_fid_and_kid_matches_separate_calls():
+    """One extraction pass, same numbers as the separate fid/kid calls."""
+    r = np.random.default_rng(7)
+    a = r.uniform(-1, 1, (32, 16, 16, 3)).astype(np.float32)
+    b = r.uniform(-1, 1, (32, 16, 16, 3)).astype(np.float32)
+    both = metrics.fid_and_kid(a, b)
+    assert both["fid"] == pytest.approx(metrics.fid(a, b), rel=1e-9)
+    assert both["kid"] == pytest.approx(metrics.kid(a, b), rel=1e-9)

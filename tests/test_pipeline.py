@@ -266,3 +266,21 @@ def test_pipeline_rejects_incompatible_configs():
         pipeline.PipelineTrainer(_cfg(mesh_model=2))
     with pytest.raises(ValueError):
         _cfg(octaves=2, pipeline_stages=3).validate()
+
+
+def test_pipeline_grad_clip_uses_global_norm():
+    """clip_by_global_norm must see the GLOBAL gradient norm: per-stage
+    clipping against each stage's own sub-tree norm diverges from the
+    single-device step whenever the norm exceeds the threshold."""
+    # a tiny clip threshold guarantees the clip actually triggers
+    cfg = _cfg(octaves=3, batch_size=4, grad_clip_norm=1e-3)
+    rng = jax.random.PRNGKey(11)
+    state0 = trainer_lib.init_state(cfg, jax.random.PRNGKey(4))
+    batch = _batch(cfg)
+    ref_state, ref_loss = trainer_lib.make_train_step(
+        cfg.replace(pipeline_stages=1)
+    )(state0, batch, rng)
+    tr = pipeline.PipelineTrainer(cfg)
+    st, loss = tr.step(tr.place_state(state0), batch, rng)
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-5)
+    _tree_allclose(jax.device_get(st.params), jax.device_get(ref_state.params))

@@ -100,11 +100,12 @@ def main():
         imgs = np.asarray(jax.jit(
             lambda p, b: sampler.sample(c, p, b).images)(params, fixed_init))
         float(imgs.sum())  # sync (axon rule: fetch a value)
+        both = metrics.fid_and_kid(imgs, eval_set, extractor=extractor)
         out = {
             "which": tag, "sample_stride": stride,
             "sampler_calls": len(sampler.sample_timesteps(c)),
-            "kid": round(metrics.kid(imgs, eval_set, extractor=extractor), 4),
-            "fid": round(metrics.fid(imgs, eval_set, extractor=extractor), 2),
+            "kid": round(both["kid"], 4),
+            "fid": round(both["fid"], 2),
         }
         emit(out)
         return out
@@ -112,10 +113,11 @@ def main():
     # noise floor of the metric pair on this corpus: held-out vs a second
     # disjoint draw (what a perfect sampler would score)
     floor_draw = synthetic.circles(args.eval_n, cfg.size, seed=2000)
+    floor = metrics.fid_and_kid(floor_draw, eval_set, extractor=extractor)
     emit({
         "which": "floor_same_class",
-        "kid": round(metrics.kid(floor_draw, eval_set, extractor=extractor), 4),
-        "fid": round(metrics.fid(floor_draw, eval_set, extractor=extractor), 2),
+        "kid": round(floor["kid"], 4),
+        "fid": round(floor["fid"], 2),
         "eval_n": args.eval_n,
     })
 
