@@ -177,6 +177,12 @@ class Config:
     checkpoint_every: int = 1000
     # Retention: keep only the newest N step_* checkpoints (0 = keep all).
     checkpoint_keep: int = 0
+    # Overlap checkpoint disk writes with training (utils/checkpoint.
+    # AsyncSaver): the train loop stalls only for the device->host fetch;
+    # orbax serialisation, the atomic rename, and retention run on a
+    # background thread. Saves still commit in order; runners flush at the
+    # end of fit and before any restore.
+    checkpoint_async: bool = False
     log_images_every: int = 1  # epochs between log_sample calls
     # FID-style sample-quality tracking (BASELINE "steps-to-fixed-FID"):
     # 0 = off; N = compute FID between N generated samples and N data images

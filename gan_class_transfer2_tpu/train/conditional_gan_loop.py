@@ -203,8 +203,10 @@ class ConditionalGANRunner(ResilientRunnerMixin):
                 f"{n_steps * cfg.batch_size / dt:.1f} img/s",
                 flush=True,
             )
+        self._checkpoint_flush()  # async saves durable before fit returns
         return self.state
 
     def close(self):
+        self._checkpoint_flush()
         self.writer.close()
         self.labeled.close()

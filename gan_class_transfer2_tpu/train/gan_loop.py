@@ -213,9 +213,11 @@ class GANRunner(ResilientRunnerMixin):
                 f"cycle={vals['cycle']:.4f} {ips:.1f} img/s",
                 flush=True,
             )
+        self._checkpoint_flush()  # async saves durable before fit returns
         return self.state
 
     def close(self):
+        self._checkpoint_flush()
         self.writer.close()
         for ds in (self.dataset_a, self.dataset_b):
             if hasattr(ds, "close"):

@@ -287,6 +287,7 @@ class Runner(ResilientRunnerMixin):
                 f"{ips:.1f} images/s",
                 flush=True,
             )
+        self._checkpoint_flush()  # async saves durable before fit returns
         return self.state
 
     def _data_sources(self) -> dict:
@@ -296,6 +297,7 @@ class Runner(ResilientRunnerMixin):
     # has no recovery at all — a crash loses the run)
 
     def close(self):
+        self._checkpoint_flush()
         self.writer.close()
         if hasattr(self.dataset, "close"):
             self.dataset.close()

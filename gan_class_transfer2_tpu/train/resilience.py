@@ -56,9 +56,25 @@ class ResilientRunnerMixin:
             )
         if not multihost.is_coordinator():
             return None
+        if getattr(self.cfg, "checkpoint_async", False):
+            # overlap the disk write with training; the fetch above already
+            # decoupled us from the (possibly donated) device buffers
+            if getattr(self, "_ckpt_saver", None) is None:
+                self._ckpt_saver = ckpt_lib.AsyncSaver()
+            return self._ckpt_saver.submit(
+                self.cfg.checkpoint_dir, state, self.cfg, extra=extra
+            )
         return ckpt_lib.save(
             self.cfg.checkpoint_dir, state, self.cfg, extra=extra,
         )
+
+    def _checkpoint_flush(self):
+        """Drain pending async saves (no-op when checkpoint_async is off).
+        Runners call this at the end of ``fit``, before any restore, and on
+        close — the checkpoint directory is only consistent after it."""
+        saver = getattr(self, "_ckpt_saver", None)
+        if saver is not None:
+            saver.wait()
 
     def _restore_data_state(self):
         """Apply a checkpoint's data-position sidecar to this runner's
@@ -124,6 +140,7 @@ class ResilientRunnerMixin:
         except KeyboardInterrupt:
             if self.cfg.checkpoint_dir and self._interrupt_save_safe():
                 path = self._checkpoint_now()
+                self._checkpoint_flush()  # durable before the process exits
                 if path is not None:  # None on pod non-coordinators
                     print(
                         f"interrupted — checkpoint saved to {path}", flush=True
@@ -147,6 +164,15 @@ class ResilientRunnerMixin:
                 restarts += 1
                 if restarts > max_restarts:
                     raise
+                # a pending async save must commit (or surface its own
+                # failure) before the directory is read for recovery
+                try:
+                    self._checkpoint_flush()
+                except Exception as flush_err:  # noqa: BLE001
+                    print(
+                        f"pending checkpoint save failed during recovery: "
+                        f"{flush_err}", flush=True,
+                    )
                 last = ckpt_lib.latest_step(self.cfg.checkpoint_dir)
                 print(
                     f"step failed ({type(e).__name__}: {e}); restart "

@@ -144,6 +144,65 @@ def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None,
     return path
 
 
+class AsyncSaver:
+    """Single-worker background checkpoint writer (``Config.checkpoint_async``).
+
+    The device→host fetch (``host_complete``) must stay on the caller: with
+    donated state buffers the old device arrays are invalid the moment the
+    next step is dispatched, so the fetch cannot be deferred. Everything
+    after it can overlap training — orbax serialisation, the atomic rename,
+    sidecars, retention — and runs here on ONE worker thread, so saves
+    commit in submission order and retention never races a write.
+
+    A failed background save is re-raised on the next ``submit()``/``wait()``
+    — a checkpoint silently not written would defeat the resilience path
+    that trusts it. Callers must ``wait()`` before reading the directory
+    (restore, latest_step) and before process exit; the runners do this at
+    the end of ``fit`` and in ``fit_resilient``'s restore path.
+    """
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="gct2-ckpt"
+        )
+        self._pending: list = []
+
+    def _reap(self, block: bool = False) -> None:
+        err = None
+        still = []
+        for f in self._pending:
+            if block or f.done():
+                exc = f.exception()  # blocks when not yet done
+                if exc is not None and err is None:
+                    err = exc
+            else:
+                still.append(f)
+        self._pending = still
+        if err is not None:
+            raise RuntimeError("async checkpoint save failed") from err
+
+    def submit(self, ckpt_dir: str, host_state, cfg: Config,
+               step: Optional[int] = None, extra: Optional[dict] = None) -> str:
+        """Queue a save of an already host-complete state; returns the step
+        path the save will commit to."""
+        self._reap()
+        n = int(host_state.step) if step is None else int(step)
+        self._pending.append(
+            self._pool.submit(save, ckpt_dir, host_state, cfg, n, extra)
+        )
+        return os.path.join(os.path.abspath(ckpt_dir), f"step_{n:09d}")
+
+    def wait(self) -> None:
+        """Drain the queue; re-raise the first background failure."""
+        self._reap(block=True)
+
+    def close(self) -> None:
+        self.wait()
+        self._pool.shutdown()
+
+
 def _extra_path(ckpt_dir: str, step: int, host: Optional[int] = None) -> str:
     suffix = ".extra.json" if host is None else f".extra.host{host}.json"
     return os.path.join(os.path.abspath(ckpt_dir), f"step_{step:09d}{suffix}")

@@ -247,3 +247,82 @@ def test_prune_sweeps_orphan_host_sidecars(tmp_path):
     assert "step_000000003.extra.host0.json" not in names
     assert "step_000000008.extra.host0.json" in names
     assert "step_000000011.extra.host0.json" in names
+
+
+# ------------------------------------------------------------- async saver
+
+
+def test_async_saver_matches_sync_save(tmp_path):
+    """AsyncSaver commits the identical checkpoint a blocking save would."""
+    cfg = tiny_test_config()
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    host_state = ckpt.host_complete(state)
+
+    sync_dir, async_dir = str(tmp_path / "sync"), str(tmp_path / "async")
+    ckpt.save(sync_dir, host_state, cfg, step=7)
+    saver = ckpt.AsyncSaver()
+    path = saver.submit(async_dir, host_state, cfg, step=7)
+    saver.wait()
+    assert path.endswith("step_000000007")
+    assert ckpt.latest_step(async_dir) == 7
+
+    template = trainer.init_state(cfg, jax.random.PRNGKey(9))
+    a = ckpt.restore(sync_dir, template)
+    b = ckpt.restore(async_dir, template)
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    saver.close()
+
+
+def test_async_saver_orders_saves_and_prunes(tmp_path):
+    """Back-to-back submissions commit in order on one worker; retention
+    applies after the last."""
+    cfg = tiny_test_config().replace(checkpoint_keep=2)
+    state = ckpt.host_complete(trainer.init_state(cfg, jax.random.PRNGKey(0)))
+    d = str(tmp_path / "ckpt")
+    saver = ckpt.AsyncSaver()
+    for s in (1, 2, 3, 4):
+        saver.submit(d, state, cfg, step=s)
+    saver.wait()
+    assert ckpt.all_steps(d) == [3, 4]
+    saver.close()
+
+
+def test_async_saver_surfaces_background_failure(tmp_path):
+    """A failed background write must raise on wait(), not vanish —
+    resilience trusts that a submitted checkpoint exists."""
+    import pytest
+
+    cfg = tiny_test_config()
+    state = ckpt.host_complete(trainer.init_state(cfg, jax.random.PRNGKey(0)))
+    target = tmp_path / "ckpt"
+    target.write_text("not a directory")  # makedirs will fail on a file
+    saver = ckpt.AsyncSaver()
+    saver.submit(str(target), state, cfg, step=1)
+    with pytest.raises(RuntimeError, match="async checkpoint save failed"):
+        saver.wait()
+
+
+def test_runner_trains_with_async_checkpointing(tmp_path):
+    """End-to-end: Runner with checkpoint_async=True saves on the cadence,
+    flushes at the end of fit, and the checkpoints restore."""
+    from gan_class_transfer2_tpu.data.pipeline import ArrayDataset
+    from gan_class_transfer2_tpu.train.loop import Runner
+
+    cfg = tiny_test_config().replace(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        checkpoint_every=2,
+        checkpoint_async=True,
+        log_dir=str(tmp_path / "logs"),
+        mesh_data=1,
+    )
+    images = np.random.default_rng(0).integers(
+        0, 256, size=(8, cfg.size, cfg.size, 3), dtype=np.uint8
+    )
+    runner = Runner(cfg, dataset=ArrayDataset(images, cfg.batch_size, seed=0))
+    runner.fit(epochs=1, steps_per_epoch=4, log_samples=False)
+    assert ckpt.all_steps(cfg.checkpoint_dir) == [2, 4]
+    template = trainer.init_state(cfg, jax.random.PRNGKey(3))
+    restored = ckpt.restore(cfg.checkpoint_dir, template)
+    assert int(restored.step) == 4
+    runner.close()
