@@ -398,6 +398,27 @@ def _sample(cfg: Config, args) -> int:
     return 0
 
 
+def _log_distill_grids(cfg: Config, teacher, student, stride: int, writer):
+    """TensorBoard artifact of the trade: the same 6 noise draws sampled by
+    the teacher at its stride and by the student at the distilled stride —
+    matched quality should make the grids near-identical at 1/2^k the
+    denoiser calls."""
+    import jax
+    import numpy as np
+
+    from .sample import sampler
+
+    init = jax.random.normal(
+        jax.random.PRNGKey(cfg.seed + 7), (6, cfg.size, cfg.size, 3)
+    )
+    t_imgs = np.asarray(sampler.sample(cfg, teacher, init).images)
+    s_imgs = np.asarray(
+        sampler.sample(cfg.replace(sample_stride=stride), student, init).images
+    )
+    writer.image("distill/teacher_samples", t_imgs * 0.5 + 0.5, stride, 6)
+    writer.image("distill/student_samples", s_imgs * 0.5 + 0.5, stride, 6)
+
+
 def _distill(cfg: Config, args) -> int:
     """Progressive sampler distillation (train/distill.py): halve the
     reverse-diffusion step count per round and write a drop-in student
@@ -435,6 +456,9 @@ def _distill(cfg: Config, args) -> int:
         except FileNotFoundError:
             files_per_class = None  # non-file dataset; make_datasets will raise
     dsets = data_pipeline.make_datasets(cfg, files_per_class=files_per_class)
+    from .utils import tensorboard as tb
+
+    writer = tb.SummaryWriter(tb.reference_log_dir(cfg.log_dir))
     try:
         # class-conditional checkpoints distill on labeled round-robin
         # batches, mirroring the training Runner (train/loop.py)
@@ -444,9 +468,14 @@ def _distill(cfg: Config, args) -> int:
         )
         data_iter = data_pipeline.device_iterator(dataset)
         params, stride = distill_lib.progressive_distill(
-            cfg, teacher, data_iter, target, args.distill_steps
+            cfg, teacher, data_iter, target, args.distill_steps,
+            on_loss=lambda s, i, loss: writer.scalar(
+                f"distill_loss/stride_{s}", loss, i
+            ),
         )
+        _log_distill_grids(cfg, teacher, params, stride, writer)
     finally:
+        writer.close()
         for d in dsets:
             if hasattr(d, "close"):
                 d.close()

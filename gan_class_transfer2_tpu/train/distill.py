@@ -221,7 +221,8 @@ def make_distill_step(cfg, stride: int):
 
 
 def distill_round(cfg, teacher_params, data_iter, stride: int,
-                  steps: int, rng, log=print) -> Tuple[dict, float]:
+                  steps: int, rng, log=print,
+                  on_loss=None) -> Tuple[dict, float]:
     """One halving round: student initialised FROM the teacher, trained
     ``steps`` optimizer steps to stride ``stride``. Returns
     (student_params, final_loss). Uses EMA params as the round's output when
@@ -245,12 +246,15 @@ def distill_round(cfg, teacher_params, data_iter, stride: int,
             loss = float(loss_dev)  # synchronising fetch
             log(f"  distill stride {stride}: step {i + 1}/{steps} "
                 f"loss={loss:.6f}")
+            if on_loss is not None:
+                on_loss(stride, i + 1, loss)
     out = state.ema_params if state.ema_params is not None else state.params
     return out, loss
 
 
 def progressive_distill(cfg, teacher_params, data_iter, target_stride: int,
-                        steps_per_round: int, rng=None, log=print):
+                        steps_per_round: int, rng=None, log=print,
+                        on_loss=None):
     """Full schedule: stride doubles each round from 2·sample_stride to
     ``target_stride``; each round's student becomes the next teacher.
     Returns (params, final_stride)."""
@@ -275,6 +279,7 @@ def progressive_distill(cfg, teacher_params, data_iter, target_stride: int,
         rng, sub = jax.random.split(rng)
         log(f"distillation round -> stride {stride}")
         params, loss = distill_round(
-            cfg, params, data_iter, stride, steps_per_round, sub, log=log
+            cfg, params, data_iter, stride, steps_per_round, sub, log=log,
+            on_loss=on_loss,
         )
     return params, stride

@@ -297,6 +297,20 @@ def test_cli_distill_roundtrip(tmp_path):
     assert saved["sample_stride"] == 2
     assert saved["checkpoint_dir"] == student
 
+    # TensorBoard artifacts: per-stride loss curve + teacher/student grids
+    import glob
+
+    from gan_class_transfer2_tpu.utils import tensorboard as tb
+
+    event_files = glob.glob(str(tmp_path / "logs" / "*" / "*" / "events.*"))
+    tags = set()
+    for f in event_files:
+        tags |= {e[1] for e in tb.read_events(f)}
+    assert "distill_loss/stride_2" in tags
+    # image summaries are written per-sample under <tag>/image/<n>
+    assert "distill/teacher_samples/image/0" in tags
+    assert "distill/student_samples/image/0" in tags
+
     out = str(tmp_path / "samples")
     rc = cli.main([
         "sample", "--platform", "cpu", "--checkpoint-dir", student,
