@@ -95,6 +95,64 @@ def test_sharded_state_checkpoint_roundtrip(tmp_path):
     assert np.isfinite(float(loss))
 
 
+def test_elastic_restore_across_mesh_shapes(tmp_path):
+    """Checkpoints are mesh-agnostic (pod resize / elasticity): a state
+    saved from a ZeRO-1 data=4 run restores bit-identically into a data=2
+    ZeRO-1 template AND a single-device template, and both continue
+    training. Disk layout is always host-complete full arrays
+    (utils/checkpoint.host_complete); restore re-places onto whatever
+    sharding the template carries."""
+    from gan_class_transfer2_tpu.parallel import mesh as mesh_lib
+
+    kw = dict(batch_size=4, donate_state=False, zero1=True,
+              pixel_size=8, max_size=16)
+    cfg4 = tiny_test_config(mesh_data=4, mesh_model=1, **kw)
+    m4 = mesh_lib.make_mesh(data=4, model=1)
+    state = mesh_lib.init_sharded_state(cfg4, m4, jax.random.PRNGKey(0))
+    batch4 = jax.device_put(
+        jnp.linspace(-1.0, 1.0, 4 * cfg4.size * cfg4.size * 3)
+        .reshape(4, cfg4.size, cfg4.size, 3)
+        .astype(jnp.float32),
+        mesh_lib.batch_sharding(m4),
+    )
+    state, _ = mesh_lib.make_parallel_train_step(cfg4, m4)(
+        state, batch4, jax.random.PRNGKey(1)
+    )
+    d = str(tmp_path / "ckpt")
+    ckpt.save(d, ckpt.host_complete(state), cfg4)
+    want = jax.tree_util.tree_leaves(ckpt.host_complete(state))
+
+    def assert_same(restored):
+        got = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, restored)
+        )
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, np.asarray(w))
+
+    # shrink the mesh: data=2 ZeRO-1 template
+    cfg2 = cfg4.replace(mesh_data=2)
+    m2 = mesh_lib.make_mesh(data=2, model=1)
+    restored2 = ckpt.restore(d, mesh_lib.init_sharded_state(
+        cfg2, m2, jax.random.PRNGKey(9)))
+    assert_same(restored2)
+    batch2 = jax.device_put(np.asarray(batch4), mesh_lib.batch_sharding(m2))
+    _, loss2 = mesh_lib.make_parallel_train_step(cfg2, m2)(
+        restored2, batch2, jax.random.PRNGKey(2)
+    )
+    assert np.isfinite(float(loss2))
+
+    # collapse to a single device
+    cfg1 = cfg4.replace(mesh_data=1, zero1=False)
+    restored1 = ckpt.restore(
+        d, trainer.init_state(cfg1, jax.random.PRNGKey(8)))
+    assert_same(restored1)
+    _, loss1 = trainer.make_train_step(cfg1)(
+        restored1, np.asarray(batch4), jax.random.PRNGKey(2)
+    )
+    assert np.isfinite(float(loss1))
+
+
 def test_partial_save_is_repaired(tmp_path):
     """A crash mid-save must not leave a step dir that latest_step selects
     (ADVICE r1): saves go to step_<N>.tmp and rename into place, and a stale
@@ -285,6 +343,42 @@ def test_async_saver_orders_saves_and_prunes(tmp_path):
         saver.submit(d, state, cfg, step=s)
     saver.wait()
     assert ckpt.all_steps(d) == [3, 4]
+    saver.close()
+
+
+def test_async_saver_backpressure_bounds_queue(tmp_path, monkeypatch):
+    """submit() blocks once max_pending saves are queued — a slow disk must
+    degrade to synchronous saves, not accumulate host-state copies."""
+    import threading
+
+    cfg = tiny_test_config()
+    state = ckpt.host_complete(trainer.init_state(cfg, jax.random.PRNGKey(0)))
+    d = str(tmp_path / "ckpt")
+
+    gate = threading.Event()
+    real_save = ckpt.save
+
+    def slow_save(*args, **kwargs):
+        gate.wait(timeout=30)
+        return real_save(*args, **kwargs)
+
+    monkeypatch.setattr(ckpt, "save", slow_save)
+    saver = ckpt.AsyncSaver(max_pending=2)
+    saver.submit(d, state, cfg, step=1)  # worker blocks on the gate
+    saver.submit(d, state, cfg, step=2)  # queued
+
+    third_done = threading.Event()
+    t = threading.Thread(
+        target=lambda: (saver.submit(d, state, cfg, step=3), third_done.set())
+    )
+    t.start()
+    # the third submit must be blocked while two saves are pending
+    assert not third_done.wait(timeout=0.5)
+    gate.set()
+    t.join(timeout=30)
+    assert third_done.is_set()
+    saver.wait()
+    assert ckpt.all_steps(d) == [1, 2, 3]
     saver.close()
 
 
