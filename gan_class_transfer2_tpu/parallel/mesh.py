@@ -57,6 +57,10 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
 def _leaf_spec(leaf, model_size: int) -> P:
     """Tensor-parallel rule: shard the output-channel (last) axis of conv
     kernels over 'model' when it divides evenly; everything else replicated.

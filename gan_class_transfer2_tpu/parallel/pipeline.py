@@ -45,6 +45,14 @@ Stage balance: analytic per-octave MACs (the conv shapes are static,
 utils/benchmark.model_flops_per_image) drive a min-max contiguous
 partition; the outer block/head cost is pinned to stage 0 and the middle
 block to the last stage.
+
+PP × DP composition: ``mesh_data > 1`` gives every stage its own
+``mesh_data``-device data mesh (device grid = stages × data). Activations
+cross stage boundaries batch-sharded over 'data' (cross-mesh device_put
+rides ICI), params replicate within each stage, and GSPMD inserts the
+per-stage gradient all-reduce inside the stage VJP programs — no explicit
+collectives. Semantics stay identical to the single-device step (parity
+tested at stages=2 × data=2).
 """
 
 from __future__ import annotations
@@ -54,6 +62,8 @@ from typing import Any, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import unet
 from ..train import trainer as trainer_lib
@@ -286,6 +296,13 @@ def _validate(cfg) -> None:
             f"batch_size={cfg.batch_size} not divisible by "
             f"pipeline_microbatches={m}"
         )
+    dp = max(cfg.mesh_data, 1)
+    if dp > 1 and (cfg.batch_size // m) % dp != 0:
+        raise ValueError(
+            f"PP x DP needs the microbatch (batch_size={cfg.batch_size} / "
+            f"microbatches={m} = {cfg.batch_size // m}) divisible by "
+            f"mesh_data={dp}"
+        )
 
 
 class PipelineTrainer:
@@ -304,12 +321,25 @@ class PipelineTrainer:
         self.n_micro = cfg.pipeline_microbatches or cfg.pipeline_stages
         self.plan = plan_stages(cfg, self.n_stages)
         devices = list(devices if devices is not None else jax.devices())
-        if len(devices) < self.n_stages:
+        # PP x DP: mesh_data > 1 gives every stage its own `dp`-device data
+        # mesh — activations shard over 'data' between stages (cross-mesh
+        # device_put), params replicate per stage, and GSPMD all-reduces the
+        # per-stage grads over the data axis inside the stage VJP programs.
+        # mesh_data <= 1 keeps one device per stage (pure PP).
+        self.dp = max(cfg.mesh_data, 1)
+        need = self.n_stages * self.dp
+        if len(devices) < need:
             raise ValueError(
-                f"pipeline_stages={self.n_stages} needs that many devices, "
-                f"have {len(devices)}"
+                f"pipeline_stages={self.n_stages} x mesh_data={self.dp} "
+                f"needs {need} devices, have {len(devices)}"
             )
-        self.devices = devices[: self.n_stages]
+        rows = [
+            np.asarray(devices[s * self.dp : (s + 1) * self.dp])
+            for s in range(self.n_stages)
+        ]
+        self.stage_meshes = [Mesh(r, ("data",)) for r in rows]
+        # first device of each stage: scalar anchors + eval-gather target
+        self.devices = [r[0] for r in rows]
         self.optimizer = trainer_lib.make_optimizer(cfg)
         self._params_treedef = jax.tree_util.tree_structure(
             jax.eval_shape(lambda r: trainer_lib.init_state(cfg, r),
@@ -407,10 +437,17 @@ class PipelineTrainer:
         )
 
     # ------------------------------------------------------------- placement
+    def _rep(self, s: int):
+        """Replicated sharding over stage s's data mesh (params, scalars)."""
+        return NamedSharding(self.stage_meshes[s], P())
+
+    def _sharded(self, s: int):
+        """Batch-dim sharding over stage s's data mesh (activations)."""
+        return NamedSharding(self.stage_meshes[s], P("data"))
+
     def _leaf_device(self):
-        """params-structured tree of stage devices (which device owns which
-        leaf), for place_state."""
-        plan, devs = self.plan, self.devices
+        """octave index -> owning stage, for place_params_like."""
+        plan = self.plan
 
         def stage_of_octave(i):
             for s, (lo, hi) in enumerate(plan):
@@ -421,29 +458,30 @@ class PipelineTrainer:
         return stage_of_octave
 
     def place_params_like(self, tree):
-        """Place a params-structured tree's leaves onto their stage devices."""
+        """Place a params-structured tree's leaves onto their stage meshes
+        (replicated over each stage's data axis)."""
         out = dict(tree)
         stage_of = self._leaf_device()
-        out["pre_block"] = jax.device_put(tree["pre_block"], self.devices[0])
-        out["post_block"] = jax.device_put(tree["post_block"], self.devices[0])
-        out["head"] = jax.device_put(tree["head"], self.devices[0])
-        out["middle"] = jax.device_put(tree["middle"], self.devices[-1])
+        out["pre_block"] = jax.device_put(tree["pre_block"], self._rep(0))
+        out["post_block"] = jax.device_put(tree["post_block"], self._rep(0))
+        out["head"] = jax.device_put(tree["head"], self._rep(0))
+        out["middle"] = jax.device_put(tree["middle"], self._rep(-1))
         out["octaves"] = [
-            jax.device_put(lvl, self.devices[stage_of(i)])
+            jax.device_put(lvl, self._rep(stage_of(i)))
             for i, lvl in enumerate(tree["octaves"])
         ]
         return out
 
     def place_state(self, state: trainer_lib.TrainState) -> trainer_lib.TrainState:
-        """Place every TrainState leaf on its owning stage device — params,
+        """Place every TrainState leaf on its owning stage mesh — params,
         EMA, and each params-structured subtree of the optax state; scalars
-        (step, Adam count) live on stage-0's device."""
-        dev0 = self.devices[0]
+        (step, Adam count) replicate over stage 0's mesh."""
+        rep0 = self._rep(0)
         opt = _rewrite_state(
             state.opt_state,
             self._params_treedef,
             self.place_params_like,
-            lambda leaf: jax.device_put(leaf, dev0),
+            lambda leaf: jax.device_put(leaf, rep0),
         )
         ema = (
             self.place_params_like(state.ema_params)
@@ -451,7 +489,7 @@ class PipelineTrainer:
             else None
         )
         return trainer_lib.TrainState(
-            jax.device_put(state.step, dev0),
+            jax.device_put(state.step, rep0),
             self.place_params_like(state.params),
             opt,
             ema,
@@ -462,8 +500,9 @@ class PipelineTrainer:
         return self.place_state(trainer_lib.init_state(self.cfg, rng))
 
     def gather_params(self, tree, device=None):
-        """Copy a params-structured tree onto one device (for eval/sampler
-        jits, which need co-located inputs)."""
+        """Copy a params-structured tree onto one device — or any
+        jax.sharding.Sharding (e.g. replicated over an eval mesh) — for
+        eval/sampler jits, which need co-located inputs."""
         return jax.device_put(tree, device or self.devices[0])
 
     # ------------------------------------------------------------------ prep
@@ -489,13 +528,13 @@ class PipelineTrainer:
     def step(self, state: trainer_lib.TrainState, batch, rng):
         cfg = self.cfg
         S, M = self.n_stages, self.n_micro
-        devs = self.devices
         plan = self.plan
         if isinstance(batch, dict):
             batch = batch["image"]
         # normalise input placement: callers may hand a mesh-sharded or
-        # differently-placed batch; the prep program runs on stage 0
-        batch = jax.device_put(batch, devs[0])
+        # differently-placed batch; the prep program runs on stage 0's data
+        # mesh with the batch dim sharded over it
+        batch = jax.device_put(batch, self._sharded(0))
 
         p = [tree_stage_view(plan, state.params, s) for s in range(S)]
 
@@ -518,14 +557,14 @@ class PipelineTrainer:
                 x_in[m][s] = h
                 h, sk = self._down[s](p[s], h)
                 skips[m][s] = sk
-                h = jax.device_put(h, devs[s + 1])
+                h = jax.device_put(h, self._sharded(s + 1))
             x_in[m][S - 1] = h
             h = self._mid(p[S - 1], h)
             for s in range(S - 2, 0, -1):
-                h = jax.device_put(h, devs[s])
+                h = jax.device_put(h, self._sharded(s))
                 h_up_in[m][s] = h
                 h = self._up[s](p[s], h, skips[m][s])
-            h = jax.device_put(h, devs[0])
+            h = jax.device_put(h, self._sharded(0))
             h_up_in[m][0] = h
             losses.append(
                 self._loss(p[0], h, skips[m][0], sl(target, m),
@@ -539,23 +578,24 @@ class PipelineTrainer:
         for m in range(M - 1, -1, -1):
             pg, h_ct, sk_ct = self._bwd_loss(
                 p[0], h_up_in[m][0], skips[m][0], sl(target, m),
-                sl(pred_scale, m), sl(t_b, m), jax.device_put(ct, devs[0]),
+                sl(pred_scale, m), sl(t_b, m),
+                jax.device_put(ct, self._rep(0)),
             )
             g[0] = pg if g[0] is None else self._acc(g[0], pg)
             skips_ct = [None] * S
             skips_ct[0] = sk_ct
             for s in range(1, S - 1):
-                h_ct = jax.device_put(h_ct, devs[s])
+                h_ct = jax.device_put(h_ct, self._sharded(s))
                 pg, h_ct, sk_ct = self._bwd_up[s](
                     p[s], h_up_in[m][s], skips[m][s], h_ct
                 )
                 g[s] = pg if g[s] is None else self._acc(g[s], pg)
                 skips_ct[s] = sk_ct
-            h_ct = jax.device_put(h_ct, devs[S - 1])
+            h_ct = jax.device_put(h_ct, self._sharded(S - 1))
             pg, h_ct = self._bwd_mid(p[S - 1], x_in[m][S - 1], h_ct)
             g[S - 1] = pg if g[S - 1] is None else self._acc(g[S - 1], pg)
             for s in range(S - 2, -1, -1):
-                h_ct = jax.device_put(h_ct, devs[s])
+                h_ct = jax.device_put(h_ct, self._sharded(s))
                 pg, h_ct = self._bwd_down[s](
                     p[s], x_in[m][s], h_ct, skips_ct[s]
                 )
@@ -564,11 +604,12 @@ class PipelineTrainer:
         # ---- global-norm clip across stages (see __init__ note)
         if cfg.grad_clip_norm > 0:
             sq = [
-                jax.device_put(self._sqnorm(g[s]), devs[0]) for s in range(S)
+                jax.device_put(self._sqnorm(g[s]), self._rep(0))
+                for s in range(S)
             ]
             factor = self._clip_factor(sq)
             g = [
-                self._scale_tree(g[s], jax.device_put(factor, devs[s]))
+                self._scale_tree(g[s], jax.device_put(factor, self._rep(s)))
                 for s in range(S)
             ]
 
@@ -581,7 +622,7 @@ class PipelineTrainer:
                 state.opt_state,
                 self._params_treedef,
                 lambda tr, s=s: tree_stage_view(plan, tr, s),
-                lambda leaf, s=s: jax.device_put(leaf, devs[s]),
+                lambda leaf, s=s: jax.device_put(leaf, self._rep(s)),
             )
             new_p, new_o = self._update(p[s], opt_s, g[s])
             new_params_full = tree_stage_merge(plan, new_params_full, s, new_p)

@@ -30,15 +30,17 @@ class Runner(ResilientRunnerMixin):
     def __init__(self, cfg: Config, dataset=None, log_dir: Optional[str] = None):
         self.cfg = cfg.validate()
         # pipeline parallelism (parallel/pipeline.py): stage devices are
-        # owned by the PipelineTrainer; the mesh collapses to stage-0's
-        # device (eval/sampler jits and batch staging run there)
+        # owned by the PipelineTrainer; the eval/sampler mesh is stage 0's
+        # data row — PP x DP (mesh_data > 1) scales it, pure PP collapses
+        # it to stage-0's device
         self._pipeline = None
         if cfg.pipeline_stages > 1:
             from ..parallel import pipeline as pipeline_lib
 
             self._pipeline = pipeline_lib.PipelineTrainer(cfg)
             self.mesh = mesh_lib.make_mesh(
-                devices=self._pipeline.devices[:1], data=1, model=1
+                devices=list(self._pipeline.stage_meshes[0].devices.flat),
+                data=self._pipeline.dp, model=1,
             )
         else:
             self.mesh = mesh_lib.make_mesh(cfg)
@@ -141,8 +143,10 @@ class Runner(ResilientRunnerMixin):
             else self.state.params
         )
         if self._pipeline is not None:
-            # stage-scattered leaves -> one device for the eval jit
-            params = self._pipeline.gather_params(params)
+            # stage-scattered leaves -> replicated over the eval mesh
+            params = self._pipeline.gather_params(
+                params, mesh_lib.replicated_sharding(self.mesh)
+            )
         out = self.eval_fn(
             params, self.example_image, self.noise_bank, self.dictionary
         )
