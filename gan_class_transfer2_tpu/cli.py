@@ -466,12 +466,22 @@ def _distill(cfg: Config, args) -> int:
             data_pipeline.LabeledDataset(dsets)
             if cfg.num_classes > 0 else dsets[0]
         )
-        data_iter = data_pipeline.device_iterator(dataset)
+        # distillation scales over the local mesh exactly like training:
+        # batches staged sharded on 'data', student state/teacher params
+        # placed by distill_round
+        from .parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(cfg)
+        use_mesh = mesh.size > 1 and cfg.batch_size % mesh.shape["data"] == 0
+        data_iter = data_pipeline.device_iterator(
+            dataset, mesh_lib.batch_sharding(mesh) if use_mesh else None,
+        )
         params, stride = distill_lib.progressive_distill(
             cfg, teacher, data_iter, target, args.distill_steps,
             on_loss=lambda s, i, loss: writer.scalar(
                 f"distill_loss/stride_{s}", loss, i
             ),
+            mesh=mesh if use_mesh else None,
         )
         _log_distill_grids(cfg, teacher, params, stride, writer)
     finally:

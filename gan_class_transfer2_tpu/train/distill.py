@@ -175,11 +175,9 @@ def distill_opt_config(cfg, steps: int):
     )
 
 
-def make_distill_step(cfg, stride: int):
-    """Jitted distillation step: (state, teacher_params, batch, rng) →
-    (state, loss). ``state`` is a standard TrainState (fresh optimizer over
-    the student params); uint8 batches run the on-device augment pipeline
-    exactly like the base train step."""
+def _distill_step_fn(cfg, stride: int):
+    """The pure distillation step (state, teacher_params, batch, rng) →
+    (state, loss), shared by the single-device and mesh-parallel jits."""
     _validate(cfg, stride)
     optimizer = trainer_lib.make_optimizer(cfg)
 
@@ -216,18 +214,47 @@ def make_distill_step(cfg, stride: int):
             state.step + 1, params, opt_state, ema, state.scale_state
         ), loss
 
+    return step
+
+
+def make_distill_step(cfg, stride: int):
+    """Jitted distillation step: (state, teacher_params, batch, rng) →
+    (state, loss). ``state`` is a standard TrainState (fresh optimizer over
+    the student params); uint8 batches run the on-device augment pipeline
+    exactly like the base train step."""
     donate = (0,) if cfg.donate_state else ()
-    return jax.jit(step, donate_argnums=donate)
+    return jax.jit(_distill_step_fn(cfg, stride), donate_argnums=donate)
+
+
+def make_parallel_distill_step(cfg, mesh, stride: int, state_sh):
+    """The distillation step jitted over a device mesh: batch sharded on
+    'data', student state under the same TP/ZeRO rule the base trainer uses
+    (``state_sh`` from parallel/mesh.state_shardings), teacher params
+    sharded like the student's. GSPMD inserts the gradient all-reduce —
+    distillation scales across chips exactly like training."""
+    from ..parallel import mesh as mesh_lib
+
+    b_sh = mesh_lib.batch_sharding(mesh)
+    rep = mesh_lib.replicated_sharding(mesh)
+    donate = (0,) if cfg.donate_state else ()
+    return jax.jit(
+        _distill_step_fn(cfg, stride),
+        in_shardings=(state_sh, state_sh.params, b_sh, rep),
+        out_shardings=(state_sh, rep),
+        donate_argnums=donate,
+    )
 
 
 def distill_round(cfg, teacher_params, data_iter, stride: int,
                   steps: int, rng, log=print,
-                  on_loss=None) -> Tuple[dict, float]:
+                  on_loss=None, mesh=None) -> Tuple[dict, float]:
     """One halving round: student initialised FROM the teacher, trained
     ``steps`` optimizer steps to stride ``stride``. Returns
     (student_params, final_loss). Uses EMA params as the round's output when
     ``cfg.ema_decay > 0``. The optimizer runs on the round-sized schedule of
-    :func:`distill_opt_config` (constant LR, warmup ≤ steps/10)."""
+    :func:`distill_opt_config` (constant LR, warmup ≤ steps/10). A ``mesh``
+    with >1 device runs the step data-parallel over it (batches must arrive
+    sharded or uncommitted; cli._distill stages them via device_iterator)."""
     opt_cfg = distill_opt_config(cfg, steps)
     state = trainer_lib.TrainState(
         jnp.zeros((), jnp.int32),
@@ -237,7 +264,15 @@ def distill_round(cfg, teacher_params, data_iter, stride: int,
         if cfg.ema_decay > 0 else None,
         None,
     )
-    step_fn = make_distill_step(opt_cfg, stride)
+    if mesh is not None and mesh.size > 1:
+        from ..parallel import mesh as mesh_lib
+
+        state_sh = mesh_lib.state_shardings(state, mesh, zero1=cfg.zero1)
+        state = jax.device_put(state, state_sh)
+        teacher_params = jax.device_put(teacher_params, state_sh.params)
+        step_fn = make_parallel_distill_step(opt_cfg, mesh, stride, state_sh)
+    else:
+        step_fn = make_distill_step(opt_cfg, stride)
     loss = float("nan")
     for i in range(steps):
         batch = next(data_iter)
@@ -254,10 +289,10 @@ def distill_round(cfg, teacher_params, data_iter, stride: int,
 
 def progressive_distill(cfg, teacher_params, data_iter, target_stride: int,
                         steps_per_round: int, rng=None, log=print,
-                        on_loss=None):
+                        on_loss=None, mesh=None):
     """Full schedule: stride doubles each round from 2·sample_stride to
     ``target_stride``; each round's student becomes the next teacher.
-    Returns (params, final_stride)."""
+    Returns (params, final_stride). ``mesh``: see :func:`distill_round`."""
     if rng is None:
         rng = jax.random.PRNGKey(cfg.seed + 101)
     stride = max(cfg.sample_stride, 1)
@@ -280,6 +315,6 @@ def progressive_distill(cfg, teacher_params, data_iter, target_stride: int,
         log(f"distillation round -> stride {stride}")
         params, loss = distill_round(
             cfg, params, data_iter, stride, steps_per_round, sub, log=log,
-            on_loss=on_loss,
+            on_loss=on_loss, mesh=mesh,
         )
     return params, stride

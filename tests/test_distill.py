@@ -134,6 +134,43 @@ def test_distill_round_trains(setup):
     assert moved > 0
 
 
+def test_distill_round_mesh_matches_single_device(setup):
+    """distill_round over a 4-device data mesh is value-identical to the
+    single-device round on the same batch stream (the GSPMD-inserted
+    gradient all-reduce only changes placement, not math)."""
+    from gan_class_transfer2_tpu.parallel import mesh as mesh_lib
+
+    cfg, params, _ = setup
+    cfg = cfg.replace(batch_size=4, donate_state=False)
+    images = np.random.default_rng(5).integers(
+        0, 256, size=(8, cfg.size, cfg.size, 3), dtype=np.uint8
+    )
+
+    def run(mesh):
+        it = device_iterator(
+            ArrayDataset(images, cfg.batch_size, seed=0),
+            mesh_lib.batch_sharding(mesh) if mesh is not None else None,
+        )
+        return distill.distill_round(
+            cfg, params, it, stride=2, steps=3,
+            rng=jax.random.PRNGKey(11), log=lambda *_: None, mesh=mesh,
+        )
+
+    ref_student, ref_loss = run(None)
+    mesh = mesh_lib.make_mesh(data=4, model=1)
+    student, loss = run(mesh)
+    # the student trained data-parallel: params replicated over the mesh
+    leaf = jax.tree_util.tree_leaves(student)[0]
+    assert len(leaf.sharding.device_set) == 4
+    np.testing.assert_allclose(loss, ref_loss, atol=1e-5, rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(student)),
+        jax.tree_util.tree_leaves(jax.device_get(ref_student)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_distill_round_conditional_labeled_batches(setup):
     """Conditional checkpoints train on labeled dict batches (the
     LabeledDataset format, {"image", "label"})."""
