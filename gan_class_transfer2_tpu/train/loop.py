@@ -173,7 +173,6 @@ class Runner(ResilientRunnerMixin):
         rides along because the FID estimator's finite-sample bias makes
         absolute FID values incomparable across eval-set sizes
         (docs/FID.md)."""
-        from ..sample import sampler
         from ..utils import metrics
 
         cfg = self.cfg
@@ -185,13 +184,38 @@ class Runner(ResilientRunnerMixin):
                 else self.state.params
             )
         if self._pipeline is not None:
-            params = self._pipeline.gather_params(params)
+            params = self._pipeline.gather_params(
+                params, mesh_lib.replicated_sharding(self.mesh)
+            )
         self.rng, sub = jax.random.split(self.rng)
         init = jax.random.normal(sub, (n, cfg.size, cfg.size, 3), jnp.float32)
-        samples = np.asarray(sampler.sample(cfg, params, init).images)
+        samples = np.asarray(self._metric_sample(params, init))
         ref = self._fid_reference_set(n)
         x = metrics.get_extractor(cfg.fid_extractor)
         return metrics.fid_and_kid(samples, ref, extractor=x)
+
+    def _metric_sample(self, params, init):
+        """The T-step sampler for the FID/KID batch, data-parallel over the
+        mesh (padded to the data extent, padding sliced back) — the metric
+        batch is fid_samples reverse diffusions, the costliest eval work."""
+        from ..sample import sampler
+
+        if self.mesh.size <= 1 or "data" not in self.mesh.axis_names:
+            return sampler.sample(self.cfg, params, init).images
+        if getattr(self, "_metric_sampler_fn", None) is None:
+            rep = mesh_lib.replicated_sharding(self.mesh)
+            cfg = self.cfg
+
+            def fn(p, batch):
+                b, real = mesh_lib.shard_sample_batch(batch, self.mesh)
+                return sampler.sample(cfg, p, b).images[:real]
+
+            # params keep their own (TP/replicated) sharding, like the
+            # eval program (mesh.make_parallel_eval_fn)
+            self._metric_sampler_fn = jax.jit(
+                fn, in_shardings=(None, rep), out_shardings=rep
+            )
+        return self._metric_sampler_fn(params, init)
 
     def _fid_reference_set(self, n: int) -> np.ndarray:
         """Fixed comparison set for FID, disjoint from training data.

@@ -323,6 +323,42 @@ def test_fid_uses_held_out_files(tmp_path):
         runner.close()
 
 
+def test_metric_sample_mesh_parity(tmp_path):
+    """The FID/KID sample batch is value-identical whether the sampler runs
+    single-device or data-parallel over the mesh (padded to the data extent,
+    padding sliced back) — quality scores must not depend on mesh shape."""
+    import jax
+    import jax.numpy as jnp
+
+    from gan_class_transfer2_tpu.sample import sampler
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    cfg = tiny_test_config(
+        steps=4,
+        batch_size=8,  # training batch must divide over the data axis
+        fid_samples=3,  # NOT divisible by 8: exercises sampler padding
+        checkpoint_dir=None,
+        log_dir=str(tmp_path / "logs"),
+        mesh_data=8,
+    )
+    runner = Runner(cfg, dataset=_dataset(cfg))
+    try:
+        params = runner.state.params
+        init = jax.random.normal(
+            jax.random.PRNGKey(7), (3, cfg.size, cfg.size, 3), jnp.float32
+        )
+        meshed = np.asarray(runner._metric_sample(params, init))
+        single = np.asarray(sampler.sample(cfg, params, init).images)
+        assert meshed.shape == single.shape == (3, cfg.size, cfg.size, 3)
+        np.testing.assert_allclose(meshed, single, atol=1e-5)
+        scores = runner.quality_scores()
+        assert np.isfinite(scores["fid"]) and np.isfinite(scores["kid"])
+    finally:
+        runner.close()
+
+
 def test_cli_rejects_process_flags_without_coordinator(capsys):
     """--num-processes/--process-id without --coordinator would silently run
     independent single-host jobs racing the shared dirs (review r3)."""
