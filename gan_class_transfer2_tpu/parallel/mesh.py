@@ -283,6 +283,38 @@ def shard_sample_batch(batch, mesh: Mesh):
     ), n
 
 
+def make_data_parallel_apply(mesh, fn):
+    """jit ``fn(params, batch, *extras)`` so the leading-axis batch runs
+    data-parallel over the mesh: the batch (and every extra whose leading
+    dim matches it, e.g. a per-sample class vector) is zero-padded to the
+    data extent and constrained to the data axis; padding rows are sliced
+    off the result. Params keep their own (TP/replicated) sharding.
+
+    This is the one-forward-pass sibling of ``shard_sample_batch``'s use in
+    the T-step sampler programs — it covers the GAN transfer evals and the
+    serving denoise/transfer endpoints, which are single U-Net forwards
+    (reference train.py:333-337 analogue). On a trivial mesh it is a plain
+    jit (still a win over the per-op eager dispatch it replaces)."""
+    if mesh is None or mesh.size <= 1 or "data" not in mesh.axis_names:
+        return jax.jit(fn)
+    rep = replicated_sharding(mesh)
+
+    def wrapped(params, batch, *extras):
+        n = batch.shape[0]
+        b, real = shard_sample_batch(batch, mesh)
+        ex = tuple(
+            shard_sample_batch(e, mesh)[0]
+            if hasattr(e, "ndim") and e.ndim >= 1 and e.shape[0] == n
+            else e
+            for e in extras
+        )
+        return fn(params, b, *ex)[:real]
+
+    # outputs replicated: callers device_get them (TensorBoard/HTTP), which
+    # on a pod requires fully-addressable arrays on every host
+    return jax.jit(wrapped, out_shardings=rep)
+
+
 def make_parallel_eval_fn(cfg, mesh: Mesh):
     """Eval/sampler program jitted over the mesh. The single-image stages
     (preview, inversion) are replicated (TP-sharded params still parallelise

@@ -297,7 +297,13 @@ class ModelService:
                 return sampler.sample(cfg, p, b, class_idx=c).images[:n]
 
             self._sample = jax.jit(_sample_prog)
-            self._preview = jax.jit(lambda p, x, n: sampler.preview(cfg, p, x, n))
+            from ..parallel import mesh as mesh_lib
+
+            # denoise preview: one forward, data-parallel over the mesh
+            # (the noise extra pads/shards alongside the image batch)
+            self._preview = mesh_lib.make_data_parallel_apply(
+                self.mesh, lambda p, x, n: sampler.preview(cfg, p, x, n)[0]
+            )
             self._segment = sampler.make_segment_fn(cfg, mesh=self.mesh)
             self._batcher = SampleBatcher(
                 self._run_sample, max_queue=self._max_queue
@@ -310,6 +316,8 @@ class ModelService:
         if gan_state is not None:
             from ..train import gan
 
+            self.gan_state = self._place_params(gan_state)
+            self._gan_transfer = gan.make_transfer_fn(cfg, self.mesh)
             self._transfer_batchers = {
                 d: ImageBatcher(
                     lambda imgs, d=d: self._run_transfer(imgs, d),
@@ -318,6 +326,10 @@ class ModelService:
                 for d in ("ab", "ba")
             }
         if cgan_state is not None:
+            from ..train import conditional_gan as cgan_lib
+
+            self.cgan_state = self._place_params(cgan_state)
+            self._cgan_transfer = cgan_lib.make_transfer_fn(cfg, self.mesh)
             self._cgan_batcher = TargetedImageBatcher(
                 self._run_cgan_transfer, max_queue=self._max_queue
             )
@@ -408,13 +420,13 @@ class ModelService:
                             else self.state.params
                         )
                     if self.gan_state is not None:
-                        self.gan_state = ckpt_lib.restore(
+                        self.gan_state = self._place_params(ckpt_lib.restore(
                             self.cfg.checkpoint_dir, self.gan_state, step=step
-                        )
+                        ))
                     if self.cgan_state is not None:
-                        self.cgan_state = ckpt_lib.restore(
+                        self.cgan_state = self._place_params(ckpt_lib.restore(
                             self.cfg.checkpoint_dir, self.cgan_state, step=step
-                        )
+                        ))
                     self._bump("reloads")
                 return self.step
             except Exception:  # noqa: BLE001 — pruned mid-restore?
@@ -536,9 +548,9 @@ class ModelService:
             yield np.asarray(x)[:num]
 
     def _pad_pow2(self, imgs: np.ndarray):
-        """Pad an image batch to the pow2 bucket (the denoise/transfer
-        programs run replicated, so no mesh rounding — see _pad_bucket for
-        the mesh-sharded sample path)."""
+        """Pad an image batch to the pow2 bucket (one compiled program per
+        bucket; the denoise/transfer programs additionally pad to the mesh's
+        data extent INSIDE their jits — mesh.make_data_parallel_apply)."""
         padded = _pow2(imgs.shape[0])
         if padded == imgs.shape[0]:
             return imgs, imgs.shape[0]
@@ -553,8 +565,7 @@ class ModelService:
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
             noise = jax.random.normal(sub, x.shape, dtype=np.float32)
-            denoised, _ = self._preview(self._params, x, noise)
-            return np.asarray(denoised)[:n]
+            return np.asarray(self._preview(self._params, x, noise))[:n]
 
     def _run_transfer(self, imgs: np.ndarray, direction: str) -> np.ndarray:
         from ..train import gan
@@ -562,9 +573,9 @@ class ModelService:
         x, n = self._pad_pow2(imgs)
         self._bump("device_batches")
         with self._lock:
-            return np.asarray(
-                gan.transfer(self.cfg, self.gan_state, x, direction)
-            )[:n]
+            return np.asarray(self._gan_transfer(
+                gan.select_generator(self.gan_state, direction), x
+            ))[:n]
 
     def _run_cgan_transfer(self, imgs: np.ndarray, targets: np.ndarray) -> np.ndarray:
         from ..train import conditional_gan as cgan_lib
@@ -574,9 +585,9 @@ class ModelService:
         t = np.zeros((x.shape[0],), np.int32)
         t[:n] = targets
         with self._lock:
-            return np.asarray(
-                cgan_lib.transfer(self.cfg, self.cgan_state, x, t)
-            )[:n]
+            return np.asarray(self._cgan_transfer(
+                cgan_lib.select_generator(self.cgan_state), x, t
+            ))[:n]
 
     def close(self):
         for b in ("_batcher", "_denoise_batcher", "_cgan_batcher"):

@@ -167,12 +167,30 @@ def make_conditional_gan_train_step(cfg):
     return jax.jit(step, donate_argnums=donate)
 
 
-def transfer(cfg, state: ConditionalGANState, images, target_class, use_ema=True):
-    """Transfer a batch to ``target_class`` (scalar or (B,) int)."""
-    params = (
+def select_generator(state: ConditionalGANState, use_ema=True):
+    """The generator param tree (EMA when kept)."""
+    return (
         state.ema_generator
         if (use_ema and state.ema_generator is not None)
         else state.generator
     )
+
+
+def make_transfer_fn(cfg, mesh=None):
+    """Jitted ``(g_params, images, target_vec) -> transferred`` forward,
+    data-parallel over the mesh's data axis (the per-sample target vector
+    pads and shards alongside the batch) — the eval/serving-side sibling
+    of ``transfer``."""
+    from ..parallel import mesh as mesh_lib
+
+    return mesh_lib.make_data_parallel_apply(
+        mesh, lambda p, x, t: cond_lib.conditional_unet_apply(cfg, p, x, t)
+    )
+
+
+def transfer(cfg, state: ConditionalGANState, images, target_class, use_ema=True):
+    """Transfer a batch to ``target_class`` (scalar or (B,) int)."""
     target = jnp.broadcast_to(jnp.asarray(target_class), (images.shape[0],))
-    return cond_lib.conditional_unet_apply(cfg, params, images, target)
+    return cond_lib.conditional_unet_apply(
+        cfg, select_generator(state, use_ema), images, target
+    )

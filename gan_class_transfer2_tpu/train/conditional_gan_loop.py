@@ -55,6 +55,9 @@ class ConditionalGANRunner(ResilientRunnerMixin):
         self.train_step = mesh_lib.make_parallel_conditional_gan_train_step(
             cfg, self.mesh
         )
+        # eval/metric transfers: one jitted forward, data-parallel over the
+        # mesh (replaces per-op eager dispatch replicated on every device)
+        self._transfer_fn = cgan.make_transfer_fn(cfg, self.mesh)
 
         self._eval_sets = list(eval_sets) if eval_sets is not None else None
         if datasets is None:
@@ -103,7 +106,7 @@ class ConditionalGANRunner(ResilientRunnerMixin):
             # batches on multi-host runs (collective; aligned on all hosts)
             self._fixed = multihost.host_fetch(next(self.data_iter))["image"]
         for target in range(self.cfg.num_classes):
-            out = cgan.transfer(self.cfg, self.state, jnp.asarray(self._fixed), target)
+            out = self._transfer(self._fixed, target)
             self.writer.image(
                 f"transfer_to_{target}", np.asarray(out) * 0.5 + 0.5, epoch, 10
             )
@@ -141,11 +144,16 @@ class ConditionalGANRunner(ResilientRunnerMixin):
         tgt_imgs = self._eval_sets[tgt]
         if src_imgs is None or tgt_imgs is None:
             return None
-        fake = np.asarray(
-            cgan.transfer(self.cfg, self.state, jnp.asarray(src_imgs), tgt)
-        )
+        fake = np.asarray(self._transfer(src_imgs, tgt))
         x = metrics.get_extractor(self.cfg.fid_extractor)
         return metrics.fid_and_kid(fake, np.asarray(tgt_imgs), extractor=x)
+
+    def _transfer(self, images, target: int):
+        """Mesh-parallel transfer with the runner's (EMA-preferring) params —
+        value-identical to ``cgan.transfer`` on the same weights."""
+        images = jnp.asarray(images)
+        tvec = jnp.full((images.shape[0],), target, jnp.int32)
+        return self._transfer_fn(cgan.select_generator(self.state), images, tvec)
 
     def _data_sources(self) -> dict:
         return {"labeled": self.labeled}

@@ -279,10 +279,24 @@ def make_gan_train_step(cfg):
     return jax.jit(step, donate_argnums=donate)
 
 
+def select_generator(state: GANState, direction: str = "ab", use_ema: bool = True):
+    """The generator param tree for a transfer direction (EMA when kept)."""
+    if direction == "ab":
+        return state.ema_g_ab if (use_ema and state.ema_g_ab is not None) else state.g_ab
+    return state.ema_g_ba if (use_ema and state.ema_g_ba is not None) else state.g_ba
+
+
+def make_transfer_fn(cfg, mesh=None):
+    """Jitted ``(g_params, images) -> transferred`` forward, data-parallel
+    over the mesh's data axis (parallel.mesh.make_data_parallel_apply) —
+    the eval/serving-side sibling of ``transfer``."""
+    from ..parallel import mesh as mesh_lib
+
+    return mesh_lib.make_data_parallel_apply(
+        mesh, lambda p, x: _generate(cfg, p, x)
+    )
+
+
 def transfer(cfg, state: GANState, images, direction: str = "ab", use_ema: bool = True):
     """Apply the learned class transfer to a batch of images."""
-    if direction == "ab":
-        params = state.ema_g_ab if (use_ema and state.ema_g_ab is not None) else state.g_ab
-    else:
-        params = state.ema_g_ba if (use_ema and state.ema_g_ba is not None) else state.g_ba
-    return _generate(cfg, params, images)
+    return _generate(cfg, select_generator(state, direction, use_ema), images)

@@ -47,6 +47,9 @@ class GANRunner(ResilientRunnerMixin):
         if cfg.checkpoint_dir and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None:
             self.state = ckpt_lib.restore(cfg.checkpoint_dir, self.state)
         self.train_step = mesh_lib.make_parallel_gan_train_step(cfg, self.mesh)
+        # eval/metric transfers: one jitted forward, data-parallel over the
+        # mesh (replaces per-op eager dispatch replicated on every device)
+        self._transfer_fn = gan.make_transfer_fn(cfg, self.mesh)
 
         # held-out eval split: when datasets are built here from the class
         # patterns, fid_samples files per class are RESERVED for the FID
@@ -100,9 +103,9 @@ class GANRunner(ResilientRunnerMixin):
             # writer persists the images.
             self._fixed_a = multihost.host_fetch(next(self.iter_a))
             self._fixed_b = multihost.host_fetch(next(self.iter_b))
-        fake_b = gan.transfer(self.cfg, self.state, self._fixed_a, "ab")
-        fake_a = gan.transfer(self.cfg, self.state, self._fixed_b, "ba")
-        cycled = gan.transfer(self.cfg, self.state, fake_b, "ba")
+        fake_b = self._transfer(self._fixed_a, "ab")
+        fake_a = self._transfer(self._fixed_b, "ba")
+        cycled = self._transfer(fake_b, "ba")
         self.writer.image("transfer_ab", np.asarray(fake_b) * 0.5 + 0.5, epoch, 10)
         self.writer.image("transfer_ba", np.asarray(fake_a) * 0.5 + 0.5, epoch, 10)
         self.writer.image("cycle_aba", np.asarray(cycled) * 0.5 + 0.5, epoch, 10)
@@ -157,9 +160,16 @@ class GANRunner(ResilientRunnerMixin):
 
         src = self._eval_set("a" if direction == "ab" else "b")
         tgt = self._eval_set("b" if direction == "ab" else "a")
-        fake = np.asarray(gan.transfer(self.cfg, self.state, jnp.asarray(src), direction))
+        fake = np.asarray(self._transfer(jnp.asarray(src), direction))
         x = metrics.get_extractor(self.cfg.fid_extractor)
         return metrics.fid_and_kid(fake, tgt, extractor=x)
+
+    def _transfer(self, images, direction: str):
+        """Mesh-parallel transfer with the runner's (EMA-preferring) params —
+        value-identical to ``gan.transfer`` on the same weights."""
+        return self._transfer_fn(
+            gan.select_generator(self.state, direction), jnp.asarray(images)
+        )
 
     def fit(self, epochs: Optional[int] = None, steps_per_epoch: Optional[int] = None,
             log_samples: bool = True):

@@ -296,6 +296,27 @@ def test_eval_fn_shards_sampler_over_data_and_matches_single_device():
     assert out4["fake"].shape[0] == 6
 
 
+def test_make_data_parallel_apply_parity():
+    """make_data_parallel_apply matches the plain fn on a non-divisible
+    batch, pads/shards leading-dim-matching extras (class vectors), and
+    leaves scalar extras alone."""
+    m = mesh_lib.make_mesh(devices=jax.devices()[:8], data=8, model=1)
+
+    def fn(p, x, t, scale):
+        return x * p + t[:, None] * scale
+
+    params = jnp.float32(2.0)
+    x = jnp.arange(12.0).reshape(3, 4)  # 3 not divisible by 8
+    t = jnp.asarray([1.0, 2.0, 3.0])
+    par = mesh_lib.make_data_parallel_apply(m, fn)
+    out = par(params, x, t, 0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(fn(params, x, t, 0.5)))
+    # trivial mesh: plain jit, same values
+    m1 = mesh_lib.make_mesh(devices=jax.devices()[:1], data=1, model=1)
+    out1 = mesh_lib.make_data_parallel_apply(m1, fn)(params, x, t, 0.5)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out))
+
+
 def test_shard_sample_batch_pads_to_data_extent():
     m = mesh_lib.make_mesh(devices=jax.devices()[:4], data=4, model=1)
     x = jnp.ones((6, 4, 4, 3))
