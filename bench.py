@@ -36,10 +36,33 @@ def main():
             + " --xla_tpu_scoped_vmem_limit_kib=32768"
         ).strip()
 
+    # Availability guard: the default platform here is a tunneled TPU plugin
+    # whose backend init BLOCKS (not errors) when the tunnel is down. Probe
+    # it in a subprocess with a timeout and fall back to the CPU bench so
+    # this script always prints its one JSON line (backend field shows
+    # what actually ran) instead of hanging the driver.
+    import subprocess
+
+    if "cpu" not in str(os.environ.get("GCT2_BENCH_PLATFORM", "")):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                timeout=180,
+            )
+            responsive = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            responsive = False
+    else:
+        responsive = False  # explicit CPU request
+
     from gan_class_transfer2_tpu.config import Config
     from gan_class_transfer2_tpu.utils.benchmark import run_benchmark
 
     import jax
+
+    if not responsive:
+        jax.config.update("jax_platforms", "cpu")
 
     # Persistent compilation cache: the first bench run pays the (minutes-long
     # on a tunneled TPU) compile; subsequent runs of the same config start in

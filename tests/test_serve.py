@@ -355,6 +355,47 @@ def test_service_samples_over_mesh_match_single_device():
         meshed.close()
 
 
+def test_service_transfer_and_denoise_over_mesh_match_single_device():
+    """The one-forward endpoints (GAN/cGAN transfer, denoise preview) run
+    data-parallel over the mesh (mesh.make_data_parallel_apply); outputs
+    must match the unmeshed service on the same weights."""
+    from gan_class_transfer2_tpu.parallel import mesh as mesh_lib
+    from gan_class_transfer2_tpu.serve.server import ModelService
+    from gan_class_transfer2_tpu.train import conditional_gan as cgan_lib
+    from gan_class_transfer2_tpu.train import gan as gan_lib
+    from gan_class_transfer2_tpu.train import trainer as trainer_lib
+
+    cfg = tiny_test_config()
+    ccfg = cfg.replace(num_classes=3)
+    state = trainer_lib.init_state(cfg, jax.random.PRNGKey(0))
+    gs = gan_lib.init_gan_state(cfg, jax.random.PRNGKey(1))
+    cs = cgan_lib.init_conditional_gan_state(ccfg, jax.random.PRNGKey(2))
+    mesh = mesh_lib.make_mesh(devices=jax.devices()[:4], data=4, model=1)
+    plain = ModelService(cfg, state=state, gan_state=gs)
+    meshed = ModelService(cfg, state=state, gan_state=gs, mesh=mesh)
+    cplain = ModelService(ccfg, cgan_state=cs)
+    cmeshed = ModelService(ccfg, cgan_state=cs, mesh=mesh)
+    img = np.random.default_rng(0).uniform(
+        -1, 1, (1, cfg.size, cfg.size, 3)
+    ).astype(np.float32)
+    try:
+        for d in ("ab", "ba"):
+            a = plain.transfer(img, d)
+            b = meshed.transfer(img, d)
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+        ca = cplain.transfer_to(img, 2)
+        cb = cmeshed.transfer_to(img, 2)
+        np.testing.assert_allclose(ca, cb, rtol=2e-4, atol=2e-4)
+        # denoise previews draw service-local RNG; check shape/finiteness
+        den = meshed.denoise(img)
+        assert den.shape == img.shape and np.isfinite(den).all()
+    finally:
+        plain.close()
+        meshed.close()
+        cplain.close()
+        cmeshed.close()
+
+
 def test_build_service_uses_mesh_on_multichip_host(tmp_path):
     """The serve CLI's service constructor: restores the latest checkpoint
     and, with >1 visible device, builds a mesh so /sample shards over the
