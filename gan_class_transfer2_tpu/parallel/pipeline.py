@@ -354,14 +354,16 @@ class PipelineTrainer:
         self._up = [jax.jit(_stage_up_fn(cfg, self.plan, s))
                     for s in range(S - 1)]  # index 0 unused (loss fn instead)
         loss_f = _stage_loss_fn(cfg, self.plan)
-        self._loss = jax.jit(loss_f)
 
         def bwd_loss(sp, h, skips, target, pred_scale, t_b, ct):
-            _, vjp = jax.vjp(
+            # the primal IS the microbatch loss — returning it (instead of a
+            # separate forward-loop loss program) saves one full stage-0
+            # tail forward per microbatch
+            loss, vjp = jax.vjp(
                 lambda p, hh, ss: loss_f(p, hh, ss, target, pred_scale, t_b),
                 sp, h, skips,
             )
-            return vjp(ct)
+            return (loss,) + vjp(ct)
 
         self._bwd_loss = jax.jit(bwd_loss)
 
@@ -395,8 +397,18 @@ class PipelineTrainer:
 
         self._bwd_down = [make_bwd_down(s) for s in range(S - 1)]
 
+        # cfg.donate_state: the pipeline path exists for models that do NOT
+        # fit a chip, so old/new double-buffering of params, Adam moments,
+        # EMA, and grad accumulators is exactly the headroom it cannot
+        # afford — donate the consumed argument of every update-side
+        # program. (Stage views are disjoint, each consumed exactly once;
+        # the one aliasing hazard — stage 0's opt scalar leaves, which
+        # device_put would pass through by reference — is copied at the
+        # rewrite site below.)
+        don = (0, 1) if cfg.donate_state else ()
         self._acc = jax.jit(
-            lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+            lambda a, b: jax.tree_util.tree_map(jnp.add, a, b),
+            donate_argnums=don,
         )
 
         # global-norm clipping must see the GLOBAL norm, not each stage's
@@ -419,7 +431,8 @@ class PipelineTrainer:
         self._scale_tree = jax.jit(
             lambda t, f: jax.tree_util.tree_map(
                 lambda x: x * f.astype(x.dtype), t
-            )
+            ),
+            donate_argnums=(0,) if cfg.donate_state else (),
         )
 
         def update(p, o, g):
@@ -428,12 +441,18 @@ class PipelineTrainer:
 
             return optax.apply_updates(p, updates), new_o
 
-        self._update = jax.jit(update)
+        self._update = jax.jit(
+            update,
+            donate_argnums=(0, 1, 2) if cfg.donate_state else (),
+        )
         d = cfg.ema_decay
+        # donate the OLD ema view only — new_p is still referenced by the
+        # merged params tree
         self._ema_blend = jax.jit(
             lambda e, p: jax.tree_util.tree_map(
                 lambda ee, pp: ee * d + pp * (1.0 - d), e, p
-            )
+            ),
+            donate_argnums=(0,) if cfg.donate_state else (),
         )
 
     # ------------------------------------------------------------- placement
@@ -514,8 +533,18 @@ class PipelineTrainer:
         step value-identical to the single-device step by construction."""
         cfg = self.cfg
         batch, rng = trainer_lib.fold_and_augment(cfg, batch, rng, step)
+        # mesh/batch_spec MUST be threaded when dp > 1: the Mosaic
+        # fused-diffusion kernel cannot be GSPMD-partitioned, so on a
+        # multi-device stage mesh draw_and_diffuse has to route it through
+        # the shard_map island (or fall back) exactly like
+        # mesh.make_parallel_train_step does — without this, the first
+        # PP x DP step on TPU fails to compile under the default
+        # fused_diffusion=True config.
+        mesh0 = self.stage_meshes[0] if self.dp > 1 else None
         noised, target, pred_scale, t_int = trainer_lib.draw_and_diffuse(
-            cfg, batch, rng
+            cfg, batch, rng,
+            mesh=mesh0,
+            batch_spec=P("data") if mesh0 is not None else None,
         )
         return (
             noised,
@@ -566,21 +595,20 @@ class PipelineTrainer:
                 h = self._up[s](p[s], h, skips[m][s])
             h = jax.device_put(h, self._sharded(0))
             h_up_in[m][0] = h
-            losses.append(
-                self._loss(p[0], h, skips[m][0], sl(target, m),
-                           sl(pred_scale, m), sl(t_b, m))
-            )
 
         # ---- backward (reverse microbatch order drains the pipeline);
-        # each stage recomputes its forward inside the jitted VJP
+        # each stage recomputes its forward inside the jitted VJP. The
+        # microbatch losses fall out of _bwd_loss's primal (sum order is
+        # irrelevant: the step loss is their mean).
         ct = jnp.full((), 1.0 / M, jnp.float32)
         g = [None] * S
         for m in range(M - 1, -1, -1):
-            pg, h_ct, sk_ct = self._bwd_loss(
+            loss_m, pg, h_ct, sk_ct = self._bwd_loss(
                 p[0], h_up_in[m][0], skips[m][0], sl(target, m),
                 sl(pred_scale, m), sl(t_b, m),
                 jax.device_put(ct, self._rep(0)),
             )
+            losses.append(loss_m)
             g[0] = pg if g[0] is None else self._acc(g[0], pg)
             skips_ct = [None] * S
             skips_ct[0] = sk_ct
@@ -618,11 +646,17 @@ class PipelineTrainer:
         new_opt_full = state.opt_state
         ema_full = state.ema_params
         for s in range(S):
+            # scalar leaves: stage 0's device_put would pass the LIVE state
+            # scalar through by reference (same sharding) and _update then
+            # donates it — copy so the donated buffer is never the caller's
             opt_s = _rewrite_state(
                 state.opt_state,
                 self._params_treedef,
                 lambda tr, s=s: tree_stage_view(plan, tr, s),
-                lambda leaf, s=s: jax.device_put(leaf, self._rep(s)),
+                lambda leaf, s=s: (
+                    jnp.copy(leaf) if s == 0
+                    else jax.device_put(leaf, self._rep(s))
+                ),
             )
             new_p, new_o = self._update(p[s], opt_s, g[s])
             new_params_full = tree_stage_merge(plan, new_params_full, s, new_p)

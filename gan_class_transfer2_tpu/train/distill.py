@@ -74,6 +74,14 @@ def _validate(cfg, stride: int) -> None:
         raise ValueError(f"student stride must be even, got {stride}")
     if stride > cfg.steps:
         raise ValueError(f"stride {stride} exceeds steps T={cfg.steps}")
+    if cfg.dynamic_loss_scale or cfg.loss_scale > 0:
+        # the distill step has no ScaleState / non-finite-skip machinery;
+        # silently training an fp16 student unscaled would corrupt it
+        raise ValueError(
+            "loss scaling is unsupported on the distillation path "
+            "(bf16 on TPU needs none); distill with compute_dtype="
+            "'bfloat16' or 'float32'"
+        )
 
 
 def student_grid(cfg, stride: int) -> np.ndarray:
@@ -194,22 +202,9 @@ def _distill_step_fn(cfg, stride: int):
         )(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        ema = state.ema_params
-        if ema is not None:
-            d = cfg.ema_decay
-            blended = jax.tree_util.tree_map(
-                lambda e, p: e * d + p * (1.0 - d), ema, params
-            )
-            if cfg.grad_accum > 1:
-                # blend only when MultiSteps actually applied an update
-                # (mini_step wrapped to 0) — same gate as trainer.train_step;
-                # no-op micro-steps would decay EMA toward unchanged params
-                applied = opt_state.mini_step == 0
-                ema = jax.tree_util.tree_map(
-                    lambda b, e: jnp.where(applied, b, e), blended, ema
-                )
-            else:
-                ema = blended
+        # shared blend-and-gate (trainer.ema_update): grad_accum gating
+        # identical to train_step by construction
+        ema = trainer_lib.ema_update(cfg, state.ema_params, params, opt_state)
         return trainer_lib.TrainState(
             state.step + 1, params, opt_state, ema, state.scale_state
         ), loss

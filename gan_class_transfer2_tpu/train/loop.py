@@ -198,22 +198,12 @@ class Runner(ResilientRunnerMixin):
         """The T-step sampler for the FID/KID batch, data-parallel over the
         mesh (padded to the data extent, padding sliced back) — the metric
         batch is fid_samples reverse diffusions, the costliest eval work."""
-        from ..sample import sampler
-
-        if self.mesh.size <= 1 or "data" not in self.mesh.axis_names:
-            return sampler.sample(self.cfg, params, init).images
         if getattr(self, "_metric_sampler_fn", None) is None:
-            rep = mesh_lib.replicated_sharding(self.mesh)
+            from ..sample import sampler
+
             cfg = self.cfg
-
-            def fn(p, batch):
-                b, real = mesh_lib.shard_sample_batch(batch, self.mesh)
-                return sampler.sample(cfg, p, b).images[:real]
-
-            # params keep their own (TP/replicated) sharding, like the
-            # eval program (mesh.make_parallel_eval_fn)
-            self._metric_sampler_fn = jax.jit(
-                fn, in_shardings=(None, rep), out_shardings=rep
+            self._metric_sampler_fn = mesh_lib.make_data_parallel_apply(
+                self.mesh, lambda p, b: sampler.sample(cfg, p, b).images
             )
         return self._metric_sampler_fn(params, init)
 

@@ -419,31 +419,38 @@ def train_step(
                 grads, state.opt_state, state.params
             )
             params = optax.apply_updates(state.params, updates)
-    ema = state.ema_params
-    if ema is not None:
-        d = cfg.ema_decay
-        blended = jax.tree_util.tree_map(
-            lambda e, p: e * d + p * (1.0 - d), ema, params
-        )
-        # blend only when an update was actually applied: under grad_accum
-        # only when MultiSteps' window closed (mini_step wraps to 0), and
-        # under dynamic loss scaling only on finite (non-skipped) steps —
-        # otherwise the no-op steps decay EMA toward the unchanged params,
-        # silently raising the effective per-update decay
-        applied = None
-        if cfg.grad_accum > 1:
-            applied = opt_state.mini_step == 0
-        if dynamic:
-            applied = finite if applied is None else jnp.logical_and(
-                applied, finite
-            )
-        if applied is not None:
-            ema = jax.tree_util.tree_map(
-                lambda b, e: jnp.where(applied, b, e), blended, ema
-            )
-        else:
-            ema = blended
+    ema = ema_update(
+        cfg, state.ema_params, params, opt_state,
+        finite=finite if dynamic else None,
+    )
     return TrainState(state.step + 1, params, opt_state, ema, scale_state), loss
+
+
+def ema_update(cfg, ema, params, opt_state, finite=None):
+    """EMA blend gated on an APPLIED update: under grad_accum only when
+    MultiSteps' window closed (mini_step wraps to 0), and under dynamic
+    loss scaling only on ``finite`` (non-skipped) steps — no-op steps would
+    decay EMA toward the unchanged params, silently raising the effective
+    per-update decay. Shared by train_step and the distillation step so the
+    gating cannot drift. Returns the new EMA tree (None stays None)."""
+    if ema is None:
+        return None
+    d = cfg.ema_decay
+    blended = jax.tree_util.tree_map(
+        lambda e, p: e * d + p * (1.0 - d), ema, params
+    )
+    applied = None
+    if cfg.grad_accum > 1:
+        applied = opt_state.mini_step == 0
+    if finite is not None:
+        applied = finite if applied is None else jnp.logical_and(
+            applied, finite
+        )
+    if applied is None:
+        return blended
+    return jax.tree_util.tree_map(
+        lambda b, e: jnp.where(applied, b, e), blended, ema
+    )
 
 
 def make_injected_train_step(cfg):

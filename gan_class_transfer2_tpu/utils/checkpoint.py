@@ -66,21 +66,19 @@ def host_complete(state):
 
 
 def _host_template(like):
-    """Structure template for orbax restore that never device_gets a
-    cross-process-sharded leaf (device_get of a non-addressable,
-    non-replicated array raises)."""
+    """Structure template for orbax restore: shape/dtype placeholders only.
+    Values are overwritten by the restore, so device arrays map to
+    ``np.zeros`` — never ``device_get`` (which would synchronously pull the
+    full live state to host just to be discarded, ~0.7 GB at the flagship,
+    and raises outright on cross-process-sharded ZeRO-1 leaves)."""
     import numpy as _np
 
     import jax as _jax
 
     def one(leaf):
-        if (
-            isinstance(leaf, _jax.Array)
-            and not leaf.is_fully_addressable
-            and not leaf.is_fully_replicated
-        ):
+        if isinstance(leaf, _jax.Array) or hasattr(leaf, "shape"):
             return _np.zeros(leaf.shape, leaf.dtype)
-        return _jax.device_get(leaf)
+        return leaf  # python scalars/None keep their structure role
 
     return _jax.tree_util.tree_map(one, like)
 
@@ -140,7 +138,10 @@ def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None,
         json.dump(meta, f, indent=2, sort_keys=True)
     keep = getattr(cfg, "checkpoint_keep", 0)
     if keep > 0:
-        prune(ckpt_dir, keep)
+        # protect the step JUST written: after resuming from an explicitly
+        # older step it ranks below the newest `keep` dirs, and pruning it
+        # here would delete the checkpoint this call reports as persisted
+        prune(ckpt_dir, keep, protect=step)
     return path
 
 

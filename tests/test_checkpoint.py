@@ -240,6 +240,31 @@ def test_prune_retention_counts_protected_step(tmp_path):
     assert ckpt.all_steps(str(tmp_path)) == [2, 3]
 
 
+def test_save_protects_just_written_older_step(tmp_path):
+    """A fresh save at a step OLDER than the newest ``keep`` dirs (resume
+    from an explicit earlier step, then train) must survive its own
+    retention pass — pruning it would delete the checkpoint save() just
+    reported as persisted (review r3e)."""
+    import os
+
+    import jax
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.train import trainer
+    from gan_class_transfer2_tpu.utils import checkpoint as ckpt
+
+    cfg0 = tiny_test_config(checkpoint_dir=str(tmp_path), donate_state=False)
+    state = trainer.init_state(cfg0, jax.random.PRNGKey(0))
+    for s in (3000, 4000, 5000):
+        ckpt.save(str(tmp_path), state, cfg0, step=s)
+    cfg = cfg0.replace(checkpoint_keep=2)
+    path = ckpt.save(str(tmp_path), state, cfg, step=1500)
+    assert os.path.isdir(path)  # the step just written survives retention
+    # documented prune contract: keep+1 dirs exactly when the protected
+    # step ranks below the newest `keep` (it still counts toward the total)
+    assert ckpt.all_steps(str(tmp_path)) == [1500, 4000, 5000]
+
+
 def test_host_extra_sidecar_roundtrip_and_prune(tmp_path):
     """Per-host data-position sidecars (pod runs): save_host_extra writes
     this process's own file, load_extra(host=k) prefers it and falls back

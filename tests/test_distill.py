@@ -282,6 +282,12 @@ def test_validation_errors(setup):
         distill.make_distill_step(cfg, 3)
     with pytest.raises(ValueError, match="exceeds steps"):
         distill.make_distill_step(cfg, 2 * cfg.steps)
+    # the distill step has no loss-scale machinery: fp16 scaling configs
+    # must be rejected loudly, not silently trained unscaled (review r3e)
+    with pytest.raises(ValueError, match="loss scaling"):
+        distill.make_distill_step(cfg.replace(dynamic_loss_scale=True), 2)
+    with pytest.raises(ValueError, match="loss scaling"):
+        distill.make_distill_step(cfg.replace(loss_scale=128.0), 2)
     with pytest.raises(ValueError, match="not reachable"):
         distill.progressive_distill(cfg, params, iter([]), target_stride=6,
                                     steps_per_round=1)

@@ -164,6 +164,69 @@ def test_pipeline_dp_matches_single_device_step():
     )
 
 
+def test_pipeline_dp_threads_mesh_into_draw_and_diffuse(monkeypatch):
+    """The prep program must pass stage 0's mesh + batch_spec to
+    draw_and_diffuse when dp > 1 — the Mosaic fused-diffusion kernel cannot
+    be GSPMD-partitioned, so on TPU the sharded-island route (or fallback)
+    must engage exactly as in mesh.make_parallel_train_step. CPU tests
+    can't compile the kernel, so pin the PLUMBING with a spy (same approach
+    as tests/test_kernels_sharded.py)."""
+    seen = {}
+    real = trainer_lib.draw_and_diffuse
+
+    def spy(cfg, batch, rng, **kw):
+        seen.update(kw)
+        return real(cfg, batch, rng, **kw)
+
+    monkeypatch.setattr(pipeline.trainer_lib, "draw_and_diffuse", spy)
+    cfg = _cfg(
+        octaves=3, batch_size=8, pipeline_stages=2,
+        pipeline_microbatches=2, mesh_data=2,
+    )
+    tr = pipeline.PipelineTrainer(cfg)
+    st = tr.place_state(trainer_lib.init_state(cfg, jax.random.PRNGKey(0)))
+    tr.step(st, _batch(cfg), jax.random.PRNGKey(1))
+    assert seen.get("mesh") is tr.stage_meshes[0]
+    assert seen.get("batch_spec") == jax.sharding.PartitionSpec("data")
+    # pure PP (dp == 1): single-device stage programs need no mesh
+    seen.clear()
+    cfg1 = _cfg(octaves=3, batch_size=4, pipeline_stages=2,
+                pipeline_microbatches=2, mesh_data=1)
+    tr1 = pipeline.PipelineTrainer(cfg1)
+    st1 = tr1.place_state(trainer_lib.init_state(cfg1, jax.random.PRNGKey(0)))
+    tr1.step(st1, _batch(cfg1), jax.random.PRNGKey(1))
+    assert seen.get("mesh") is None
+
+
+def test_pipeline_step_with_donation_matches_reference():
+    """donate_state=True (the production default) frees each stage's old
+    params/moments/EMA/grad buffers. CPU ignores donation, so this pins the
+    jit signatures and that no donated argument is reused by the schedule
+    (JAX raises on reuse-after-donate where donation IS honoured)."""
+    cfg = _cfg(octaves=3, batch_size=4, pipeline_microbatches=2,
+               donate_state=True, ema_decay=0.99, grad_clip_norm=1.0)
+    rng = jax.random.PRNGKey(3)
+    state0 = trainer_lib.init_state(cfg, jax.random.PRNGKey(4))
+    batch = _batch(cfg)
+    ref_step = trainer_lib.make_train_step(
+        cfg.replace(pipeline_stages=1, donate_state=False)
+    )
+    ref_state, ref_loss = ref_step(state0, batch, rng)
+
+    tr = pipeline.PipelineTrainer(cfg)
+    st = tr.place_state(trainer_lib.init_state(cfg, jax.random.PRNGKey(4)))
+    st, loss = tr.step(st, batch, rng)
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-5)
+    _tree_allclose(jax.device_get(st.params), jax.device_get(ref_state.params))
+    _tree_allclose(
+        jax.device_get(st.ema_params), jax.device_get(ref_state.ema_params)
+    )
+    # a second step from the returned state must also run (the schedule
+    # never hands a donated buffer back into a later program)
+    st, loss2 = tr.step(st, _batch(cfg, seed=1), jax.random.PRNGKey(5))
+    assert np.isfinite(float(loss2))
+
+
 def test_pipeline_dp_rejects_indivisible_microbatch():
     with pytest.raises(ValueError, match="PP x DP"):
         pipeline.PipelineTrainer(
