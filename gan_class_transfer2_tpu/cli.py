@@ -551,8 +551,9 @@ def _eval_into(cfg: Config, args, out: dict, scratch: str) -> None:
         try:
             out["step"] = int(runner.state.step)
             scores = runner.quality_scores()
-            out["fid"] = float(scores["fid"])
-            out["kid"] = float(scores["kid"])
+            # None = degenerate eval set (< 2 images): emit nulls, not crash
+            out["fid"] = None if scores is None else float(scores["fid"])
+            out["kid"] = None if scores is None else float(scores["kid"])
         finally:
             runner.close()
     elif args.model == "gan":
@@ -563,8 +564,9 @@ def _eval_into(cfg: Config, args, out: dict, scratch: str) -> None:
             out["step"] = int(runner.state.step)
             for d in ("ab", "ba"):
                 scores = runner.transfer_scores(d)
-                out[f"transfer_fid_{d}"] = float(scores["fid"])
-                out[f"transfer_kid_{d}"] = float(scores["kid"])
+                if scores is not None:  # None = degenerate eval set
+                    out[f"transfer_fid_{d}"] = float(scores["fid"])
+                    out[f"transfer_kid_{d}"] = float(scores["kid"])
         finally:
             runner.close()
     else:

@@ -40,6 +40,26 @@ def list_files(pattern: str) -> list[str]:
     return files
 
 
+def decode_eval_set(files, size: int, seed: int = 0) -> np.ndarray:
+    """Deterministically decode a held-out eval set (fixed crop stream, no
+    flip), SKIPPING files the training pipeline also tolerates — images too
+    small for the crop, or undecodable bytes. held_out_split reserves files
+    blindly, so one bad file must shrink the eval set (noisier but unbiased
+    metric), not crash the runner that training on the same glob survives.
+    Returns (N', size, size, 3) float32 with N' <= len(files)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for f in files:
+        try:
+            out.append(decode_image(f, size, rng, crop=True, flip=False))
+        except Exception as e:  # noqa: BLE001 — skip exactly like training
+            print(f"eval set: skipped undecodable {f!r} "
+                  f"({type(e).__name__}: {e})")
+    if not out:
+        return np.zeros((0, size, size, 3), np.float32)
+    return np.stack(out, 0)
+
+
 def held_out_split(pattern_or_files, n_eval: int, seed: int = 0):
     """Deterministically split a class's files into (train, eval) with the
     eval files NEVER fed to training iterators — FID hygiene (a metric

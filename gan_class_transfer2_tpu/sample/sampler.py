@@ -186,8 +186,11 @@ def sample_stream(cfg, params, init_batch, segments: int = 4, class_idx=None):
 
     seg = make_segment_fn(cfg, class_idx)
     ts_all = sample_timesteps(cfg)
+    # clamp: more segments than timesteps is meaningless, and array_split's
+    # output is sized by this count (caller-controlled in serving)
+    segments = min(max(int(segments), 1), len(ts_all))
     x_theta = epsilon_theta = init_batch
-    for ts in np.array_split(ts_all, max(segments, 1)):
+    for ts in np.array_split(ts_all, segments):
         if len(ts) == 0:
             continue
         x_theta, epsilon_theta = seg(

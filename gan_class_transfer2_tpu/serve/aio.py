@@ -182,10 +182,20 @@ class AsyncServer:
             class_idx = req.get("class")
             class_idx = None if class_idx is None else int(class_idx)
             if req.get("stream"):
+                segments = int(req.get("segments", 4))
+                # same guards as the threaded frontend: bounded segments
+                # (np.array_split OOM) and one-image-per-frame wire format
+                if not 1 <= segments <= 64:
+                    return _json_response(
+                        400, {"error": "segments must be in [1, 64]"}
+                    )
+                if num != 1:
+                    return _json_response(400, {
+                        "error": "streaming supports num=1 "
+                                 "(use format=base64 for batches)"
+                    })
                 service.check_streamable(class_idx)  # errors pre-header
-                await self._handle_stream(
-                    writer, num, int(req.get("segments", 4)), class_idx
-                )
+                await self._handle_stream(writer, num, segments, class_idx)
                 return None  # response already written
             images = await self._run_blocking(service.sample, num, class_idx)
             if req.get("format") == "base64":

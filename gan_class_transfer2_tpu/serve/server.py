@@ -98,6 +98,10 @@ class SampleBatcher:
     def submit(self, num: int, payload=None) -> np.ndarray:
         req = _BatchRequest(num, payload)
         with self._cv:
+            if self._stop:
+                # the collector has exited: an enqueued request would wait
+                # on its event forever (daemon handler threads race close())
+                raise RuntimeError("server shutting down")
             if (
                 self._max_queue > 0
                 and sum(r.num for r in self._pending) + num > self._max_queue
@@ -532,11 +536,19 @@ class ModelService:
         # reference loop) so streamed and non-streamed sampling agree —
         # the schedule has exactly one definition (sampler.sample_timesteps)
         ts_all = sampler.sample_timesteps(self.cfg)
+        # more segments than timesteps is meaningless, and an unbounded
+        # count would size np.array_split's output by caller input
+        segments = min(max(int(segments), 1), len(ts_all))
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
             x = e = jax.random.normal(
                 sub, (padded, self.cfg.size, self.cfg.size, 3), dtype=np.float32
             )
+            # pin the CURRENT weights for the whole stream: a /reload
+            # between segments must not advance the (x̂, ε̂) trajectory of
+            # checkpoint A with checkpoint B's denoiser (the old param
+            # buffers stay alive exactly as long as this generator does)
+            params = self._params
         for ts in np.array_split(ts_all, max(segments, 1)):
             if len(ts) == 0:
                 continue
@@ -544,7 +556,7 @@ class ModelService:
             # segments must not stall the other endpoints
             self._bump("device_batches")
             with self._lock:
-                x, e = seg(self._params, x, e, jnp.asarray(ts))
+                x, e = seg(params, x, e, jnp.asarray(ts))
             yield np.asarray(x)[:num]
 
     def _pad_pow2(self, imgs: np.ndarray):
@@ -741,10 +753,22 @@ def make_handler(service: ModelService):
                     class_idx = req.get("class")
                     class_idx = None if class_idx is None else int(class_idx)
                     if req.get("stream"):
+                        segments = int(req.get("segments", 4))
+                        # unvalidated segments would hand np.array_split an
+                        # attacker-sized count (host OOM); the stream wire
+                        # format carries ONE image per frame, so num > 1
+                        # would silently compute a batch and transmit [0]
+                        if not 1 <= segments <= 64:
+                            return self._json(
+                                400, {"error": "segments must be in [1, 64]"}
+                            )
+                        if num != 1:
+                            return self._json(400, {
+                                "error": "streaming supports num=1 "
+                                         "(use format=base64 for batches)"
+                            })
                         service.check_streamable(class_idx)  # errors pre-header
-                        return self._stream_sample(
-                            num, int(req.get("segments", 4)), class_idx
-                        )
+                        return self._stream_sample(num, segments, class_idx)
                     images = service.sample(num, class_idx=class_idx)
                     if req.get("format") == "base64":
                         return self._json(

@@ -71,18 +71,10 @@ class ConditionalGANRunner(ResilientRunnerMixin):
                 eval_files.append(ev)
             datasets = pipeline.make_datasets(cfg, files_per_class=files)
             if self._eval_sets is None and cfg.fid_samples > 0:
-                rng = np.random.default_rng(0)
+                # undecodable reserved files are skipped, like training does
                 self._eval_sets = [
-                    np.stack(
-                        [
-                            pipeline.decode_image(f, cfg.size, rng,
-                                                  crop=True, flip=False)
-                            for f in ev
-                        ],
-                        0,
-                    )
-                    if ev
-                    else None
+                    pipeline.decode_eval_set(ev, cfg.size, seed=0)
+                    if ev else None
                     for ev in eval_files
                 ]
         self.labeled = pipeline.LabeledDataset(datasets)
@@ -90,8 +82,6 @@ class ConditionalGANRunner(ResilientRunnerMixin):
         self.data_iter = pipeline.device_iterator(
             self.labeled, mesh_lib.batch_sharding(self.mesh)
         )
-        from ..parallel import multihost
-
         if multihost.is_coordinator():
             self.log_dir = log_dir or tb.reference_log_dir(cfg.log_dir)
             self.writer = tb.SummaryWriter(self.log_dir)
@@ -144,9 +134,24 @@ class ConditionalGANRunner(ResilientRunnerMixin):
         tgt_imgs = self._eval_sets[tgt]
         if src_imgs is None or tgt_imgs is None:
             return None
+        if len(src_imgs) < 2 or len(tgt_imgs) < 2:
+            # metrics.fid_and_kid needs >= 2 images per set; a 2-file class
+            # must skip its pairs, not abort training
+            return None
         fake = np.asarray(self._transfer(src_imgs, tgt))
         x = metrics.get_extractor(self.cfg.fid_extractor)
-        return metrics.fid_and_kid(fake, np.asarray(tgt_imgs), extractor=x)
+        if not hasattr(self, "_eval_feat_cache"):
+            self._eval_feat_cache = {}
+        if tgt not in self._eval_feat_cache:
+            # the per-class eval sets are fixed: extract each ONCE (the
+            # per-epoch logger scores C*(C-1) pairs every epoch)
+            self._eval_feat_cache[tgt] = metrics.extract_features(
+                np.asarray(tgt_imgs), extractor=x
+            )
+        return metrics.fid_and_kid(
+            fake, np.asarray(tgt_imgs), extractor=x,
+            features_b=self._eval_feat_cache[tgt],
+        )
 
     def _transfer(self, images, target: int):
         """Mesh-parallel transfer with the runner's (EMA-preferring) params —
@@ -179,8 +184,14 @@ class ConditionalGANRunner(ResilientRunnerMixin):
             origin = int(self.state.step)
         rng = jax.random.fold_in(self.rng, 31)
         for epoch in range(start_epoch, epochs):
+            # global TB index: see gan_loop._fit_epochs (explicit fit()
+            # calls must not overwrite epoch 0 on every invocation)
+            tb_epoch = (
+                origin // steps_per_epoch + epoch if steps_per_epoch > 0
+                else epoch
+            )
             if log_samples and epoch % cfg.log_images_every == 0:
-                self.log_sample(epoch)
+                self.log_sample(tb_epoch)
             t0 = time.perf_counter()
             acc = None  # keyed off the step's metrics (cfg-dependent, e.g. r1)
             global_step = int(self.state.step)
@@ -201,9 +212,9 @@ class ConditionalGANRunner(ResilientRunnerMixin):
             vals = {k: float(v) / n_steps for k, v in acc.items()}
             dt = time.perf_counter() - t0
             for k, v in vals.items():
-                self.writer.scalar(k, v, epoch)
+                self.writer.scalar(k, v, tb_epoch)
             self.writer.scalar(
-                "images_per_sec", n_steps * cfg.batch_size / dt, epoch
+                "images_per_sec", n_steps * cfg.batch_size / dt, tb_epoch
             )
             print(
                 f"epoch {epoch}: g={vals['g_loss']:.4f} d={vals['d_loss']:.4f} "

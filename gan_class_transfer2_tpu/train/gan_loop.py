@@ -76,8 +76,6 @@ class GANRunner(ResilientRunnerMixin):
         self.iter_a = pipeline.device_iterator(self.dataset_a, sharding)
         self.iter_b = pipeline.device_iterator(self.dataset_b, sharding)
 
-        from ..parallel import multihost
-
         if multihost.is_coordinator():
             self.log_dir = log_dir or tb.reference_log_dir(cfg.log_dir)
             self.writer = tb.SummaryWriter(self.log_dir)
@@ -112,6 +110,8 @@ class GANRunner(ResilientRunnerMixin):
         if self.cfg.fid_samples > 0:
             for d in ("ab", "ba"):
                 scores = self.transfer_scores(d)
+                if scores is None:  # degenerate eval set: metric skipped
+                    continue
                 self.writer.scalar(f"transfer_fid_{d}", scores["fid"], epoch)
                 self.writer.scalar(f"transfer_kid_{d}", scores["kid"], epoch)
 
@@ -128,13 +128,8 @@ class GANRunner(ResilientRunnerMixin):
         files = self._eval_files[cls]
         n = max(self.cfg.fid_samples, self.cfg.batch_size)
         if files:
-            rng = np.random.default_rng(0)  # deterministic crop corners
-            imgs = [
-                pipeline.decode_image(f, self.cfg.size, rng, crop=True,
-                                      flip=False)
-                for f in files
-            ]
-            out = np.stack(imgs, 0)
+            # undecodable reserved files are skipped, like training does
+            out = pipeline.decode_eval_set(files, self.cfg.size, seed=0)
         else:
             ds = self.dataset_a if cls == "a" else self.dataset_b
             it = iter(ds)
@@ -145,24 +140,48 @@ class GANRunner(ResilientRunnerMixin):
         self._eval_cache[cls] = out
         return out
 
-    def transfer_fid(self, direction: str = "ab") -> float:
+    def transfer_fid(self, direction: str = "ab"):
         """FID of transferred HELD-OUT images against the target class's
         held-out set — BASELINE.json's "steps-to-fixed-FID on class-transfer
         pairs" metric. The eval sets never feed the training iterators
-        (see _eval_set)."""
-        return self.transfer_scores(direction)["fid"]
+        (see _eval_set). None when an eval set is degenerate."""
+        scores = self.transfer_scores(direction)
+        return None if scores is None else scores["fid"]
 
-    def transfer_scores(self, direction: str = "ab") -> dict:
+    def transfer_scores(self, direction: str = "ab"):
         """{"fid", "kid"} of ONE transferred held-out batch vs the target
         class's held-out set (KID = unbiased MMD², comparable across
-        eval-set sizes — docs/FID.md)."""
+        eval-set sizes — docs/FID.md); None when either eval set has < 2
+        images (metrics.fid_and_kid raises below that — a 2-file class or
+        fid_samples=1 must skip the metric, not abort training)."""
         from ..utils import metrics
 
         src = self._eval_set("a" if direction == "ab" else "b")
         tgt = self._eval_set("b" if direction == "ab" else "a")
+        if len(src) < 2 or len(tgt) < 2:
+            print(f"transfer_scores({direction}) skipped: need >= 2 images "
+                  f"per eval set (src={len(src)}, tgt={len(tgt)})")
+            return None
         fake = np.asarray(self._transfer(jnp.asarray(src), direction))
         x = metrics.get_extractor(self.cfg.fid_extractor)
-        return metrics.fid_and_kid(fake, tgt, extractor=x)
+        tgt_cls = "b" if direction == "ab" else "a"
+        feats = self._eval_features(tgt_cls, tgt, x)
+        return metrics.fid_and_kid(fake, tgt, extractor=x, features_b=feats)
+
+    def _eval_features(self, cls: str, images, extractor):
+        """Cached extractor features of a FIXED per-class eval set — the
+        per-epoch logger re-scores both directions every epoch, and
+        re-extracting the unchanged target set dominated eval cost at
+        large fid_samples."""
+        from ..utils import metrics
+
+        if not hasattr(self, "_eval_feat_cache"):
+            self._eval_feat_cache = {}
+        if cls not in self._eval_feat_cache:
+            self._eval_feat_cache[cls] = metrics.extract_features(
+                images, extractor=extractor
+            )
+        return self._eval_feat_cache[cls]
 
     def _transfer(self, images, direction: str):
         """Mesh-parallel transfer with the runner's (EMA-preferring) params —
@@ -192,8 +211,16 @@ class GANRunner(ResilientRunnerMixin):
             origin = int(self.state.step)
         rng = jax.random.fold_in(self.rng, 23)
         for epoch in range(start_epoch, epochs):
+            # TensorBoard index: global epoch position. Explicit fit()
+            # calls anchor origin at the current step, so repeated
+            # fit(epochs=1) harness loops (benchmark.steps_to_fixed_fid)
+            # produce monotonic curves instead of overwriting epoch 0.
+            tb_epoch = (
+                origin // steps_per_epoch + epoch if steps_per_epoch > 0
+                else epoch
+            )
             if log_samples and epoch % cfg.log_images_every == 0:
-                self.log_sample(epoch)
+                self.log_sample(tb_epoch)
             t0 = time.perf_counter()
             acc = None  # keyed off the step's metrics (cfg-dependent, e.g. r1)
             global_step = int(self.state.step)
@@ -215,9 +242,9 @@ class GANRunner(ResilientRunnerMixin):
             vals = {k: float(v) / n_steps for k, v in acc.items()}
             dt = time.perf_counter() - t0
             for k, v in vals.items():
-                self.writer.scalar(k, v, epoch)
+                self.writer.scalar(k, v, tb_epoch)
             ips = n_steps * cfg.batch_size / dt
-            self.writer.scalar("images_per_sec", ips, epoch)
+            self.writer.scalar("images_per_sec", ips, tb_epoch)
             print(
                 f"epoch {epoch}: g={vals['g_loss']:.4f} d={vals['d_loss']:.4f} "
                 f"cycle={vals['cycle']:.4f} {ips:.1f} img/s",

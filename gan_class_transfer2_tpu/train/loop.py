@@ -158,13 +158,16 @@ class Runner(ResilientRunnerMixin):
         self.writer.image("fake", out["fake"] * 0.5 + 0.5, epoch, max_outputs=10)
         if self.cfg.fid_samples > 0:
             scores = self.quality_scores(params)
-            self.writer.scalar("fid", scores["fid"], epoch)
-            self.writer.scalar("kid", scores["kid"], epoch)
+            if scores is not None:  # degenerate eval set: metric skipped
+                self.writer.scalar("fid", scores["fid"], epoch)
+                self.writer.scalar("kid", scores["kid"], epoch)
 
-    def compute_fid(self, params=None) -> float:
+    def compute_fid(self, params=None):
         """FID of fresh reverse-diffusion samples vs the held-out set
-        (BASELINE 'steps-to-fixed-FID')."""
-        return self.quality_scores(params)["fid"]
+        (BASELINE 'steps-to-fixed-FID'); None when the eval set is
+        degenerate (< 2 images — see quality_scores)."""
+        scores = self.quality_scores(params)
+        return None if scores is None else scores["fid"]
 
     def quality_scores(self, params=None) -> dict:
         """{"fid", "kid"} of ONE fresh sample batch vs the held-out set.
@@ -187,12 +190,24 @@ class Runner(ResilientRunnerMixin):
             params = self._pipeline.gather_params(
                 params, mesh_lib.replicated_sharding(self.mesh)
             )
+        ref = self._fid_reference_set(n)
+        if n < 2 or len(ref) < 2:
+            # FID/KID need >= 2 images per set (metrics.fid_and_kid raises);
+            # a degenerate eval set skips the metric instead of aborting
+            # training mid-run
+            print(f"quality_scores skipped: need >= 2 samples and reference "
+                  f"images (fid_samples={n}, reference={len(ref)})")
+            return None
         self.rng, sub = jax.random.split(self.rng)
         init = jax.random.normal(sub, (n, cfg.size, cfg.size, 3), jnp.float32)
         samples = np.asarray(self._metric_sample(params, init))
-        ref = self._fid_reference_set(n)
         x = metrics.get_extractor(cfg.fid_extractor)
-        return metrics.fid_and_kid(samples, ref, extractor=x)
+        if getattr(self, "_ref_features", None) is None:
+            # the reference set is fixed (cached) — extract its features once
+            self._ref_features = metrics.extract_features(ref, extractor=x)
+        return metrics.fid_and_kid(
+            samples, ref, extractor=x, features_b=self._ref_features
+        )
 
     def _metric_sample(self, params, init):
         """The T-step sampler for the FID/KID batch, data-parallel over the
@@ -218,15 +233,12 @@ class Runner(ResilientRunnerMixin):
         if self._fid_reference is not None:
             return self._fid_reference
         if self._eval_files:
-            rng = np.random.default_rng(0)  # deterministic crop corners
-            imgs = [
-                pipeline.decode_image(f, self.cfg.size, rng, crop=True,
-                                      flip=False)
-                # only decode what is used; fewer than n held-out files
-                # means a smaller (noisier but unbiased) reference set
-                for f in self._eval_files[:n]
-            ]
-            out = np.stack(imgs, 0)
+            # only decode what is used; fewer than n held-out files (or
+            # undecodable ones, skipped like training skips them) means a
+            # smaller (noisier but unbiased) reference set
+            out = pipeline.decode_eval_set(
+                self._eval_files[:n], self.cfg.size, seed=0
+            )
         else:
             data = []
             while sum(len(d) for d in data) < n:
@@ -272,10 +284,17 @@ class Runner(ResilientRunnerMixin):
         if origin is None:
             origin = int(self.state.step)
         for epoch in range(start_epoch, epochs):
+            # global TB index: explicit fit() calls anchor origin at the
+            # current step; without this every fit(epochs=1) harness loop
+            # would overwrite TensorBoard epoch 0 (see gan_loop._fit_epochs)
+            tb_epoch = (
+                origin // steps_per_epoch + epoch if steps_per_epoch > 0
+                else epoch
+            )
             if on_epoch_begin is not None:
                 on_epoch_begin(epoch)
             if log_samples and epoch % cfg.log_images_every == 0:
-                self.log_sample(epoch)
+                self.log_sample(tb_epoch)
             t0 = time.perf_counter()
             # accumulate the loss on device: a host fetch per step costs a
             # full device round-trip (tens of ms on a tunneled TPU)
@@ -298,8 +317,8 @@ class Runner(ResilientRunnerMixin):
             loss_sum = float(loss_sum)  # single synchronising fetch
             dt = time.perf_counter() - t0
             ips = n_steps * cfg.batch_size / dt
-            self.writer.scalar("loss", loss_sum / n_steps, epoch)
-            self.writer.scalar("images_per_sec", ips, epoch)
+            self.writer.scalar("loss", loss_sum / n_steps, tb_epoch)
+            self.writer.scalar("images_per_sec", ips, tb_epoch)
             print(
                 f"epoch {epoch}: loss={loss_sum / n_steps:.5f} "
                 f"{ips:.1f} images/s",

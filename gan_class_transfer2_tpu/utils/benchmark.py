@@ -48,12 +48,22 @@ def steps_to_fixed_fid(runner, target_fid: float, max_steps: int = 20_000,
     comparable across eval-set sizes, docs/FID.md). ``runner``: a
     train.gan_loop.GANRunner. Returns (None, last_score) when the budget
     is exhausted."""
+    def _score():
+        scores = runner.transfer_scores(direction)
+        if scores is None:  # degenerate eval sets — fail loudly here
+            raise ValueError(
+                "steps_to_fixed_fid needs >= 2 held-out images per class "
+                "(transfer_scores returned None); raise fid_samples or "
+                "supply bigger class globs"
+            )
+        return scores[metric]
+
     steps_done = int(runner.state.step)
-    score = runner.transfer_scores(direction)[metric]
+    score = _score()
     while score > target_fid and steps_done < max_steps:
         runner.fit(epochs=1, steps_per_epoch=check_every, log_samples=False)
         steps_done = int(runner.state.step)
-        score = runner.transfer_scores(direction)[metric]
+        score = _score()
         print(
             f"steps_to_fixed_{metric}: step {steps_done} {metric} "
             f"{score:.4f}",

@@ -190,19 +190,38 @@ def _kid_from_features(x: np.ndarray, y: np.ndarray) -> float:
     )
 
 
+def extract_features(images, extractor: Optional[Callable] = None,
+                     batch_size: int = 64) -> np.ndarray:
+    """Precompute an image set's embedding — pass the result as
+    ``features_b`` to :func:`fid_and_kid` when the set is FIXED across
+    calls (the per-epoch loggers re-score against the same held-out sets
+    every epoch; re-extracting them dominated eval cost at large
+    fid_samples). Must use the same extractor as the comparison call."""
+    extractor = extractor or get_extractor("auto")
+    return _features(images, extractor, batch_size)
+
+
 def fid_and_kid(
     images_a,
     images_b,
     extractor: Optional[Callable] = None,
     batch_size: int = 64,
+    features_b: Optional[np.ndarray] = None,
 ) -> dict:
     """Both quality scores from ONE feature-extraction pass per image set —
     the per-epoch loggers and `gct2 eval` report fid and kid together, and
     extracting twice doubles the dominant cost (the extractor forward over
-    up to fid_samples images per set)."""
+    up to fid_samples images per set).
+
+    ``features_b``: precomputed :func:`extract_features` of ``images_b``
+    (which is then ignored) — for fixed reference sets scored repeatedly."""
     extractor = extractor or get_extractor("auto")
     x = _features(images_a, extractor, batch_size)
-    y = _features(images_b, extractor, batch_size)
+    y = (
+        np.asarray(features_b, np.float64)
+        if features_b is not None
+        else _features(images_b, extractor, batch_size)
+    )
     if len(x) < 2 or len(y) < 2:
         raise ValueError(
             f"need >= 2 images per set, got {len(x)} and {len(y)}"

@@ -182,3 +182,33 @@ def test_decode_image_flip_false_is_deterministic(tmp_path):
             str(p), 16, np.random.default_rng(seed), crop=True, flip=False
         )
         assert (out[:, :8] > 0).all() and (out[:, 8:] < 0).all()
+
+
+def test_decode_eval_set_skips_bad_files(tmp_path):
+    """held_out_split reserves files blindly; a reserved file training
+    would skip (too small to broadcast, corrupt bytes) must SHRINK the
+    eval set, not crash runner construction (review r3e)."""
+    from PIL import Image as PILImage
+
+    r = np.random.default_rng(0)
+    good = []
+    for i in range(3):
+        p = tmp_path / f"good_{i}.png"
+        PILImage.fromarray(
+            r.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+        ).save(p)
+        good.append(str(p))
+    small = tmp_path / "small.png"  # 4x4 < 16: broadcast_to raises
+    PILImage.fromarray(
+        r.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    ).save(small)
+    corrupt = tmp_path / "corrupt.png"
+    corrupt.write_bytes(b"not a png at all")
+
+    files = [good[0], str(small), good[1], str(corrupt), good[2]]
+    out = pipeline.decode_eval_set(files, 16, seed=0)
+    assert out.shape == (3, 16, 16, 3)
+    assert out.dtype == np.float32
+    # all bad: empty (0, size, size, 3) set, still well-shaped
+    empty = pipeline.decode_eval_set([str(small), str(corrupt)], 16)
+    assert empty.shape == (0, 16, 16, 3)

@@ -306,3 +306,69 @@ def test_r1_metric_reaches_tensorboard(tmp_path):
     runner.close()
     events = [e for e in tb.read_events(runner.writer.path) if e[1] == "r1"]
     assert events and events[0][2] == "scalar" and events[0][3] > 0
+
+
+def test_transfer_scores_skips_degenerate_eval_sets(tmp_path):
+    """A 2-file class leaves 1 held-out eval file; fid_and_kid needs >= 2
+    images per set, so the metric must be SKIPPED (None + no TB scalar),
+    not abort training mid-run (review r3e)."""
+    from PIL import Image as PILImage
+
+    r = np.random.default_rng(0)
+    for cls, n in (("a", 2), ("b", 8)):
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(n):
+            PILImage.fromarray(
+                r.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+            ).save(d / f"{i}.png")
+    cfg = tiny_test_config(
+        classes=(str(tmp_path / "a" / "*.png"), str(tmp_path / "b" / "*.png")),
+        fid_samples=3,
+        checkpoint_dir=None,
+        log_dir=str(tmp_path / "logs"),
+        native_loader=False,
+        mesh_data=1,
+        donate_state=False,
+    )
+    runner = GANRunner(cfg)
+    try:
+        # class a reserves min(3, 2-1) = 1 eval file -> both directions
+        # touch a degenerate set on one side
+        assert runner.transfer_scores("ba") is None  # tgt = a (1 image)
+        assert runner.transfer_fid("ba") is None
+        runner.log_sample(0)  # must not raise
+        tags = {e[1] for e in tb.read_events(runner.writer.path)}
+        assert "transfer_fid_ba" not in tags
+    finally:
+        runner.close()
+
+
+def test_tb_epoch_index_is_monotonic_across_explicit_fits(tmp_path):
+    """Repeated fit(epochs=1) harness loops (benchmark.steps_to_fixed_fid)
+    must log at advancing TB steps, not overwrite epoch 0 (review r3e)."""
+    cfg = tiny_test_config(
+        steps_per_epoch=2,
+        learning_rate=1e-4,
+        log_dir=str(tmp_path / "logs"),
+        checkpoint_dir=None,
+        donate_state=False,
+        classes=("a", "b"),
+        mesh_data=1,
+    )
+    r = np.random.default_rng(0)
+    mk = lambda seed: ArrayDataset(
+        r.integers(0, 256, size=(6, cfg.size, cfg.size, 3), dtype=np.uint8),
+        cfg.batch_size,
+        seed=seed,
+    )
+    runner = GANRunner(cfg, dataset_a=mk(0), dataset_b=mk(1))
+    try:
+        for _ in range(3):
+            runner.fit(epochs=1, steps_per_epoch=2, log_samples=False)
+        steps = sorted(
+            e[0] for e in tb.read_events(runner.writer.path) if e[1] == "g_loss"
+        )
+        assert steps == [0, 1, 2], steps
+    finally:
+        runner.close()

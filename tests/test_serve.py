@@ -504,3 +504,34 @@ def test_metrics_include_queue_depth_and_shed_counter(server):
     assert b'gct2_queue_depth{batcher="sample"}' in body
     assert b'gct2_queue_depth{batcher="transfer_ab"}' in body
     assert b"gct2_rejected_busy" in body
+
+
+def test_stream_request_guards(server):
+    """Streaming validates segments (unbounded np.array_split sizing is a
+    host-OOM lever) and rejects num > 1 (the wire format carries one image
+    per frame — computing a batch and transmitting [0] wasted device work;
+    review r3e)."""
+    import json as _json
+
+    srv, _ = server
+    code, body = _post(
+        srv, "/sample",
+        _json.dumps({"num": 1, "stream": True, "segments": 10**9}).encode(),
+    )
+    assert code == 400 and b"segments" in body
+    code, body = _post(
+        srv, "/sample",
+        _json.dumps({"num": 2, "stream": True, "segments": 2}).encode(),
+    )
+    assert code == 400 and b"num=1" in body
+
+
+def test_batcher_submit_after_close_raises():
+    """A handler thread racing close() must get an error, not enqueue a
+    request nobody will ever complete (review r3e)."""
+    from gan_class_transfer2_tpu.serve.server import SampleBatcher
+
+    b = SampleBatcher(lambda n: np.zeros((n, 2, 2, 3), np.float32))
+    b.close()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        b.submit(1)
