@@ -8,7 +8,6 @@ logging writes a transfer grid for every (fixed batch → target class) pair.
 
 from __future__ import annotations
 
-import time
 from typing import Optional
 
 import jax
@@ -179,51 +178,18 @@ class ConditionalGANRunner(ResilientRunnerMixin):
 
     def _fit_epochs(self, epochs, steps_per_epoch, log_samples, start_epoch=0,
                     origin=None):
-        cfg = self.cfg
-        if origin is None:
-            origin = int(self.state.step)
-        rng = jax.random.fold_in(self.rng, 31)
-        for epoch in range(start_epoch, epochs):
-            # global TB index: see gan_loop._fit_epochs (explicit fit()
-            # calls must not overwrite epoch 0 on every invocation)
-            tb_epoch = (
-                origin // steps_per_epoch + epoch if steps_per_epoch > 0
-                else epoch
-            )
-            if log_samples and epoch % cfg.log_images_every == 0:
-                self.log_sample(tb_epoch)
-            t0 = time.perf_counter()
-            acc = None  # keyed off the step's metrics (cfg-dependent, e.g. r1)
-            global_step = int(self.state.step)
-            n_steps = max(
-                origin + (epoch + 1) * steps_per_epoch - global_step, 0
-            )
-            for _ in range(n_steps):
-                batch = next(self.data_iter)
-                self.state, metrics = self.train_step(self.state, batch, rng)
-                if acc is None:
-                    acc = {k: jnp.zeros((), jnp.float32) for k in metrics}
-                acc = {k: acc[k] + metrics[k] for k in acc}
-                global_step += 1
-                if cfg.checkpoint_dir and global_step % cfg.checkpoint_every == 0:
-                    self._checkpoint_now()
-            if n_steps == 0:
-                continue
-            vals = {k: float(v) / n_steps for k, v in acc.items()}
-            dt = time.perf_counter() - t0
-            for k, v in vals.items():
-                self.writer.scalar(k, v, tb_epoch)
-            self.writer.scalar(
-                "images_per_sec", n_steps * cfg.batch_size / dt, tb_epoch
-            )
-            print(
+        return self._run_epochs(
+            epochs=epochs, steps_per_epoch=steps_per_epoch,
+            log_samples=log_samples, start_epoch=start_epoch, origin=origin,
+            rng=jax.random.fold_in(self.rng, 31),
+            next_batch=lambda: (next(self.data_iter),),
+            step_fn=self.train_step,
+            summarize=lambda epoch, vals, ips: print(
                 f"epoch {epoch}: g={vals['g_loss']:.4f} d={vals['d_loss']:.4f} "
-                f"cycle={vals['cycle']:.4f} "
-                f"{n_steps * cfg.batch_size / dt:.1f} img/s",
+                f"cycle={vals['cycle']:.4f} {ips:.1f} img/s",
                 flush=True,
-            )
-        self._checkpoint_flush()  # async saves durable before fit returns
-        return self.state
+            ),
+        )
 
     def close(self):
         self._checkpoint_flush()

@@ -7,7 +7,6 @@ checkpoint/resume, multi-chip meshes, profiling hooks, throughput metrics.
 from __future__ import annotations
 
 import os
-import time
 from typing import Callable, Optional
 
 import jax
@@ -280,52 +279,23 @@ class Runner(ResilientRunnerMixin):
 
     def _fit_epochs(self, epochs, steps_per_epoch, on_epoch_begin, log_samples,
                     step_rng, start_epoch=0, origin=None):
-        cfg = self.cfg
-        if origin is None:
-            origin = int(self.state.step)
-        for epoch in range(start_epoch, epochs):
-            # global TB index: explicit fit() calls anchor origin at the
-            # current step; without this every fit(epochs=1) harness loop
-            # would overwrite TensorBoard epoch 0 (see gan_loop._fit_epochs)
-            tb_epoch = (
-                origin // steps_per_epoch + epoch if steps_per_epoch > 0
-                else epoch
-            )
-            if on_epoch_begin is not None:
-                on_epoch_begin(epoch)
-            if log_samples and epoch % cfg.log_images_every == 0:
-                self.log_sample(tb_epoch)
-            t0 = time.perf_counter()
-            # accumulate the loss on device: a host fetch per step costs a
-            # full device round-trip (tens of ms on a tunneled TPU)
-            loss_sum = jnp.zeros((), jnp.float32)
-            global_step = int(self.state.step)
-            # a resumed partial epoch runs only to its step target, so the
-            # total never exceeds origin + epochs*steps_per_epoch
-            n_steps = max(
-                origin + (epoch + 1) * steps_per_epoch - global_step, 0
-            )
-            for _ in range(n_steps):
-                batch = next(self.data_iter)
-                self.state, loss = self.train_step(self.state, batch, step_rng)
-                loss_sum = loss_sum + loss
-                global_step += 1
-                if cfg.checkpoint_dir and global_step % cfg.checkpoint_every == 0:
-                    self._checkpoint_now()
-            if n_steps == 0:
-                continue
-            loss_sum = float(loss_sum)  # single synchronising fetch
-            dt = time.perf_counter() - t0
-            ips = n_steps * cfg.batch_size / dt
-            self.writer.scalar("loss", loss_sum / n_steps, tb_epoch)
-            self.writer.scalar("images_per_sec", ips, tb_epoch)
-            print(
-                f"epoch {epoch}: loss={loss_sum / n_steps:.5f} "
+        def step_fn(state, batch, rng):
+            state, loss = self.train_step(state, batch, rng)
+            return state, {"loss": loss}
+
+        return self._run_epochs(
+            epochs=epochs, steps_per_epoch=steps_per_epoch,
+            log_samples=log_samples, start_epoch=start_epoch, origin=origin,
+            rng=step_rng,
+            next_batch=lambda: (next(self.data_iter),),
+            step_fn=step_fn,
+            summarize=lambda epoch, vals, ips: print(
+                f"epoch {epoch}: loss={vals['loss']:.5f} "
                 f"{ips:.1f} images/s",
                 flush=True,
-            )
-        self._checkpoint_flush()  # async saves durable before fit returns
-        return self.state
+            ),
+            on_epoch_begin=on_epoch_begin,
+        )
 
     def _data_sources(self) -> dict:
         return {"dataset": self.dataset}
