@@ -628,6 +628,11 @@ class PipelineTrainer:
                     p[s], x_in[m][s], h_ct, skips_ct[s]
                 )
                 g[s] = self._acc(g[s], pg)
+            # this microbatch's stashed activations are dead once its
+            # backward has drained — drop the references so HBM frees
+            # per-microbatch instead of at step() return (the stash is the
+            # pipeline path's dominant live memory)
+            x_in[m] = skips[m] = h_up_in[m] = None
 
         # ---- global-norm clip across stages (see __init__ note)
         if cfg.grad_clip_norm > 0:
