@@ -405,10 +405,12 @@ class PipelineTrainer:
         # the one aliasing hazard — stage 0's opt scalar leaves, which
         # device_put would pass through by reference — is copied at the
         # rewrite site below.)
-        don = (0, 1) if cfg.donate_state else ()
+        # donate the accumulator only: both args share the output's shapes
+        # and each output buffer can alias ONE donated input — donating
+        # both just warns "donated buffer not usable" for the loser
         self._acc = jax.jit(
             lambda a, b: jax.tree_util.tree_map(jnp.add, a, b),
-            donate_argnums=don,
+            donate_argnums=(0,) if cfg.donate_state else (),
         )
 
         # global-norm clipping must see the GLOBAL norm, not each stage's
@@ -441,9 +443,13 @@ class PipelineTrainer:
 
             return optax.apply_updates(p, updates), new_o
 
+        # donate p and o only: g has the SAME shapes as p, and outputs can
+        # alias one donated input each — donating g too just produces
+        # "donated buffer not usable" warnings (grads free when their
+        # Python refs drop after the call)
         self._update = jax.jit(
             update,
-            donate_argnums=(0, 1, 2) if cfg.donate_state else (),
+            donate_argnums=(0, 1) if cfg.donate_state else (),
         )
         d = cfg.ema_decay
         # donate the OLD ema view only — new_p is still referenced by the
