@@ -188,6 +188,27 @@ struct Loader {
   std::atomic<bool> stop{false};
   std::atomic<bool> error{false};
 
+  // Shared epoch permutation: workers draw file indices from ONE
+  // shuffle-without-replacement stream, so every file is seen exactly once
+  // per epoch across the whole pool — the reference's shuffle/repeat
+  // semantics (train.py:318) and what pipeline.py's Python workers do.
+  // Uniform-with-replacement draws would show some images 0 times and
+  // others 3+ times per nominal epoch. One lock per DRAW (not per byte);
+  // decode work dwarfs it.
+  std::vector<uint32_t> perm;
+  size_t perm_pos = 0;
+  std::mt19937_64 perm_rng;
+  std::mutex perm_mu;
+
+  size_t next_file_index() {
+    std::lock_guard<std::mutex> lk(perm_mu);
+    if (perm_pos >= perm.size()) {
+      std::shuffle(perm.begin(), perm.end(), perm_rng);
+      perm_pos = 0;
+    }
+    return perm[perm_pos++];
+  }
+
   std::mutex mu;
   std::condition_variable not_full, not_empty;
   std::queue<std::vector<float>> ready;
@@ -229,7 +250,7 @@ void worker_main(Loader* L, uint64_t seed) {
     std::vector<float> batch(static_cast<size_t>(L->batch) * elem);
     int filled = 0;
     while (filled < L->batch && !L->stop.load()) {
-      const std::string& path = L->files[rng() % L->files.size()];
+      const std::string& path = L->files[L->next_file_index()];
       std::vector<uint8_t> raw;
       Image img;
       bool ok = load_file(path, &raw) &&
@@ -342,6 +363,44 @@ int dl_cache_build(const char** files, int n_files, int store,
   return static_cast<int>(written);
 }
 
+// ----------------------------------------------------------- crc32c --------
+// Castagnoli CRC (reflected), slicing-by-8 — serves the from-scratch
+// TensorBoard event writer (utils/tensorboard.py): TFRecord framing masks a
+// CRC32C over every payload, and the pure-Python byte loop costs ~0.2 s per
+// logged image grid; this runs the same computation at GB/s.
+struct Crc32cTables {
+  uint32_t t[8][256];
+  Crc32cTables() {
+    const uint32_t poly = 0x82F63B78u;
+    for (uint32_t n = 0; n < 256; ++n) {
+      uint32_t c = n;
+      for (int k = 0; k < 8; ++k) c = (c & 1) ? (c >> 1) ^ poly : c >> 1;
+      t[0][n] = c;
+    }
+    for (uint32_t n = 0; n < 256; ++n)
+      for (int s = 1; s < 8; ++s)
+        t[s][n] = (t[s - 1][n] >> 8) ^ t[0][t[s - 1][n] & 0xFF];
+  }
+};
+const Crc32cTables kCrc;
+
+uint32_t crc32c_impl(const uint8_t* p, size_t n) {
+  uint32_t crc = 0xFFFFFFFFu;
+  while (n >= 8) {
+    uint64_t w;
+    std::memcpy(&w, p, 8);
+    w ^= crc;  // little-endian hosts only (this image is x86-64)
+    crc = kCrc.t[7][w & 0xFF] ^ kCrc.t[6][(w >> 8) & 0xFF] ^
+          kCrc.t[5][(w >> 16) & 0xFF] ^ kCrc.t[4][(w >> 24) & 0xFF] ^
+          kCrc.t[3][(w >> 32) & 0xFF] ^ kCrc.t[2][(w >> 40) & 0xFF] ^
+          kCrc.t[1][(w >> 48) & 0xFF] ^ kCrc.t[0][(w >> 56) & 0xFF];
+    p += 8;
+    n -= 8;
+  }
+  while (n--) crc = kCrc.t[0][(crc ^ *p++) & 0xFF] ^ (crc >> 8);
+  return crc ^ 0xFFFFFFFFu;
+}
+
 void* dl_create(const char** files, int n_files, int size, int batch, int workers,
                 int capacity, uint64_t seed) {
   if (n_files <= 0 || size <= 0 || batch <= 0) return nullptr;
@@ -351,6 +410,10 @@ void* dl_create(const char** files, int n_files, int size, int batch, int worker
   L->size = size;
   L->batch = batch;
   L->capacity = capacity > 0 ? capacity : 2;
+  L->perm.resize(n_files);
+  for (int i = 0; i < n_files; ++i) L->perm[i] = static_cast<uint32_t>(i);
+  L->perm_rng.seed(seed ^ 0xD1B54A32D192ED03ULL);
+  L->perm_pos = L->perm.size();  // first draw shuffles epoch 0
   int w = workers > 0 ? workers : 2;
   for (int i = 0; i < w; ++i)
     L->workers.emplace_back(worker_main, L, seed * 0x9E3779B97F4A7C15ULL + i + 1);
@@ -402,6 +465,11 @@ int dl_decode_one(const char* path, int size, uint64_t seed, int do_augment,
   }
   std::mt19937_64 rng(seed);
   return augment_to(img, size, &rng, out) ? 0 : -2;
+}
+
+// CRC32C (Castagnoli) over a byte buffer — see crc32c_impl above.
+uint32_t dl_crc32c(const uint8_t* data, uint64_t n) {
+  return crc32c_impl(data, static_cast<size_t>(n));
 }
 
 }  // extern "C"

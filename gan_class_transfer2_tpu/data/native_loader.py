@@ -195,7 +195,6 @@ class NativeImageDataset:
         self._create()  # restart workers on the resume seed
 
     def __iter__(self) -> Iterator[np.ndarray]:
-        elem = self.batch_size * self.size * self.size * 3
         while True:
             out = np.empty((self.batch_size, self.size, self.size, 3), np.float32)
             rc = self._lib.dl_next(

@@ -85,6 +85,10 @@ class EpochIndexStream:
     position for checkpoint/resume."""
 
     def __init__(self, n: int, batch_size: int, seed: int = 0):
+        if n <= 0:
+            # an empty source (e.g. a zero-count cache file from an
+            # interrupted build) would make next_indices spin forever
+            raise ValueError(f"dataset is empty (n={n})")
         self.n = n
         self.batch_size = batch_size
         self.seed = seed
@@ -151,6 +155,11 @@ def decode_image(data_or_path, size: int, rng: np.random.Generator,
         i = rng.integers(0, h - size + 1)
         j = rng.integers(0, w - size + 1)
         arr = arr[i : i + size, j : j + size]
+    if arr.shape[0] != size or arr.shape[1] != size:
+        # without this, a degenerate 1-pixel dimension (tracking-pixel GIFs
+        # in scraped data) would broadcast_to a stretched constant image
+        # instead of being skipped like every other too-small image
+        raise ValueError(f"image {arr.shape} smaller than crop {size}")
     arr = np.broadcast_to(arr, (size, size, 3))
     if flip and rng.integers(0, 2):  # random horizontal flip
         arr = arr[:, ::-1]
@@ -225,8 +234,12 @@ class ImageDataset:
         import io
 
         base = self.seed + 1_000_003 * self._resume_round
-        rng = np.random.default_rng(base + worker_id)
-        stream = self._file_stream(np.random.default_rng(base * 7919 + worker_id))
+        # tuple-seeded streams: distinct purpose tags keep the crop/flip rng
+        # and the file-order rng decorrelated at EVERY seed (base*7919 ==
+        # base at the default seed 0, which correlated which image is drawn
+        # with how it is augmented — review r3e)
+        rng = np.random.default_rng((base, worker_id, 1))
+        stream = self._file_stream(np.random.default_rng((base, worker_id, 2)))
         batch = np.empty((self.batch_size, self.size, self.size, 3), np.float32)
         consecutive_failures = 0
         while not self._stop.is_set():
@@ -273,6 +286,13 @@ class ImageDataset:
             except queue.Empty:
                 if self._error is not None:
                     raise self._error
+                if self._stop.is_set() or not any(
+                    t.is_alive() for t in self._threads
+                ):
+                    # close() raced the consumer, or every worker died
+                    # outside the decode guard — stop instead of
+                    # busy-waiting on a queue nobody will ever fill
+                    return
                 continue
             self._batches_served += 1
             yield item
@@ -443,7 +463,16 @@ def make_datasets(cfg, files_per_class=None, **kw) -> list:
     if getattr(cfg, "native_loader", False):
         from . import native_loader
 
-        if native_loader.available():
+        if getattr(cfg, "cache", False):
+            # the C++ loader has no raw-bytes cache; silently dropping
+            # cfg.cache would leave the user with unexplained re-reads
+            # every epoch — take the Python pipeline, which honours it
+            print("cache=True: using the Python pipeline "
+                  "(the native loader does not cache file bytes)")
+        elif native_loader.available():
+            # shuffle_buffer does not apply here: the native loader draws
+            # from exact per-epoch permutations (strictly stronger
+            # shuffling than the reference's shuffle(1000) window)
             return [
                 native_loader.NativeImageDataset(
                     src, cfg.size, batch_size,

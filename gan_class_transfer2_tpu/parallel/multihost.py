@@ -33,6 +33,10 @@ def initialize(coordinator_address: Optional[str] = None, **kw) -> int:
     single-host job. Returns the process index; single-host (no coordinator
     address) returns 0 without touching the distributed runtime."""
     if coordinator_address is not None:
+        if jax.distributed.is_initialized():
+            # honour the documented no-op contract when two setup paths
+            # compose (jax.distributed.initialize raises on re-init)
+            return jax.process_index()
         jax.distributed.initialize(coordinator_address=coordinator_address, **kw)
     return jax.process_index()
 

@@ -95,19 +95,20 @@ def parse_xplane_device_ops(trace_dir: str, top: int = 25) -> list:
     xs = xplane_pb2.XSpace()
     with open(max(paths, key=os.path.getmtime), "rb") as f:
         xs.ParseFromString(f.read())
-    rows = []
+    # ONE aggregate across all device planes: a multi-chip trace has one
+    # plane per core, and per-plane rows would duplicate every op with
+    # fractional times (consuming the top-N with repeats)
+    agg = defaultdict(lambda: [0.0, 0])
     for plane in xs.planes:
         if "TPU" not in plane.name and "/device:" not in plane.name:
             continue
         ev_names = {k: v.name for k, v in plane.event_metadata.items()}
-        agg = defaultdict(lambda: [0.0, 0])
         for line in plane.lines:
             for ev in line.events:
                 name = ev_names.get(ev.metadata_id, str(ev.metadata_id))
                 agg[name][0] += ev.duration_ps / 1e9  # → ms
                 agg[name][1] += 1
-        for name, (ms, n) in agg.items():
-            rows.append((ms, n, name))
+    rows = [(ms, n, name) for name, (ms, n) in agg.items()]
     rows.sort(reverse=True)
     return [
         {"ms": round(ms, 3), "calls": n, "op": name[:120]}

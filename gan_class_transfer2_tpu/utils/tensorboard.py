@@ -42,7 +42,30 @@ def _make_crc_table():
 _make_crc_table()
 
 
+def _load_native_crc():
+    """The C++ slicing-by-8 CRC32C from the native loader library (GB/s);
+    the pure-Python byte loop below costs ~0.2 s per logged image grid and
+    runs INSIDE the coordinator's training loop. None when the library is
+    unavailable (fallback stays correct, just slow)."""
+    try:
+        import ctypes
+
+        from ..data import native_loader
+
+        lib = native_loader._load()
+        lib.dl_crc32c.restype = ctypes.c_uint32
+        lib.dl_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_uint64]
+        return lambda data: int(lib.dl_crc32c(data, len(data)))
+    except Exception:  # noqa: BLE001 — any load failure -> Python fallback
+        return None
+
+
+_native_crc = _load_native_crc()
+
+
 def crc32c(data: bytes) -> int:
+    if _native_crc is not None:
+        return _native_crc(data)
     crc = 0xFFFFFFFF
     for b in data:
         crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)

@@ -212,3 +212,22 @@ def test_decode_eval_set_skips_bad_files(tmp_path):
     # all bad: empty (0, size, size, 3) set, still well-shaped
     empty = pipeline.decode_eval_set([str(small), str(corrupt)], 16)
     assert empty.shape == (0, 16, 16, 3)
+
+
+def test_epoch_stream_rejects_empty_source():
+    """n=0 (e.g. a zero-count cache from an interrupted build) must raise,
+    not make next_indices spin forever (review r3e)."""
+    with pytest.raises(ValueError, match="empty"):
+        pipeline.EpochIndexStream(0, 4)
+
+
+def test_decode_image_rejects_degenerate_dimensions(tmp_path):
+    """A 1-pixel-dimension image (tracking-pixel GIFs in scraped data) must
+    be skipped like other too-small images — broadcast_to would otherwise
+    stretch it into a constant-color training sample (review r3e)."""
+    from PIL import Image as PILImage
+
+    p = tmp_path / "pixel.png"
+    PILImage.fromarray(np.zeros((1, 1, 3), np.uint8)).save(p)
+    with pytest.raises(ValueError, match="smaller than crop"):
+        pipeline.decode_image(str(p), 16, np.random.default_rng(0), crop=True)

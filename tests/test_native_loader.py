@@ -102,3 +102,45 @@ def test_native_dataset_errors_when_nothing_decodes(tmp_path):
     with pytest.raises(RuntimeError, match="consecutive"):
         next(iter(ds))
     ds.close()
+
+
+def test_native_loader_epoch_without_replacement(tmp_path):
+    """Every file appears EXACTLY once per epoch-worth of samples — the
+    reference's shuffle/repeat semantics (train.py:318) and what the Python
+    pipeline's per-epoch permutations do; uniform-with-replacement draws
+    would show some files 0 times and others 3+ (review r3e)."""
+    n = 12
+    for i in range(n):
+        arr = np.full((16, 16, 3), i * 20, dtype=np.uint8)  # distinct colors
+        Image.fromarray(arr).save(tmp_path / f"c_{i}.png")
+    # one worker: batch completion order matches permutation order, so
+    # epoch windows align exactly (with several workers the property still
+    # holds over the draw stream, but in-flight batches straddle windows)
+    ds = native_loader.NativeImageDataset(
+        str(tmp_path / "*.png"), size=16, batch_size=4, seed=3, num_workers=1
+    )
+    it = iter(ds)
+    for epoch in range(2):
+        seen = []
+        for _ in range(n // 4):
+            batch = next(it)
+            # solid-color images: identify each by its (uniform) pixel value
+            vals = np.round((batch[:, 0, 0, 0] + 1.0) * 128 / 20).astype(int)
+            seen.extend(vals.tolist())
+        assert sorted(seen) == list(range(n)), (epoch, sorted(seen))
+    ds.close()
+
+    # multi-worker: over 4 epochs' worth of draws, per-file counts stay
+    # within ±1 epoch of each other (with-replacement would scatter 0..8+)
+    ds = native_loader.NativeImageDataset(
+        str(tmp_path / "*.png"), size=16, batch_size=4, seed=5, num_workers=3
+    )
+    it = iter(ds)
+    seen = []
+    for _ in range(4 * n // 4):
+        batch = next(it)
+        vals = np.round((batch[:, 0, 0, 0] + 1.0) * 128 / 20).astype(int)
+        seen.extend(vals.tolist())
+    counts = np.bincount(seen, minlength=n)
+    assert counts.max() - counts.min() <= 2, counts
+    ds.close()
