@@ -66,7 +66,13 @@ def training_target(cfg, x, epsilon, t) -> Tuple[jnp.ndarray, float]:
 
 
 def preview_image_factor(cfg):
-    """Noise factor for the single-step preview (reference train.py:325-328)."""
+    """Noise factor for the single-step preview (reference train.py:325-328).
+
+    Preserved reference quirk (ODE branch): the preview noises at the
+    t = T/2 level and inverts with ᾱ(T/2)/ᾱ(T/2−1), yet the denoiser is
+    conditioned on t = test_step (reference passes tf.constant([test_step])
+    at train.py:336 regardless) — an internal mismatch that is harmless
+    because the model ignores t entirely (train.py:206-215, vestigial)."""
     if cfg.parameterization == "ode":
         return _ad(cfg, cfg.steps / 2) ** 0.5
     return _ad(cfg, cfg.test_step)

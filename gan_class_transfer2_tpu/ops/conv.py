@@ -244,7 +244,7 @@ def _down_shuffle_kernel(kernel):
             for a in (0, 1):
                 for b in (0, 1):
                     out = out.at[ti, tj, a, b].set(kernel[2 * ti + a, 2 * tj + b])
-    return out.transpose(0, 1, 2, 3, 4, 5).reshape(2, 2, 4 * i_ch, o_ch)
+    return out.reshape(2, 2, 4 * i_ch, o_ch)
 
 
 def conv2d_down_shuffle(x, kernel, bias=None, relu: bool = False):

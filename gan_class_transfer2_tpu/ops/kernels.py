@@ -133,8 +133,13 @@ def forward_diffuse_fused(cfg, x, t, rng, interpret: bool | None = None):
     b = x.shape[0]
     n = x.shape[1] * x.shape[2] * x.shape[3]
     ad = alpha_dash(t[:, 0, 0, 0], cfg.steps, cfg.schedule).astype(jnp.float32)
-    ss = jnp.sqrt(ad)
-    sn = jnp.sqrt(1.0 - ad)
+    # the schedule is non-differentiable THROUGH THE FUSED PATH by contract:
+    # _fused_bwd only propagates to x (ε is never materialised, so the
+    # scale cotangents would need an ε-regeneration pass nobody uses — the
+    # schedule is reference-pinned, not learned). stop_gradient makes that
+    # explicit instead of silently returning zero cotangents.
+    ss = jax.lax.stop_gradient(jnp.sqrt(ad))
+    sn = jax.lax.stop_gradient(jnp.sqrt(1.0 - ad))
     seed = jax.random.randint(rng, (), 0, 2**31 - 1, jnp.int32)
     flat = x.reshape(b, n)
     out = fused_forward_diffuse(flat, ss, sn, interpret, seed=seed)

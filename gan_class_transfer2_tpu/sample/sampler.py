@@ -85,15 +85,30 @@ def invert(cfg, params, image, class_idx=None):
     return x_theta, epsilon_theta
 
 
+def apply_edit(name: str, epsilon_theta, dictionary=None):
+    """ONE noise-space edit (reference train.py:418-430) — the single
+    definition shared by the eval program's edit_noise and the user-facing
+    edit_image API, so the two surfaces cannot drift."""
+    if name == "pixelate":
+        return image_ops.upsample_nearest(image_ops.avg_pool(epsilon_theta, 4), 4)
+    if name == "shift":
+        return image_ops.roll2d(epsilon_theta, 1, 1)
+    if name == "quantise":
+        return image_ops.vq_quantise(epsilon_theta, dictionary)
+    raise ValueError(f"unknown edit {name!r}")
+
+
 def edit_noise(cfg, epsilon_theta, dictionary, extra_noise):
     """Noise-space edits + batch assembly (reference train.py:415-437).
 
     Returns the (2 + 4·B)-image batch: [2 pure-noise draws, ε̂, pixelated,
     shifted, VQ-quantised]."""
-    pixelated = image_ops.upsample_nearest(image_ops.avg_pool(epsilon_theta, 4), 4)
-    shifted = image_ops.roll2d(epsilon_theta, 1, 1)
-    quantised = image_ops.vq_quantise(epsilon_theta, dictionary)
-    fake = jnp.concatenate([epsilon_theta, pixelated, shifted, quantised], 0)
+    fake = jnp.concatenate(
+        [epsilon_theta]
+        + [apply_edit(n, epsilon_theta, dictionary)
+           for n in ("pixelate", "shift", "quantise")],
+        0,
+    )
     return jnp.concatenate([extra_noise, fake], 0)
 
 
@@ -219,14 +234,9 @@ def edit_image(cfg, params, image, edits=("pixelate", "shift", "quantise"),
         )
     _, epsilon_theta = invert(cfg, params, image, class_idx)
     candidates = {"reconstruction": epsilon_theta}
-    if "pixelate" in edits:
-        candidates["pixelate"] = image_ops.upsample_nearest(
-            image_ops.avg_pool(epsilon_theta, 4), 4
-        )
-    if "shift" in edits:
-        candidates["shift"] = image_ops.roll2d(epsilon_theta, 1, 1)
-    if "quantise" in edits:
-        candidates["quantise"] = image_ops.vq_quantise(epsilon_theta, dictionary)
+    for name in ("pixelate", "shift", "quantise"):
+        if name in edits:
+            candidates[name] = apply_edit(name, epsilon_theta, dictionary)
     names = list(candidates)
     batch = jnp.concatenate([candidates[n] for n in names], 0)
     if class_idx is not None:

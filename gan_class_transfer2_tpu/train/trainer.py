@@ -11,7 +11,10 @@ Reference semantics (Trainer, reference train.py:217-280):
     L1 via max(a-b, b-a) (:267-270), multiscale avg-pool MSE (:274-280)
   * optimizer Adam(warmup 2e-5/2000), TF eps=1e-7      — train.py:75
     alternatives: SGD(+momentum/nesterov), sign-SGD, RMSprop (:67-78)
-  * optional l2 regularization (:80) via weight decay on kernels
+  * optional l2 regularization (:80) via weight decay on EVERY leaf —
+    the reference wires its commented l2 to kernel_regularizer AND
+    bias_regularizer on every layer (:135-136, :151-152, :164-165,
+    :200-201), so no kernel-only mask here
   * fp16 loss scaling (:82-83) as optional static scaling — unnecessary for
     TPU bf16 but kept for semantic parity.
 
