@@ -472,7 +472,13 @@ def _distill(cfg: Config, args) -> int:
         from .parallel import mesh as mesh_lib
 
         mesh = mesh_lib.make_mesh(cfg)
-        use_mesh = mesh.size > 1 and cfg.batch_size % mesh.shape["data"] == 0
+        # batches shard over ('slice','data') on multi-slice meshes, so the
+        # divisibility check must use the full data extent, not the 'data'
+        # axis alone
+        use_mesh = (
+            mesh.size > 1
+            and cfg.batch_size % mesh_lib.data_axis_size(mesh) == 0
+        )
         data_iter = data_pipeline.device_iterator(
             dataset, mesh_lib.batch_sharding(mesh) if use_mesh else None,
         )

@@ -174,7 +174,7 @@ class Config:
     # -------------------------------------------------------------------- io
     log_dir: str = "logs"  # reference train.py:499-503 layout logs/<day>/<time>
     checkpoint_dir: Optional[str] = "checkpoints"
-    checkpoint_every: int = 1000
+    checkpoint_every: int = 1000  # steps between saves; 0 = never mid-run
     # Retention: keep only the newest N step_* checkpoints (0 = keep all).
     checkpoint_keep: int = 0
     # Overlap checkpoint disk writes with training (utils/checkpoint.
@@ -183,7 +183,7 @@ class Config:
     # background thread. Saves still commit in order; runners flush at the
     # end of fit and before any restore.
     checkpoint_async: bool = False
-    log_images_every: int = 1  # epochs between log_sample calls
+    log_images_every: int = 1  # epochs between log_sample calls; 0 = never
     # FID-style sample-quality tracking (BASELINE "steps-to-fixed-FID"):
     # 0 = off; N = compute FID between N generated samples and N data images
     # at every log_sample (utils/metrics.py).

@@ -55,7 +55,7 @@ def _init_block(key, in_ch: int, filters: int, depth: int):
     return layers, c
 
 
-def _apply_block(layers, x, impl):
+def _apply_block(layers, x):
     for layer in layers:
         x = conv_ops.conv2d(x, layer["kernel"], layer["bias"], stride=1, relu=True)
     return x
@@ -74,7 +74,6 @@ def init_unet(key, cfg, in_channels: int = 3, out_channels: int | None = None) -
     skip_channels = []
     for i in range(cfg.octaves):
         f = cfg.octave_filters(i)
-        u = cfg.octave_up_filters(i)
         skip_channels.append(c)
         key, kd = jax.random.split(key)
         level = {
@@ -247,7 +246,7 @@ def unet_apply(cfg, params: Params, x, t=None):
     x = x.astype(dtype)
     elide = cfg.skip_mode == "concat" and getattr(cfg, "concat_elision", True)
 
-    h = _apply_block(params["pre_block"], x, impl)
+    h = _apply_block(params["pre_block"], x)
 
     def rec(i, h):
         level = params["octaves"][i]
@@ -258,13 +257,13 @@ def unet_apply(cfg, params: Params, x, t=None):
                 inner = jax.checkpoint(inner)
             h = inner(h)
         else:
-            h = _apply_block(params["middle"], h, impl)
+            h = _apply_block(params["middle"], h)
         return octave_up(cfg, level, h, inp, elide, impl)
 
     if cfg.octaves > 0:
         h = rec(0, h)
     else:
-        h = _apply_block(params["middle"], h, impl)
+        h = _apply_block(params["middle"], h)
 
     return unet_head(cfg, params, h, t)
 

@@ -215,7 +215,7 @@ def _stage_down_fn(cfg, plan, s: int):
     def f(sp, h):
         if first:
             h = h.astype(jnp.dtype(cfg.compute_dtype))
-            h = unet._apply_block(sp["pre_block"], h, cfg.conv_impl)
+            h = unet._apply_block(sp["pre_block"], h)
         skips = []
         for level in sp["octaves"]:
             h, inp = unet.octave_down(cfg, level, h)
@@ -235,7 +235,7 @@ def _stage_mid_fn(cfg, plan):
         for level in sp["octaves"]:
             h, inp = unet.octave_down(cfg, level, h)
             skips.append(inp)
-        h = unet._apply_block(sp["middle"], h, cfg.conv_impl)
+        h = unet._apply_block(sp["middle"], h)
         for level, inp in zip(reversed(sp["octaves"]), reversed(skips)):
             h = unet.octave_up(cfg, level, h, inp)
         return h

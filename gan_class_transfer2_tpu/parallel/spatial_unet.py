@@ -124,16 +124,9 @@ def _pair_up(h, kernel, bias, axis):
     return jax.nn.relu(ya + yb)[:, 2 : 2 * rows + 2]
 
 
-def _pair_dense(h, kernel, bias):
-    from ..ops import conv as conv_ops
-
-    if not isinstance(h, tuple):
-        return conv_ops.dense(h, kernel, bias)
-    a, b = h
-    ca = a.shape[-1]
-    return conv_ops.dense(a, kernel[:ca], None) + conv_ops.dense(
-        b, kernel[ca:], bias
-    )
+# the concat-elision dense split is shard-local (no halo logic), so the
+# main path's definition applies unchanged — ONE kernel-split convention
+from ..models.unet import _pair_dense  # noqa: E402
 
 
 def _local_unet(cfg, params, x, axis):
@@ -200,6 +193,14 @@ def make_spatial_unet_apply(cfg, mesh: Mesh, axis: str = "spatial"):
         raise NotImplementedError(
             "per_step_output is not supported by the spatial path (the "
             "t-gather is not implemented here); use models.unet.unet_apply"
+        )
+    if getattr(cfg, "g_norm", "none") != "none":
+        raise NotImplementedError(
+            "g_norm is not supported by the spatial path — instance/batch "
+            "statistics span the height axis, which is sharded here, so a "
+            "correct implementation needs cross-shard psum reductions; "
+            "silently skipping the norm layers would diverge from "
+            "models.unet.unet_apply"
         )
 
     body = functools.partial(_local_unet, cfg)

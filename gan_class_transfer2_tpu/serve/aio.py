@@ -71,7 +71,9 @@ class AsyncServer:
             raise ValueError("malformed request line")
         method, target = parts[0], parts[1]
         headers = {}
-        for _ in range(self.MAX_HEADERS):
+        # +1: the blank terminator line consumes an iteration too, so a
+        # request with exactly MAX_HEADERS headers is still accepted
+        for _ in range(self.MAX_HEADERS + 1):
             line = await asyncio.wait_for(reader.readline(), 30)
             if line in (b"\r\n", b"\n", b""):
                 break
@@ -114,14 +116,22 @@ class AsyncServer:
                 "Connection: close\r\n\r\n"
             ).encode()
         )
+        import threading
+
         loop = asyncio.get_running_loop()
         queue: asyncio.Queue = asyncio.Queue()
+        # consumer sets this when the client is gone: the producer then
+        # stops after the CURRENT device segment instead of computing every
+        # remaining one for nobody (each segment holds the device lock)
+        abandoned = threading.Event()
 
         def produce():
             try:
                 for snapshot in self.service.sample_stream(
                     num, segments=segments, class_idx=class_idx
                 ):
+                    if abandoned.is_set():
+                        return
                     loop.call_soon_threadsafe(queue.put_nowait, snapshot)
                 loop.call_soon_threadsafe(queue.put_nowait, None)
             except Exception as e:  # noqa: BLE001 — surfaced to the drain loop
@@ -157,6 +167,7 @@ class AsyncServer:
             # (it would append a JSON 500 after the multipart header)
             print(f"stream aborted: {type(e).__name__}: {e}", file=sys.stderr)
         finally:
+            abandoned.set()
             await producer
 
     async def _route(self, method, target, body, writer) -> Optional[bytes]:

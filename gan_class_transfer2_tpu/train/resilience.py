@@ -129,7 +129,10 @@ class ResilientRunnerMixin:
             )
             if on_epoch_begin is not None:
                 on_epoch_begin(epoch)
-            if log_samples and epoch % cfg.log_images_every == 0:
+            # cadence 0 = disabled (a modulo by the raw CLI value would
+            # ZeroDivisionError on --log-images-every 0)
+            if (log_samples and cfg.log_images_every > 0
+                    and epoch % cfg.log_images_every == 0):
                 self.log_sample(tb_epoch)
             t0 = time.perf_counter()
             acc = None  # keyed off the step's metrics (cfg-dependent)
@@ -146,7 +149,8 @@ class ResilientRunnerMixin:
                     acc = {k: jnp.zeros((), jnp.float32) for k in metrics}
                 acc = {k: acc[k] + metrics[k] for k in acc}
                 global_step += 1
-                if cfg.checkpoint_dir and global_step % cfg.checkpoint_every == 0:
+                if (cfg.checkpoint_dir and cfg.checkpoint_every > 0
+                        and global_step % cfg.checkpoint_every == 0):
                     self._checkpoint_now()
             if n_steps == 0:
                 continue

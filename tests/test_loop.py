@@ -445,3 +445,25 @@ def test_cli_eval_scores_checkpoint(tmp_path, capsys):
     assert out["step"] == 3
     assert np.isfinite(out["fid"]) and out["fid"] >= 0
     assert np.isfinite(out["kid"])  # unbiased: slightly negative is valid
+
+
+def test_cadence_zero_disables_checkpoints_and_sampling(tmp_path):
+    """--checkpoint-every 0 / --log-images-every 0 mean 'never', not
+    ZeroDivisionError on the first step (review r3e)."""
+    cfg = tiny_test_config(
+        steps_per_epoch=2,
+        epochs=1,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        checkpoint_every=0,
+        log_images_every=0,
+        log_dir=str(tmp_path / "logs"),
+        mesh_data=1,
+    )
+    runner = Runner(cfg, dataset=_dataset(cfg))
+    runner.fit(epochs=1, steps_per_epoch=2)  # log_samples defaults on
+    runner.close()
+    from gan_class_transfer2_tpu.utils import checkpoint as ckpt
+
+    assert ckpt.all_steps(cfg.checkpoint_dir) == []  # never saved mid-run
+    tags = {e[1] for e in tb.read_events(runner.writer.path)}
+    assert "loss" in tags and "denoised/image" not in tags  # no log_sample
