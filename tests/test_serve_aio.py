@@ -251,3 +251,59 @@ def test_busy_maps_to_503_aio(aserver):
     assert status == 503
     assert hdrs.get("Retry-After") == "1"
     assert "queue full" in json.loads(body)["error"]
+
+
+def test_stream_stops_after_client_disconnect(aserver):
+    """A client that reads one frame and disconnects must not cost every
+    remaining device segment: the producer checks the abandon flag between
+    segments and stops (review r3e)."""
+    import socket
+    import time
+
+    srv, _ = aserver
+    svc = srv.service
+    real = svc.sample_stream
+    segments_served = []
+
+    def counting(num, segments=4, class_idx=None):
+        for i, snap in enumerate(real(num, segments=segments,
+                                      class_idx=class_idx)):
+            segments_served.append(i)
+            yield snap
+
+    svc.sample_stream = counting
+    try:
+        body = json.dumps({"num": 1, "stream": True, "segments": 4}).encode()
+        s = socket.create_connection(("127.0.0.1", srv.port), timeout=10)
+        s.sendall(
+            b"POST /sample HTTP/1.1\r\nHost: x\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+        # read a little (the header + first frame), then vanish
+        s.recv(512)
+        s.close()
+        deadline = time.time() + 20
+        while time.time() < deadline and len(segments_served) < 4:
+            time.sleep(0.2)
+            n_before = len(segments_served)
+            time.sleep(0.8)
+            if len(segments_served) == n_before:
+                break  # producer stopped
+        assert len(segments_served) < 4, segments_served
+    finally:
+        svc.sample_stream = real
+
+
+def test_header_count_limit_is_inclusive(aserver):
+    """Exactly MAX_HEADERS headers must be accepted (the blank terminator
+    used to consume an iteration, making the effective limit 99)."""
+    srv, _ = aserver
+    # urllib adds 6 of its own (Host, Content-Length, Content-Type,
+    # Accept-Encoding, User-Agent, Connection): 94 + 6 = exactly MAX_HEADERS
+    extra = {f"X-H-{i}": "v" for i in range(94)}
+    status, body = _post(srv, "/healthz-nope", b"", headers=extra)
+    assert status == 404  # parsed fine; unknown path — not a 400 header error
+    # one over the limit is still rejected
+    extra["X-Extra"] = "v"
+    status, body = _post(srv, "/healthz-nope", b"", headers=extra)
+    assert status == 400 and b"headers" in body
