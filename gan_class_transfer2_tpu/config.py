@@ -196,6 +196,10 @@ class Config:
     # HTTP frontends answer 503 + Retry-After (serve/server.ServerBusy).
     # 0 = unbounded (requests queue without limit under overload).
     serve_max_queue: int = 512
+    # Max CONCURRENT /sample streams (each holds a full un-coalesced
+    # reverse-diffusion trajectory behind the device lock — streams bypass
+    # the batchers, so they need their own shed). 0 = unbounded.
+    serve_max_streams: int = 4
 
     # ------------------------------------------------------------ derived ---
     def class_patterns(self) -> Tuple[str, ...]:

@@ -41,14 +41,18 @@ def _color(rng, x):
 
 def _translation(rng, x):
     n, h, w, c = x.shape
-    s = max(h // 8, 1)
+    # per-axis bound ceil(size/8) (the DiffAugment policy's ratio) — one
+    # height-derived bound would silently shrink horizontal shifts on
+    # non-square inputs
+    sy = max(-(-h // 8), 1)
+    sx = max(-(-w // 8), 1)
     kx, ky = jax.random.split(rng)
-    ty = jax.random.randint(ky, (n,), -s, s + 1)
-    tx = jax.random.randint(kx, (n,), -s, s + 1)
-    pad = jnp.pad(x, ((0, 0), (s, s), (s, s), (0, 0)))
+    ty = jax.random.randint(ky, (n,), -sy, sy + 1)
+    tx = jax.random.randint(kx, (n,), -sx, sx + 1)
+    pad = jnp.pad(x, ((0, 0), (sy, sy), (sx, sx), (0, 0)))
 
     def shift_one(img, dy, dx):
-        return jax.lax.dynamic_slice(img, (s + dy, s + dx, 0), (h, w, c))
+        return jax.lax.dynamic_slice(img, (sy + dy, sx + dx, 0), (h, w, c))
 
     return jax.vmap(shift_one)(pad, ty, tx)
 

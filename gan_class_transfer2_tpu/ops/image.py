@@ -68,8 +68,15 @@ def vq_quantise(x, dictionary):
 
 
 def dct2d_weighted(x):
-    """Frequency-weighted 2-D DCT-II (ortho) over spatial dims, NHWC —
-    the reference's alternative loss transform (reference train.py:254-260)."""
+    """Frequency-weighted 2-D DCT-II (ortho) over spatial dims —
+    the reference's alternative loss transform (reference train.py:254-260).
+
+    Preserved reference quirk: the output's spatial axes come back
+    TRANSPOSED, (B, W, H, C) — the reference's final
+    ``tf.transpose(x, [0, 2, 3, 1])`` acts on a (B, C, W, H) tensor
+    (train.py:260). Harmless for the loss (both sides pass through the same
+    transform and only the mean survives), but do not index the result by
+    H/W."""
     import jax.scipy.fft as jfft
 
     size_h, size_w = x.shape[1], x.shape[2]
@@ -79,4 +86,4 @@ def dct2d_weighted(x):
     x = jfft.dct(x, norm="ortho", axis=-1) * ww
     x = jnp.transpose(x, (0, 1, 3, 2))  # B C W H
     x = jfft.dct(x, norm="ortho", axis=-1) * wh
-    return jnp.transpose(x, (0, 2, 3, 1))  # B H W C (freq domain)
+    return jnp.transpose(x, (0, 2, 3, 1))  # B W H C (see quirk note)

@@ -27,6 +27,10 @@ def make_spatial_mesh(n: int | None = None, devices=None) -> Mesh:
 
     devices = list(devices if devices is not None else jax.devices())
     n = n or len(devices)
+    if n > len(devices):
+        # silent truncation would hand back fewer height shards than the
+        # caller sized HBM for (make_dp_spatial_mesh already raises)
+        raise ValueError(f"spatial mesh needs {n} devices, have {len(devices)}")
     return Mesh(np.asarray(devices[:n]), ("spatial",))
 
 

@@ -100,14 +100,13 @@ class AsyncServer:
 
     # ------------------------------------------------------------- routing
 
-    async def _handle_stream(self, writer, num: int, segments: int,
-                             class_idx=None):
+    async def _handle_stream(self, writer, stream):
         """Chunked multipart stream of intermediate diffusion states —
-        the blocking generator runs on the pool and feeds an async queue.
-
-        Preconditions are validated by the caller (check_streamable) BEFORE
-        the 200 header goes out; a mid-stream failure can only terminate
-        the multipart body early (never append a second status line)."""
+        the blocking generator (created by the caller BEFORE the 200
+        header, so check_streamable errors and the ServerBusy stream shed
+        surface as clean 4xx/503 responses) runs on the pool and feeds an
+        async queue. A mid-stream failure can only terminate the multipart
+        body early (never append a second status line)."""
         boundary = "gct2frame"
         writer.write(
             (
@@ -127,15 +126,15 @@ class AsyncServer:
 
         def produce():
             try:
-                for snapshot in self.service.sample_stream(
-                    num, segments=segments, class_idx=class_idx
-                ):
+                for snapshot in stream:
                     if abandoned.is_set():
                         return
                     loop.call_soon_threadsafe(queue.put_nowait, snapshot)
                 loop.call_soon_threadsafe(queue.put_nowait, None)
             except Exception as e:  # noqa: BLE001 — surfaced to the drain loop
                 loop.call_soon_threadsafe(queue.put_nowait, e)
+            finally:
+                stream.close()  # release the stream slot promptly
 
         producer = loop.run_in_executor(self._pool, produce)
         try:
@@ -205,8 +204,12 @@ class AsyncServer:
                         "error": "streaming supports num=1 "
                                  "(use format=base64 for batches)"
                     })
-                service.check_streamable(class_idx)  # errors pre-header
-                await self._handle_stream(writer, num, segments, class_idx)
+                # create the stream BEFORE the 200 header: check_streamable
+                # errors and the ServerBusy stream shed surface pre-header
+                stream = service.sample_stream(
+                    num, segments=segments, class_idx=class_idx
+                )
+                await self._handle_stream(writer, stream)
                 return None  # response already written
             images = await self._run_blocking(service.sample, num, class_idx)
             if req.get("format") == "base64":

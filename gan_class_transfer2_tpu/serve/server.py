@@ -68,6 +68,44 @@ class _BatchRequest:
         self.error = None
 
 
+class _StreamHandle:
+    """Iterator over a sample stream holding ONE serve_max_streams slot;
+    releases it exactly once — on close(), exhaustion, or error (a wrapper
+    generator's finally would never run if the stream is closed before its
+    first segment, leaking the slot)."""
+
+    def __init__(self, service, inner):
+        self._service = service
+        self._inner = inner
+        self._released = False
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        try:
+            return next(self._inner)
+        except BaseException:
+            self._release()
+            raise
+
+    def close(self):
+        try:
+            self._inner.close()
+        finally:
+            self._release()
+
+    def __del__(self):  # abandoned without close(): still release
+        self._release()
+
+    def _release(self):
+        if self._released:
+            return
+        self._released = True
+        with self._service._counters_lock:
+            self._service._active_streams -= 1
+
+
 class SampleBatcher:
     """Coalesces concurrent sample requests into one device batch.
 
@@ -199,7 +237,12 @@ def _png_bytes(img: np.ndarray) -> bytes:
 def _decode_png(data: bytes, size: int) -> np.ndarray:
     from PIL import Image
 
-    img = Image.open(io.BytesIO(data)).convert("RGB")
+    try:
+        img = Image.open(io.BytesIO(data)).convert("RGB")
+    except Exception as e:  # noqa: BLE001 — PIL raises UnidentifiedImageError
+        # (an OSError): map to ValueError so the frontends answer 400, not
+        # 500 — a garbage upload is a client error, not a server fault
+        raise ValueError(f"request body is not a decodable image: {e}")
     if img.size != (size, size):
         img = img.resize((size, size))
     return np.asarray(img, np.float32)[None] / 128.0 - 1.0
@@ -276,6 +319,7 @@ class ModelService:
         # lock (dict += is NOT atomic across handler/batcher/pool threads);
         # the /metrics endpoint renders them in Prometheus text format
         self._counters_lock = threading.Lock()
+        self._active_streams = 0  # guarded by _counters_lock (stream shed)
         self.counters = {
             "requests_sample": 0,
             "requests_denoise": 0,
@@ -449,6 +493,9 @@ class ModelService:
             lines.append(f"gct2_{name} {val}")
         lines.append("# TYPE gct2_checkpoint_step gauge")
         lines.append(f"gct2_checkpoint_step {self.step}")
+        lines.append("# TYPE gct2_streams_active gauge")
+        with self._counters_lock:
+            lines.append(f"gct2_streams_active {self._active_streams}")
         depths = {}
         if getattr(self, "_batcher", None) is not None:
             depths["sample"] = self._batcher.depth()
@@ -507,15 +554,37 @@ class ModelService:
 
     def sample_stream(self, num: int, segments: int = 4,
                       class_idx: Optional[int] = None):
-        """Generator of intermediate reverse-diffusion states: yields
+        """Intermediate reverse-diffusion states: returns a generator of
         ``segments`` (num, H, W, 3) arrays, the last being the final batch.
-        Holds the device for the whole stream (no coalescing)."""
+        Holds the device for the whole stream (no coalescing), so streams
+        have their OWN load shed: raises ServerBusy EAGERLY (before the
+        frontend commits a 200 header) when ``Config.serve_max_streams``
+        are already active — they bypass the batchers, and K concurrent
+        trajectories behind the device lock is exactly the serialisation
+        the batchers exist to prevent."""
+        self.check_streamable(class_idx)
+        limit = getattr(self.cfg, "serve_max_streams", 0)
+        with self._counters_lock:
+            if limit > 0 and self._active_streams >= limit:
+                self.counters["rejected_busy"] += 1
+                raise ServerBusy(
+                    f"{self._active_streams} streams active "
+                    f"(serve_max_streams={limit}); retry later"
+                )
+            self._active_streams += 1
+        # NOT a plain wrapper generator: closing a generator that was never
+        # started skips its finally entirely, leaking the slot — the handle
+        # releases exactly once on close(), exhaustion, or error
+        return _StreamHandle(self, self._sample_stream_impl(num, segments,
+                                                            class_idx))
+
+    def _sample_stream_impl(self, num: int, segments: int,
+                            class_idx: Optional[int]):
         import jax
         import jax.numpy as jnp
 
         from ..sample import sampler
 
-        self.check_streamable(class_idx)
         self._bump("requests_stream")
         padded = self._pad_bucket(num)
         seg = self._segment
@@ -716,6 +785,12 @@ def make_handler(service: ModelService):
             (image 0 of the batch per segment; final part = finished image).
             Preconditions were checked by the caller (check_streamable) —
             after the 200 multipart header no error can be reported."""
+            # acquire the stream slot BEFORE committing the 200 header:
+            # sample_stream raises ServerBusy eagerly (stream load shed),
+            # which do_POST maps to a clean 503
+            stream = service.sample_stream(
+                num, segments=segments, class_idx=class_idx
+            )
             boundary = "gct2frame"
             self.send_response(200)
             self.send_header(
@@ -723,9 +798,7 @@ def make_handler(service: ModelService):
             )
             self.end_headers()
             try:
-                for snapshot in service.sample_stream(
-                    num, segments=segments, class_idx=class_idx
-                ):
+                for snapshot in stream:
                     body = _png_bytes(snapshot[0])
                     self.wfile.write(
                         f"--{boundary}\r\nContent-Type: image/png\r\n"
@@ -740,6 +813,8 @@ def make_handler(service: ModelService):
                 # detect the truncation
                 print(f"stream aborted: {type(e).__name__}: {e}", file=sys.stderr)
                 return
+            finally:
+                stream.close()  # release the stream slot promptly
             self.wfile.write(f"--{boundary}--\r\n".encode())
 
         def do_POST(self):

@@ -100,6 +100,10 @@ def save_params(params, path: str = WEIGHTS_PATH):
     flat["head_kernel"] = np.asarray(params["head"]["kernel"])
     flat["head_bias"] = np.asarray(params["head"]["bias"])
     np.savez_compressed(path, **flat)
+    # scoring after a same-process retrain must see the NEW embedding —
+    # stale caches would silently make before/after FID incomparable
+    load_params.cache_clear()
+    _jitted_features.cache_clear()
 
 
 @functools.lru_cache(maxsize=1)

@@ -136,6 +136,13 @@ def fid(
     ("auto")`` — the pinned trained embedding when committed weights are
     present)."""
     extractor = extractor or get_extractor("auto")
+    if len(images_a) < 2 or len(images_b) < 2:
+        # np.cov on a single row silently produces a nonsense scalar
+        # "covariance" (a plausible-looking but meaningless score)
+        raise ValueError(
+            f"fid needs >= 2 images per set, got {len(images_a)} and "
+            f"{len(images_b)}"
+        )
     mu_a, s_a = _stats(_features(images_a, extractor, batch_size))
     mu_b, s_b = _stats(_features(images_b, extractor, batch_size))
     return frechet_distance(mu_a, s_a, mu_b, s_b)

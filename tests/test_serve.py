@@ -535,3 +535,30 @@ def test_batcher_submit_after_close_raises():
     b.close()
     with pytest.raises(RuntimeError, match="shutting down"):
         b.submit(1)
+
+
+def test_stream_load_shed():
+    """Streams bypass the batchers, so they have their own shed: beyond
+    Config.serve_max_streams concurrent streams, sample_stream raises
+    ServerBusy EAGERLY (pre-header → 503), and slots free when a stream
+    ends (review r3f)."""
+    from gan_class_transfer2_tpu.serve.server import ServerBusy
+    from gan_class_transfer2_tpu.train import trainer as trainer_lib
+
+    cfg = tiny_test_config().replace(serve_max_streams=2)
+    state = trainer_lib.init_state(cfg, jax.random.PRNGKey(0))
+    svc = ModelService(cfg, state=state)
+    try:
+        s1 = svc.sample_stream(1, segments=2)
+        s2 = svc.sample_stream(1, segments=2)
+        with pytest.raises(ServerBusy, match="streams active"):
+            svc.sample_stream(1, segments=2)
+        assert "gct2_streams_active 2" in svc.metrics_text()
+        s1.close()  # slot released on close, not only on exhaustion
+        s3 = svc.sample_stream(1, segments=2)
+        list(s3)  # drain to completion releases too
+        assert "gct2_streams_active 1" in svc.metrics_text()
+        s2.close()
+        assert "gct2_streams_active 0" in svc.metrics_text()
+    finally:
+        svc.close()
