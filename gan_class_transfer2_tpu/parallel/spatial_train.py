@@ -56,65 +56,48 @@ def dp_spatial_batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", "spatial"))
 
 
+def _make_sharded_train_step(cfg, mesh: Mesh, batch_sh: NamedSharding):
+    """jit the standard train step with the given batch sharding over the
+    mesh (params replicated; XLA inserts the conv halo exchanges for any
+    'spatial'-sharded height axis and the gradient reductions for 'data').
+    ONE builder for the spatial and DP×spatial variants — they differ only
+    in the batch PartitionSpec."""
+    optimizer = trainer_lib.make_optimizer(cfg)
+
+    def step(state, batch, rng):
+        return trainer_lib.train_step(
+            cfg,
+            optimizer,
+            state,
+            batch,
+            rng,
+            mesh_size=mesh.size,
+            mesh=mesh,
+            batch_spec=batch_sh.spec,
+        )
+
+    rep = NamedSharding(mesh, P())
+    st_sh = jax.tree_util.tree_map(
+        lambda _: rep,
+        jax.eval_shape(
+            lambda r: trainer_lib.init_state(cfg, r), jax.random.PRNGKey(0)
+        ),
+    )
+    return jax.jit(
+        step,
+        in_shardings=(st_sh, batch_sh, rep),
+        out_shardings=(st_sh, rep),
+        donate_argnums=(0,) if cfg.donate_state else (),
+    )
+
+
 def make_dp_spatial_train_step(cfg, mesh: Mesh):
     """jit the standard train step over a (data × spatial) mesh: XLA shards
     the batch across 'data' and every activation's height across 'spatial'
     (inserting conv halo exchanges), with params replicated."""
-    optimizer = trainer_lib.make_optimizer(cfg)
-
-    def step(state, batch, rng):
-        return trainer_lib.train_step(
-            cfg,
-            optimizer,
-            state,
-            batch,
-            rng,
-            mesh_size=mesh.size,
-            mesh=mesh,
-            batch_spec=dp_spatial_batch_sharding(mesh).spec,
-        )
-
-    rep = NamedSharding(mesh, P())
-    st_sh = jax.tree_util.tree_map(
-        lambda _: rep,
-        jax.eval_shape(
-            lambda r: trainer_lib.init_state(cfg, r), jax.random.PRNGKey(0)
-        ),
-    )
-    return jax.jit(
-        step,
-        in_shardings=(st_sh, dp_spatial_batch_sharding(mesh), rep),
-        out_shardings=(st_sh, rep),
-        donate_argnums=(0,) if cfg.donate_state else (),
-    )
+    return _make_sharded_train_step(cfg, mesh, dp_spatial_batch_sharding(mesh))
 
 
 def make_spatial_train_step(cfg, mesh: Mesh):
     """jit the standard train step with height-sharded activations."""
-    optimizer = trainer_lib.make_optimizer(cfg)
-
-    def step(state, batch, rng):
-        return trainer_lib.train_step(
-            cfg,
-            optimizer,
-            state,
-            batch,
-            rng,
-            mesh_size=mesh.size,
-            mesh=mesh,
-            batch_spec=spatial_batch_sharding(mesh).spec,
-        )
-
-    rep = NamedSharding(mesh, P())
-    st_sh = jax.tree_util.tree_map(
-        lambda _: rep,
-        jax.eval_shape(
-            lambda r: trainer_lib.init_state(cfg, r), jax.random.PRNGKey(0)
-        ),
-    )
-    return jax.jit(
-        step,
-        in_shardings=(st_sh, spatial_batch_sharding(mesh), rep),
-        out_shardings=(st_sh, rep),
-        donate_argnums=(0,) if cfg.donate_state else (),
-    )
+    return _make_sharded_train_step(cfg, mesh, spatial_batch_sharding(mesh))
