@@ -106,3 +106,8 @@ def test_wheel_ships_fid_extractor_weights(tmp_path):
     (wheel,) = glob.glob(str(tmp_path / "*.whl"))
     names = zipfile.ZipFile(wheel).namelist()
     assert "gan_class_transfer2_tpu/weights/fid_extractor.npz" in names
+    # the native loader's source + Makefile ship so non-editable installs
+    # build it on first use (native_loader._load runs `make`); without
+    # them the loader and the fast CRC path silently fall back
+    assert "gan_class_transfer2_tpu/data/native/dataloader.cc" in names
+    assert "gan_class_transfer2_tpu/data/native/Makefile" in names
