@@ -35,6 +35,10 @@ def main():
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
         sys.argv[5],
     )
+    # optional 6th arg: exercise async checkpointing on the pod path (the
+    # risky interaction: host_complete's collectives run on EVERY process
+    # before the coordinator-only background save; flush at fit end)
+    ckpt_async = len(sys.argv) > 6 and sys.argv[6] == "async"
 
     from gan_class_transfer2_tpu import cli
 
@@ -51,6 +55,7 @@ def main():
         "--log-dir", os.path.join(out_dir, f"p{pid}", "logs"),
         "--checkpoint-dir", os.path.join(out_dir, f"p{pid}", "ckpt"),
         "--checkpoint-every", "3",
+        "--checkpoint-async", "true" if ckpt_async else "false",
     ])
     assert rc == 0, rc
 

@@ -16,6 +16,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 
 
 _TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
@@ -95,11 +97,16 @@ def test_two_process_training_agrees(tmp_path):
     assert z_results[0] == z_results[1], z_results
 
 
-def test_two_process_cli_train_writes_once(tmp_path):
+@pytest.mark.parametrize("ckpt_mode", ["sync", "async"])
+def test_two_process_cli_train_writes_once(tmp_path, ckpt_mode):
     """The PRODUCT multi-host path (VERDICT r2 next #2): the real
     ``cli.py train`` command runs as a 2-process jax.distributed job via
     --coordinator/--num-processes/--process-id, both processes agree on the
-    training losses, and exactly the coordinator writes checkpoints/logs."""
+    training losses, and exactly the coordinator writes checkpoints/logs.
+    Parametrized over sync/async checkpointing: on a pod the async save's
+    host_complete collectives run on EVERY process before the
+    coordinator-only background write, and the fit-end flush must make the
+    step dir durable before the command returns."""
     import numpy as np
     from PIL import Image
 
@@ -117,7 +124,7 @@ def test_two_process_cli_train_writes_once(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(_TESTS_DIR, "mh_cli_worker.py"),
-             str(pid), "2", str(port), str(data), str(tmp_path)],
+             str(pid), "2", str(port), str(data), str(tmp_path), ckpt_mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=_TESTS_DIR,
         )
