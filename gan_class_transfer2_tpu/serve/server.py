@@ -102,8 +102,7 @@ class _StreamHandle:
         if self._released:
             return
         self._released = True
-        with self._service._counters_lock:
-            self._service._active_streams -= 1
+        self._service._release_trajectory_slot()
 
 
 class SampleBatcher:
@@ -563,20 +562,31 @@ class ModelService:
         trajectories behind the device lock is exactly the serialisation
         the batchers exist to prevent."""
         self.check_streamable(class_idx)
-        limit = getattr(self.cfg, "serve_max_streams", 0)
-        with self._counters_lock:
-            if limit > 0 and self._active_streams >= limit:
-                self.counters["rejected_busy"] += 1
-                raise ServerBusy(
-                    f"{self._active_streams} streams active "
-                    f"(serve_max_streams={limit}); retry later"
-                )
-            self._active_streams += 1
+        self._acquire_trajectory_slot()
         # NOT a plain wrapper generator: closing a generator that was never
         # started skips its finally entirely, leaking the slot — the handle
         # releases exactly once on close(), exhaustion, or error
         return _StreamHandle(self, self._sample_stream_impl(num, segments,
                                                             class_idx))
+
+    def _acquire_trajectory_slot(self):
+        """Shed for the un-coalesced heavy endpoints (streams and /edit —
+        each a full reverse-diffusion trajectory behind the device lock):
+        at most ``Config.serve_max_streams`` run concurrently, ServerBusy
+        (→ 503) beyond that."""
+        limit = getattr(self.cfg, "serve_max_streams", 0)
+        with self._counters_lock:
+            if limit > 0 and self._active_streams >= limit:
+                self.counters["rejected_busy"] += 1
+                raise ServerBusy(
+                    f"{self._active_streams} trajectories active "
+                    f"(serve_max_streams={limit}); retry later"
+                )
+            self._active_streams += 1
+
+    def _release_trajectory_slot(self):
+        with self._counters_lock:
+            self._active_streams -= 1
 
     def _sample_stream_impl(self, num: int, segments: int,
                             class_idx: Optional[int]):
@@ -702,18 +712,25 @@ class ModelService:
         if class_idx is not None:
             c = jnp.full((1,), class_idx, jnp.int32)
         self._bump("requests_edit")
-        key = tuple(sorted(set(edits)))
-        with self._lock:
-            fn = self._edit_fns.get(key)
-            if fn is None:
-                fn = jax.jit(
-                    lambda p, x, cc: sampler.edit_image(
-                        self.cfg, p, x, key, class_idx=cc
+        # /edit is the other un-coalesced trajectory-weight endpoint
+        # (invert + decode = 2·T denoiser steps holding the device lock):
+        # it counts against the same serve_max_streams shed as streams
+        self._acquire_trajectory_slot()
+        try:
+            key = tuple(sorted(set(edits)))
+            with self._lock:
+                fn = self._edit_fns.get(key)
+                if fn is None:
+                    fn = jax.jit(
+                        lambda p, x, cc: sampler.edit_image(
+                            self.cfg, p, x, key, class_idx=cc
+                        )
                     )
-                )
-                self._edit_fns[key] = fn
-            out = fn(self._params, image, c)
-            return {k: np.asarray(v) for k, v in out.items()}
+                    self._edit_fns[key] = fn
+                out = fn(self._params, image, c)
+                return {k: np.asarray(v) for k, v in out.items()}
+        finally:
+            self._release_trajectory_slot()
 
     def denoise(self, image: np.ndarray) -> np.ndarray:
         if self.state is None:

@@ -551,7 +551,7 @@ def test_stream_load_shed():
     try:
         s1 = svc.sample_stream(1, segments=2)
         s2 = svc.sample_stream(1, segments=2)
-        with pytest.raises(ServerBusy, match="streams active"):
+        with pytest.raises(ServerBusy, match="trajectories active"):
             svc.sample_stream(1, segments=2)
         assert "gct2_streams_active 2" in svc.metrics_text()
         s1.close()  # slot released on close, not only on exhaustion
@@ -560,5 +560,14 @@ def test_stream_load_shed():
         assert "gct2_streams_active 1" in svc.metrics_text()
         s2.close()
         assert "gct2_streams_active 0" in svc.metrics_text()
+        # /edit counts against the same trajectory shed
+        s4 = svc.sample_stream(1, segments=2)
+        s5 = svc.sample_stream(1, segments=2)
+        img = np.zeros((1, cfg.size, cfg.size, 3), np.float32)
+        with pytest.raises(ServerBusy, match="trajectories active"):
+            svc.edit(img, edits=("shift",))
+        s4.close(); s5.close()
+        out = svc.edit(img, edits=("shift",))  # slots freed: edit runs
+        assert "shift" in out and "reconstruction" in out
     finally:
         svc.close()
