@@ -51,7 +51,7 @@ class Config:
     num_classes: int = 0
     class_embed_dim: int = 8
     # reference train.py:85-93: active quadratic plus 4 commented alternatives.
-    schedule: str = "quadratic"  # quadratic|exponential|geometric|cosine2|quartic
+    schedule: str = "quadratic"  # quadratic|exponential|rational_exponential|geometric|cosine2|quartic
     # reference train.py:29-32 parameterization quadruple.
     parameterization: str = "x"  # x | epsilon | scaled_epsilon | ode
     prediction_weighting: bool = False  # reference train.py:31
@@ -229,7 +229,8 @@ class Config:
         if self.parameterization not in ("x", "epsilon", "scaled_epsilon", "ode"):
             raise ValueError(f"unknown parameterization {self.parameterization!r}")
         if self.schedule not in (
-            "quadratic", "exponential", "geometric", "cosine2", "quartic"
+            "quadratic", "exponential", "rational_exponential", "geometric",
+            "cosine2", "quartic",
         ):
             raise ValueError(f"unknown schedule {self.schedule!r}")
         if self.loss not in ("mse", "l1", "dct", "mse_multiscale"):

@@ -2,9 +2,9 @@
 
 Reference semantics:
   * ``alpha_dash`` — reference train.py:85-93. Active schedule is quadratic
-    ``(1 - t/(T+1))**2 * 0.25``; the four commented alternatives
-    (exponential :88, geometric :90, cosine² :91, quartic :92) are selectable
-    by name. All are continuous in ``t`` (the ODE branches evaluate them at
+    ``(1 - t/(T+1))**2 * 0.25``; all five commented alternatives
+    (exponential :88, rational_exponential :89, geometric :90, cosine² :91,
+    quartic :92) are selectable by name. All are continuous in ``t`` (the ODE branches evaluate them at
     fractional and ``t - 1`` arguments, reference train.py:240-241, 328).
   * ``WarmUp`` LR — reference train.py:50-65: linear ramp
     ``base * (step+1) / (warm+1)`` while ``step < warm``, else constant.
@@ -32,6 +32,12 @@ def alpha_dash(t, steps: int, schedule: str = "quadratic"):
         return (1 - s) ** 2 * 0.25
     if schedule == "exponential":  # reference train.py:88
         return 1 - 2 ** (s - 1)
+    if schedule == "rational_exponential":  # reference train.py:89
+        # (2**8 - 2**8**t) / (256*2**8**t - 2**8**t + 2**8) with Python's
+        # right-associative 2**8**t == 2**(8**t); simplifies to
+        # (256 - u) / (255*u + 256) where u = 2**(8**s).
+        u = 2.0 ** (8.0**s)
+        return (256.0 - u) / (255.0 * u + 256.0)
     if schedule == "geometric":  # reference train.py:90
         return (256.0 * 256.0) ** (-1.0 * s)
     if schedule == "cosine2":  # reference train.py:91

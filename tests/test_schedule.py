@@ -46,6 +46,12 @@ def test_quadratic_vectorized():
     "name,fn",
     [
         ("exponential", lambda s: 1 - 2 ** (s - 1)),
+        # reference train.py:89 — right-associative 2**8**t == 2**(8**t)
+        (
+            "rational_exponential",
+            lambda s: (2**8 - 2 ** 8**s)
+            / (256 * 2 ** 8**s - 2 ** 8**s + 2**8),
+        ),
         ("geometric", lambda s: (256 * 256) ** (-s)),
         ("cosine2", lambda s: math.cos(math.pi / 2 * s) ** 2),
         ("quartic", lambda s: (1 - s) ** 4),
