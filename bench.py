@@ -23,6 +23,18 @@ REFERENCE_SEMANTICS_IPS_TPU_V5E = 69.06
 # epoch discarded). External anchor; see BASELINE_MEASURED.md for caveats.
 REFERENCE_TF_MEASURED_IPS_CPU = 0.333
 
+# Newest real-chip measurement of THIS script's TPU path, echoed in the CPU
+# fallback JSON so the headline survives a tunnel outage. Update whenever a
+# TPU run of bench.py lands (see BASELINE_MEASURED.md).
+LAST_TPU_MEASUREMENT = {
+    "metric": "train_images_per_sec_per_chip",
+    "value": 1241.449,
+    "vs_baseline": 17.976,
+    "mfu": 0.8112,
+    "date": "2026-08-18",
+    "config": "256x256 b256 bf16 fused-diffusion lax-conv, TPU v5 lite, 1 chip",
+}
+
 
 def main():
     import os
@@ -48,7 +60,7 @@ def main():
             probe = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                timeout=180,
+                timeout=15,
             )
             responsive = probe.returncode == 0
         except subprocess.TimeoutExpired:
@@ -96,6 +108,16 @@ def main():
     )
     result.extra["reference_tf_measured_ips"] = REFERENCE_TF_MEASURED_IPS_CPU
     result.extra["reference_tf_measured_hw"] = "CPU (tools/measure_reference_tf.py)"
+    if not on_tpu:
+        # Self-describing fallback (VERDICT r3 #3): this is a 32² fp32 CPU
+        # smoke number, NOT the perf headline — rename the metric so a
+        # driver reading BENCH_r*.json alone cannot confuse the two, flag
+        # why the fallback ran, and echo the newest real-chip measurement.
+        result.metric = "cpu_smoke_images_per_sec"
+        result.extra["tpu_unreachable"] = (
+            "cpu" not in str(os.environ.get("GCT2_BENCH_PLATFORM", ""))
+        )
+        result.extra["last_tpu_measurement"] = LAST_TPU_MEASUREMENT
     if on_tpu:
         # sampler throughput (VERDICT r1 #6): the jitted T-step reverse
         # diffusion program, batched — vs the reference's 401 eager
