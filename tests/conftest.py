@@ -32,7 +32,9 @@ if TEST_PLATFORM == "cpu":
 # Persistent compilation cache: many tests compile IDENTICAL programs through
 # fresh jit closures (make_train_step per test) — the cache dedupes them
 # within a run and across runs (measured: full suite 16.3 → ~8 min warm).
-_CACHE_DIR = os.path.join(_REPO_ROOT, ".jax_cache")
+_CACHE_DIR = os.environ.get(
+    "GCT2_TEST_CACHE_DIR", os.path.join(_REPO_ROOT, ".jax_cache")
+)
 try:
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
