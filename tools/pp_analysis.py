@@ -1,0 +1,313 @@
+"""Pipeline-parallelism performance model + break-even vs DP (VERDICT r3 #6).
+
+No pod hardware exists in this environment, so PP's performance story is
+built from things measurable WITHOUT a pod:
+
+  1. an analytic fill-drain model over the actual stage plan
+     (parallel/pipeline.plan_stages + exact per-conv MACs mirroring
+     SURVEY §2.2's table),
+  2. exact boundary-activation byte counts from the U-Net topology
+     (what PP ships across ICI) vs the gradient-all-reduce bytes DP ships,
+  3. measured per-virtual-stage wall times on the virtual CPU mesh
+     (--measure) validating the MAC-balance assumption,
+  4. an exact model-state memory sweep over width multiples (jax.eval_shape
+     — no FLOPs) locating the crossover where DP+ZeRO-1+bf16-moments stops
+     fitting a 16 GB v5e chip and PP becomes the only option.
+
+Time model (palindrome GPipe, parallel/pipeline.py design notes):
+  Each of the S devices runs TWO virtual stages per microbatch (its down
+  band and its up band; the last device runs band+middle fused), V = 2S-1.
+  With M microbatches dispatched back-to-back,
+      t_pp(M)  = (M-1) * max_s w_s  +  sum_v tau_v      (steady + fill/drain)
+      t_ideal  = M * sum_s w_s / S
+      bubble   = 1 - t_ideal / t_pp
+  where w_s = device s's work per microbatch and tau_v the virtual-stage
+  latencies; backward-with-remat multiplies every term by the same ~3x and
+  cancels. Perfect balance gives bubble -> (S-1)/(M+S-1)-ish; the tool uses
+  the REAL per-stage MACs, not the balanced idealisation.
+
+Usage:
+  python tools/pp_analysis.py                    # analytic tables (any host)
+  python tools/pp_analysis.py --measure          # + virtual-mesh stage times
+  python tools/pp_analysis.py --sweep            # + memory crossover sweep
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HBM_BYTES = 16 * 1024**3  # v5e
+DP_CHIPS = 8  # the BASELINE north-star pod (v5e-8)
+
+
+# ----------------------------------------------------------- conv MAC model
+
+
+def channels(cfg, i):
+    """(f_i, u_i) — down/up conv out-channels at octave i (SURVEY §2.2)."""
+    f = min(cfg.pixel_size * 2**i, cfg.max_size)
+    u = min(cfg.pixel_size * 2**i // 2, cfg.max_size)
+    return f, u
+
+
+def conv_macs(cfg):
+    """Per-image MACs of every conv, attributed to virtual stages.
+
+    Returns (down[i], up[i], head) MAC lists mirroring SURVEY §2.2's table:
+    down_i: 4x4/s2 conv  f_{i-1} (or 3) -> f_i  at (size/2^{i+1})² output;
+    up_i:   4x4/s2 convT (u_{i+1}+f_i or f_i at the innermost) -> u_i at
+            (size/2^i)² output, 4 effective taps per output pixel;
+    head:   dense (u_0 + 3) -> 3 at size².
+    block_depth > 0 adds 3x3 convs at both ends of each octave."""
+    down, up = [], []
+    for i in range(cfg.octaves):
+        f_in = 3 if i == 0 else channels(cfg, i - 1)[0]
+        f_i, u_i = channels(cfg, i)
+        sp_down = (cfg.size // 2 ** (i + 1)) ** 2
+        d = sp_down * 16 * f_in * f_i
+        if i == cfg.octaves - 1:
+            up_in = f_i
+        else:
+            up_in = channels(cfg, i + 1)[1] + f_i
+        sp_up = (cfg.size // 2**i) ** 2
+        u = sp_up * 4 * up_in * u_i
+        if cfg.block_depth > 0:
+            blk = cfg.block_depth * sp_down * 9 * f_i * f_i
+            d += blk
+            u += blk
+        down.append(d)
+        up.append(u)
+    head = cfg.size**2 * (channels(cfg, 0)[1] + 3) * 3
+    return down, up, head
+
+
+def stage_work(cfg, plan):
+    """Per-device (w_down, w_up) MACs per image under the given plan.
+
+    Device s owns octave band [a, b): its down virtual stage runs down
+    convs a..b-1, its up virtual stage the matching up convs; stage 0's up
+    stage also owns the head; the last device fuses band+middle into ONE
+    virtual stage (middle is identity at block_depth=0)."""
+    down, up, head = conv_macs(cfg)
+    out = []
+    for s, (a, b) in enumerate(plan):
+        w_d = sum(down[a:b])
+        w_u = sum(up[a:b])
+        if s == 0:
+            w_u += head
+        if s == len(plan) - 1:
+            mid = cfg.block_depth * (cfg.size // 2**cfg.octaves) ** 2 * 9 \
+                * channels(cfg, cfg.octaves - 1)[0] ** 2
+            out.append((w_d + w_u + mid, 0.0))  # fused single virtual stage
+        else:
+            out.append((w_d, w_u))
+    return out
+
+
+def boundary_bytes(cfg, plan, micro_batch, dtype_bytes=2):
+    """Bytes PP ships across each stage boundary per MICROBATCH.
+
+    Crossing at octave k = plan[s][1]: forward ships the down activation
+    (B_m, size/2^k, size/2^k, f_{k-1}) into stage s+1 and the up activation
+    (B_m, size/2^k, size/2^k, u_k) back; backward ships both cotangents.
+    """
+    per_boundary = []
+    for s in range(len(plan) - 1):
+        k = plan[s][1]
+        sp = (cfg.size // 2**k) ** 2
+        f_prev = channels(cfg, k - 1)[0]
+        u_k = channels(cfg, k)[1]
+        fwd = micro_batch * sp * (f_prev + u_k) * dtype_bytes
+        per_boundary.append(2 * fwd)  # forward + backward cotangents
+    return per_boundary
+
+
+# ------------------------------------------------------------- time model
+
+
+def pp_times(work, n_micro):
+    """(t_pp, t_ideal, bubble) in MAC units from per-device (w_d, w_u)."""
+    w_dev = [d + u for d, u in work]
+    taus = [w for pair in (  # path order: down_0..down_{S-2}, mid, up_{S-2}..up_0
+        [d for d, _ in work[:-1]]
+        + [work[-1][0]]
+        + [u for _, u in reversed(work[:-1])]
+    ) for w in [pair]]
+    t_pp = (n_micro - 1) * max(w_dev) + sum(taus)
+    t_ideal = n_micro * sum(w_dev) / len(work)
+    return t_pp, t_ideal, 1 - t_ideal / t_pp
+
+
+# ------------------------------------------------------------ memory model
+
+
+def param_bytes_per_stage(cfg, plan):
+    """Exact per-stage parameter byte counts via eval_shape (no FLOPs)."""
+    import jax
+
+    from gan_class_transfer2_tpu.models import unet
+    from gan_class_transfer2_tpu.parallel import pipeline as pp
+
+    shapes = jax.eval_shape(lambda r: unet.init_unet(r, cfg),
+                            jax.random.PRNGKey(0))
+    out = []
+    for s in range(len(plan)):
+        view = pp.tree_stage_view(plan, shapes, s)
+        out.append(sum(
+            int(np.prod(l.shape)) * l.dtype.itemsize
+            for l in jax.tree_util.tree_leaves(view)
+        ))
+    return out
+
+
+import numpy as np  # noqa: E402  (used above in closures)
+
+
+def model_state_bytes(param_bytes, *, zero1_ways=1, moment_bytes=2):
+    """Steady model-state per chip: fp32 params + fp32 grads (transient but
+    live at the update) + 2 Adam moments (bf16 by default, ZeRO-1-sharded)."""
+    n_params = param_bytes / 4
+    return param_bytes + param_bytes + 2 * n_params * moment_bytes / zero1_ways
+
+
+# ------------------------------------------------------------------- main
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--stages", default="2,4,6")
+    ap.add_argument("--microbatches", default="2,4,8,16,32")
+    ap.add_argument("--measure", action="store_true",
+                    help="time the per-virtual-stage programs to validate "
+                    "the MAC balance (on --platform, default cpu mesh)")
+    ap.add_argument("--platform", default="cpu",
+                    help="measure platform: cpu (virtual mesh; per-MAC "
+                    "efficiency varies ~2.5x between the 3-channel outer "
+                    "conv and deep convs, so expect deviation) or tpu "
+                    "(both stage programs timed sequentially on one chip — "
+                    "the MXU's per-MAC rate is near-uniform at these "
+                    "widths, the meaningful balance datum)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="width-multiple memory sweep: where does "
+                    "DP+ZeRO-1 stop fitting 16 GB and PP take over?")
+    args = ap.parse_args()
+
+    if args.measure and args.platform == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    if args.platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+
+    from gan_class_transfer2_tpu.config import Config
+    from gan_class_transfer2_tpu.parallel import pipeline as pp
+
+    cfg = Config(size=args.size, batch_size=args.batch_size,
+                 checkpoint_dir=None)
+
+    print("== fill-drain model at the flagship "
+          f"({args.size}², ~41.7 M params) ==")
+    print("stages microb  bubble  per-dev MAC balance (max/mean)")
+    for S in map(int, args.stages.split(",")):
+        plan = pp.plan_stages(cfg, S)
+        work = stage_work(cfg, plan)
+        w_dev = [d + u for d, u in work]
+        bal = max(w_dev) / (sum(w_dev) / len(w_dev))
+        for M in map(int, args.microbatches.split(",")):
+            _, _, bubble = pp_times(work, M)
+            print(f"{S:6d} {M:6d}  {bubble:6.1%}  {bal:.3f}  plan={plan}")
+
+    print("\n== per-step ICI traffic: PP boundaries vs DP all-reduce ==")
+    pbytes = param_bytes_per_stage(cfg, pp.plan_stages(cfg, 2))
+    total_params = sum(pbytes) / 4
+    dp_ar = 2 * (DP_CHIPS - 1) / DP_CHIPS * total_params * 2  # bf16 grads
+    print(f"DP gradient all-reduce: {dp_ar / 1e6:.0f} MB/chip/step "
+          f"({total_params / 1e6:.1f} M params, bf16, ring 2(n-1)/n)")
+    for S in map(int, args.stages.split(",")):
+        plan = pp.plan_stages(cfg, S)
+        M = 8
+        bb = boundary_bytes(cfg, plan, args.batch_size // M)
+        tot = M * sum(bb)
+        print(f"PP S={S} M={M} b={args.batch_size}: "
+              f"{tot / 1e6:.0f} MB/step total across {len(bb)} boundaries "
+              f"({[round(b / 1e6, 1) for b in bb]} MB/microbatch)")
+
+    if args.measure:
+        import time
+
+        import jax.numpy as jnp
+
+        from gan_class_transfer2_tpu.train import trainer as trainer_lib
+
+        # shapes big enough that conv MACs (not dispatch overhead) dominate
+        # a CPU core — the claim under test is the MAC-balance model.
+        # Built from the stage FUNCTIONS directly (not PipelineTrainer) so a
+        # single real TPU chip can time both stage programs sequentially.
+        m_cfg = Config(
+            size=128, batch_size=8, pixel_size=64, max_size=256, octaves=4,
+            pipeline_stages=2, pipeline_microbatches=2, checkpoint_dir=None,
+            fused_diffusion=False, donate_state=False,
+        )
+        plan = pp.plan_stages(m_cfg, 2)
+        params = trainer_lib.init_state(m_cfg, jax.random.PRNGKey(0)).params
+        p0 = pp.tree_stage_view(plan, params, 0)
+        p1 = pp.tree_stage_view(plan, params, 1)
+        down0_fn = jax.jit(pp._stage_down_fn(m_cfg, plan, 0))
+        mid_fn = jax.jit(pp._stage_mid_fn(m_cfg, plan))
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            -1, 1, (m_cfg.batch_size // 2, m_cfg.size, m_cfg.size, 3)
+        ).astype(np.float32))
+
+        def t(f, *a):
+            out = f(*a)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(10):
+                out = f(*a)
+            jax.block_until_ready(out)
+            return (time.perf_counter() - t0) / 10 * 1e3, out
+
+        ms_d0, (h, skips) = t(down0_fn, p0, x)
+        ms_mid, h_up = t(mid_fn, p1, h)
+        work = stage_work(m_cfg, plan)
+        print(f"\n== measured virtual-stage times ({args.platform}, "
+              f"{m_cfg.size}² b{m_cfg.batch_size // 2}, plan={plan}) ==")
+        print(f"down[0] {ms_d0:.2f} ms   mid(fused band+middle) {ms_mid:.2f} ms")
+        print(f"MAC model ratio mid/down0 = "
+              f"{work[1][0] / work[0][0]:.2f}; measured = {ms_mid / ms_d0:.2f}")
+
+    if args.sweep:
+        print("\n== width sweep: model-state GB/chip (grads+params fp32, "
+              "bf16 moments; activations excluded) ==")
+        print("width  params(M)  DP+ZeRO1(8)  PP S=2  PP S=4  PP S=6  verdict")
+        for k in (1, 2, 4, 8, 16):
+            w_cfg = cfg.replace(pixel_size=128 * k, max_size=512 * k)
+            rows = {}
+            for S in (2, 4, 6):
+                plan = pp.plan_stages(w_cfg, S)
+                pb = param_bytes_per_stage(w_cfg, plan)
+                rows[S] = max(model_state_bytes(b) for b in pb)
+                total = sum(pb)
+            dp = model_state_bytes(total, zero1_ways=DP_CHIPS)
+            fits = lambda x: x < HBM_BYTES * 0.75  # leave room for activations
+            verdict = ("DP fine" if fits(dp) else
+                       "PP S=2" if fits(rows[2]) else
+                       "PP S=4" if fits(rows[4]) else
+                       "PP S=6" if fits(rows[6]) else "needs TP too")
+            print(f"{k:5d}  {total / 4 / 1e6:9.1f}  "
+                  f"{dp / 1e9:11.2f}  {rows[2] / 1e9:6.2f}  "
+                  f"{rows[4] / 1e9:6.2f}  {rows[6] / 1e9:6.2f}  {verdict}")
+        print(json.dumps({"hbm_budget_frac": 0.75, "chips": DP_CHIPS}))
+
+
+if __name__ == "__main__":
+    main()

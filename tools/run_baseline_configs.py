@@ -211,7 +211,10 @@ def run_config5(args):
         compute_dtype=args.dtype, fused_diffusion=False,
         classes=tuple(f"synthetic-{i}" for i in range(len(classes))),
         checkpoint_dir=None, log_dir=args.workdir, donate_state=False,
-        fid_samples=16, mesh_data=1,
+        fid_samples=args.eval_n, mesh_data=1,
+        lr_schedule=args.lr_schedule,
+        d_learning_rate=args.d_learning_rate,
+        epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
     ).validate()
 
     n = 128
@@ -222,8 +225,12 @@ def run_config5(args):
         for k, fn in enumerate(classes)
     ]
     off = (stored - size) // 2
+    # held-out draws; args.eval_n matters: at n=16 the FID estimator's
+    # finite-sample bias swamps the trend (docs/FID.md — bias falls 23→3.5
+    # going n 64→512), which is exactly how the r3 artifact run's
+    # "regression after epoch 2" could be estimator noise
     eval_sets = [
-        fn(16, stored, seed=1000 + k)[:, off:off + size, off:off + size]
+        fn(args.eval_n, stored, seed=1000 + k)[:, off:off + size, off:off + size]
         for k, fn in enumerate(classes)
     ]
 
@@ -273,6 +280,16 @@ def main():
     ap.add_argument("--steps-per-epoch", type=int, default=40)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--workdir", default="/tmp/baseline_configs_logs")
+    ap.add_argument("--eval-n", type=int, default=16,
+                    help="config 5: held-out images per class for the "
+                    "per-pair FID/KID (16 = the r3 artifact setting; use "
+                    ">=64 for a bias-dominated-regime escape, docs/FID.md)")
+    ap.add_argument("--lr-schedule", default="warmup",
+                    help="config 5: warmup (constant after 0 here) or "
+                    "cosine — the one lever the r3b FID campaign measured "
+                    "as genuinely helping")
+    ap.add_argument("--d-learning-rate", type=float, default=0.0,
+                    help="config 5: TTUR discriminator LR (0 = same as G)")
     ap.add_argument(
         "--grid-dir", default=os.path.join(REPO, "docs", "baseline_grids"),
         help="where sample grids are written. The ARTIFACT pass (TPU, full "
