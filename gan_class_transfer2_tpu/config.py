@@ -170,6 +170,12 @@ class Config:
     pipeline_stages: int = 1
     # Microbatches per step (0 -> pipeline_stages). batch_size must divide.
     pipeline_microbatches: int = 0
+    # Explicit octave cut positions ("" = analytic min-max-MAC plan). The
+    # MAC plan is wall-clock misbalanced on the MXU (low-channel outer convs
+    # run ~1.7x slower per MAC — BASELINE_MEASURED.md r4); calibrate with
+    # tools/pp_analysis.py --calibrate and pin the winner here, e.g. "3" for
+    # 2 stages cut at octave 3, "2,4" for 3 stages.
+    pipeline_cuts: str = ""
 
     # -------------------------------------------------------------------- io
     log_dir: str = "logs"  # reference train.py:499-503 layout logs/<day>/<time>
@@ -286,6 +292,26 @@ class Config:
                 "pipeline_microbatches must be >= 0 (0 = pipeline_stages), "
                 f"got {self.pipeline_microbatches}"
             )
+        if self.pipeline_cuts:
+            try:
+                cuts = [int(c) for c in self.pipeline_cuts.split(",")]
+            except ValueError:
+                raise ValueError(
+                    f"pipeline_cuts must be comma-separated ints, got "
+                    f"{self.pipeline_cuts!r}"
+                ) from None
+            if cuts != sorted(set(cuts)) or not all(
+                0 < c < self.octaves for c in cuts
+            ):
+                raise ValueError(
+                    f"pipeline_cuts must be strictly increasing octave "
+                    f"positions in (0, {self.octaves}), got {cuts}"
+                )
+            if self.pipeline_stages > 1 and len(cuts) != self.pipeline_stages - 1:
+                raise ValueError(
+                    f"pipeline_cuts needs pipeline_stages-1="
+                    f"{self.pipeline_stages - 1} cuts, got {len(cuts)}"
+                )
         if self.pipeline_stages > 1:
             # the full compatibility matrix is enforced by
             # parallel/pipeline._validate at trainer construction

@@ -119,11 +119,26 @@ def plan_stages(cfg, n_stages: int) -> Tuple[Tuple[int, int], ...]:
     """Contiguous octave bands minimising the max per-stage MACs.
 
     Returns ((0, k₁), (k₁, k₂), …, (k_{S-1}, octaves)). Brute force over the
-    C(octaves-1, S-1) cut placements — octaves is single digits."""
+    C(octaves-1, S-1) cut placements — octaves is single digits.
+
+    ``cfg.pipeline_cuts`` overrides the analytic plan with explicit cut
+    positions: the MAC objective misjudges wall-clock balance on the MXU
+    (the low-channel outer convs run ~1.7× slower per MAC,
+    BASELINE_MEASURED.md r4); ``tools/pp_analysis.py --calibrate`` measures
+    every candidate plan on hardware and reports the cuts to pin."""
     if not 1 <= n_stages <= cfg.octaves:
         raise ValueError(
             f"pipeline_stages={n_stages} needs 1 <= stages <= octaves={cfg.octaves}"
         )
+    if cfg.pipeline_cuts:
+        cuts = tuple(int(c) for c in cfg.pipeline_cuts.split(","))
+        if len(cuts) != n_stages - 1:
+            raise ValueError(
+                f"pipeline_cuts={cfg.pipeline_cuts!r} has {len(cuts)} cuts; "
+                f"{n_stages} stages need {n_stages - 1}"
+            )
+        bounds = (0,) + cuts + (cfg.octaves,)
+        return tuple((bounds[s], bounds[s + 1]) for s in range(n_stages))
     outer, per, mid = octave_costs(cfg)
     best, best_cost = None, None
     for cuts in itertools.combinations(range(1, cfg.octaves), n_stages - 1):

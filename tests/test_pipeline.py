@@ -86,6 +86,31 @@ def test_plan_rejects_more_stages_than_octaves():
         pipeline.plan_stages(cfg, 4)
 
 
+def test_plan_explicit_cuts_override():
+    # calibrated override (tools/pp_analysis.py --calibrate): the MAC plan
+    # is wall-clock misbalanced on the MXU, so explicit cuts are a product
+    # knob (BASELINE_MEASURED.md r4: cut=1 beats the MAC plan by 17%)
+    cfg = _cfg(octaves=6, size=64).replace(pipeline_cuts="1")
+    assert pipeline.plan_stages(cfg, 2) == ((0, 1), (1, 6))
+    cfg3 = _cfg(octaves=6, size=64).replace(pipeline_cuts="2,4")
+    assert pipeline.plan_stages(cfg3, 3) == ((0, 2), (2, 4), (4, 6))
+    with pytest.raises(ValueError, match="cuts"):
+        pipeline.plan_stages(cfg3, 2)  # wrong cut count for 2 stages
+
+
+def test_config_validates_pipeline_cuts():
+    with pytest.raises(ValueError, match="increasing"):
+        _cfg(octaves=4).replace(pipeline_cuts="3,1").validate()
+    with pytest.raises(ValueError, match="increasing"):
+        _cfg(octaves=4).replace(pipeline_cuts="0").validate()
+    with pytest.raises(ValueError, match="comma-separated"):
+        _cfg(octaves=4).replace(pipeline_cuts="a,b").validate()
+    with pytest.raises(ValueError, match="pipeline_cuts"):
+        _cfg(octaves=4).replace(
+            pipeline_stages=3, pipeline_cuts="1"
+        ).validate()
+
+
 # ------------------------------------------------------------- stage views
 
 
@@ -106,11 +131,13 @@ def test_stage_view_merge_roundtrip():
 # ----------------------------------------------------------------- parity
 
 
-@pytest.mark.parametrize("stages,micro", [(2, 2), (3, 4)])
-def test_pipeline_matches_single_device_step(stages, micro):
+@pytest.mark.parametrize(
+    "stages,micro,cuts", [(2, 2, ""), (3, 4, ""), (2, 2, "1")]
+)
+def test_pipeline_matches_single_device_step(stages, micro, cuts):
     cfg = _cfg(
         octaves=3, batch_size=4, pipeline_stages=stages,
-        pipeline_microbatches=micro,
+        pipeline_microbatches=micro, pipeline_cuts=cuts,
     )
     rng = jax.random.PRNGKey(7)
     state0 = trainer_lib.init_state(cfg, jax.random.PRNGKey(1))

@@ -192,6 +192,10 @@ def main():
                     "(both stage programs timed sequentially on one chip — "
                     "the MXU's per-MAC rate is near-uniform at these "
                     "widths, the meaningful balance datum)")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="measure EVERY candidate 2-stage cut's per-device "
+                    "forward time (on --platform) and report the "
+                    "wall-clock-optimal pipeline_cuts to pin in Config")
     ap.add_argument("--sweep", action="store_true",
                     help="width-multiple memory sweep: where does "
                     "DP+ZeRO-1 stop fitting 16 GB and PP take over?")
@@ -241,49 +245,95 @@ def main():
               f"{tot / 1e6:.0f} MB/step total across {len(bb)} boundaries "
               f"({[round(b / 1e6, 1) for b in bb]} MB/microbatch)")
 
-    if args.measure:
+    if args.measure or args.calibrate:
         import time
 
         import jax.numpy as jnp
 
         from gan_class_transfer2_tpu.train import trainer as trainer_lib
 
-        # shapes big enough that conv MACs (not dispatch overhead) dominate
-        # a CPU core — the claim under test is the MAC-balance model.
-        # Built from the stage FUNCTIONS directly (not PipelineTrainer) so a
-        # single real TPU chip can time both stage programs sequentially.
-        m_cfg = Config(
-            size=128, batch_size=8, pixel_size=64, max_size=256, octaves=4,
-            pipeline_stages=2, pipeline_microbatches=2, checkpoint_dir=None,
-            fused_diffusion=False, donate_state=False,
-        )
-        plan = pp.plan_stages(m_cfg, 2)
+        # shapes big enough that conv MACs (not dispatch overhead or the
+        # tunnel's ~0.7 ms per-call latency floor) dominate — the claim
+        # under test is the MAC-balance model. Built from the stage
+        # FUNCTIONS directly (not PipelineTrainer) so a single real TPU
+        # chip can time both stage programs sequentially.
+        if args.platform == "tpu":
+            # the flagship itself, bf16, a b32 microbatch
+            m_cfg = Config(
+                size=256, batch_size=64, compute_dtype="bfloat16",
+                pipeline_stages=2, pipeline_microbatches=2,
+                checkpoint_dir=None, fused_diffusion=False,
+                donate_state=False,
+            )
+        else:
+            m_cfg = Config(
+                size=128, batch_size=8, pixel_size=64, max_size=256,
+                octaves=4, pipeline_stages=2, pipeline_microbatches=2,
+                checkpoint_dir=None, fused_diffusion=False,
+                donate_state=False,
+            )
         params = trainer_lib.init_state(m_cfg, jax.random.PRNGKey(0)).params
-        p0 = pp.tree_stage_view(plan, params, 0)
-        p1 = pp.tree_stage_view(plan, params, 1)
-        down0_fn = jax.jit(pp._stage_down_fn(m_cfg, plan, 0))
-        mid_fn = jax.jit(pp._stage_mid_fn(m_cfg, plan))
         x = jnp.asarray(np.random.default_rng(0).uniform(
             -1, 1, (m_cfg.batch_size // 2, m_cfg.size, m_cfg.size, 3)
         ).astype(np.float32))
 
-        def t(f, *a):
-            out = f(*a)
-            jax.block_until_ready(out)
-            t0 = time.perf_counter()
-            for _ in range(10):
-                out = f(*a)
-            jax.block_until_ready(out)
-            return (time.perf_counter() - t0) / 10 * 1e3, out
+        def sync(out):
+            # on the tunneled TPU block_until_ready returns early; fetching
+            # a scalar is the reliable fence (BASELINE_MEASURED methodology)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            float(leaf.reshape(-1)[0])
 
-        ms_d0, (h, skips) = t(down0_fn, p0, x)
-        ms_mid, h_up = t(mid_fn, p1, h)
+        def t(f, *a, iters=50):
+            out = f(*a)
+            sync(out)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = f(*a)
+            sync(out)
+            return (time.perf_counter() - t0) / iters * 1e3, out
+
+        def measure_plan(plan):
+            """Forward ms of the three 2-stage virtual programs:
+            (down0, mid(fused band+middle), up0+head+loss)."""
+            p0 = pp.tree_stage_view(plan, params, 0)
+            p1 = pp.tree_stage_view(plan, params, 1)
+            down0_fn = jax.jit(pp._stage_down_fn(m_cfg, plan, 0))
+            mid_fn = jax.jit(pp._stage_mid_fn(m_cfg, plan))
+            loss_fn = jax.jit(pp._stage_loss_fn(m_cfg, plan))
+            ms_d0, (h, skips) = t(down0_fn, p0, x)
+            ms_mid, h_up = t(mid_fn, p1, h)
+            t_b = jnp.ones((x.shape[0],), jnp.float32)
+            ms_up0, _ = t(loss_fn, p0, h_up, skips, x, jnp.float32(1.0), t_b)
+            return ms_d0, ms_mid, ms_up0
+
+    if args.measure:
+        plan = pp.plan_stages(m_cfg, 2)
+        ms_d0, ms_mid, ms_up0 = measure_plan(plan)
         work = stage_work(m_cfg, plan)
+        w0, w1 = work[0][0] + work[0][1], work[1][0]
         print(f"\n== measured virtual-stage times ({args.platform}, "
               f"{m_cfg.size}² b{m_cfg.batch_size // 2}, plan={plan}) ==")
-        print(f"down[0] {ms_d0:.2f} ms   mid(fused band+middle) {ms_mid:.2f} ms")
-        print(f"MAC model ratio mid/down0 = "
-              f"{work[1][0] / work[0][0]:.2f}; measured = {ms_mid / ms_d0:.2f}")
+        print(f"down[0] {ms_d0:.2f} ms   mid(fused band+middle) "
+              f"{ms_mid:.2f} ms   up[0]+head+loss {ms_up0:.2f} ms")
+        print(f"per-DEVICE forward balance dev1/dev0: MAC model "
+              f"{w1 / w0:.2f}; measured {ms_mid / (ms_d0 + ms_up0):.2f}")
+
+    if args.calibrate:
+        print(f"\n== pipeline_cuts calibration ({args.platform}, "
+              f"{m_cfg.size}² b{m_cfg.batch_size // 2}, 2 stages) ==")
+        print("cut  dev0 ms (down+up)  dev1 ms (mid)  max(dev)  balance")
+        best = None
+        for cut in range(1, m_cfg.octaves):
+            plan = ((0, cut), (cut, m_cfg.octaves))
+            ms_d0, ms_mid, ms_up0 = measure_plan(plan)
+            dev0, dev1 = ms_d0 + ms_up0, ms_mid
+            mx = max(dev0, dev1)
+            bal = min(dev0, dev1) / mx
+            print(f"{cut:3d}  {dev0:17.2f}  {dev1:13.2f}  {mx:8.2f}  {bal:.2f}")
+            if best is None or mx < best[1]:
+                best = (cut, mx)
+        print(f"wall-clock-optimal: pipeline_cuts=\"{best[0]}\" "
+              f"(bottleneck {best[1]:.2f} ms/microbatch forward)")
 
     if args.sweep:
         print("\n== width sweep: model-state GB/chip (grads+params fp32, "
