@@ -206,7 +206,8 @@ def run_config5(args):
     cfg = Config(
         size=size, pixel_size=32, max_size=128, octaves=5, steps=10,
         batch_size=8, learning_rate=2e-4, warm_up=0, gan_loss="lsgan",
-        cycle_weight=5.0, identity_weight=0.5, ema_decay=0.99,
+        cycle_weight=args.cycle_weight, identity_weight=args.identity_weight,
+        ema_decay=0.99,
         num_classes=len(classes), class_embed_dim=8,
         compute_dtype=args.dtype, fused_diffusion=False,
         classes=tuple(f"synthetic-{i}" for i in range(len(classes))),
@@ -290,6 +291,13 @@ def main():
                     "as genuinely helping")
     ap.add_argument("--d-learning-rate", type=float, default=0.0,
                     help="config 5: TTUR discriminator LR (0 = same as G)")
+    ap.add_argument("--cycle-weight", type=float, default=5.0,
+                    help="config 5: cycle-consistency weight. 5.0 (the r3 "
+                    "setting) provably collapses the conditional G to the "
+                    "identity map — every per-pair FID plateaus AT its "
+                    "identity baseline (BASELINE_MEASURED.md r4)")
+    ap.add_argument("--identity-weight", type=float, default=0.5,
+                    help="config 5: identity-mapping loss weight")
     ap.add_argument(
         "--grid-dir", default=os.path.join(REPO, "docs", "baseline_grids"),
         help="where sample grids are written. The ARTIFACT pass (TPU, full "
