@@ -208,7 +208,7 @@ def run_config5(args):
         batch_size=8, learning_rate=2e-4, warm_up=0, gan_loss="lsgan",
         cycle_weight=args.cycle_weight, identity_weight=args.identity_weight,
         ema_decay=0.99,
-        num_classes=len(classes), class_embed_dim=8,
+        num_classes=len(classes), class_embed_dim=args.class_embed_dim,
         compute_dtype=args.dtype, fused_diffusion=False,
         classes=tuple(f"synthetic-{i}" for i in range(len(classes))),
         checkpoint_dir=None, log_dir=args.workdir, donate_state=False,
@@ -298,6 +298,10 @@ def main():
                     "identity baseline (BASELINE_MEASURED.md r4)")
     ap.add_argument("--identity-weight", type=float, default=0.5,
                     help="config 5: identity-mapping loss weight")
+    ap.add_argument("--class-embed-dim", type=int, default=8,
+                    help="config 5: class-embedding width — the identity "
+                    "plateau's hypothesised bottleneck is the conditioning "
+                    "pathway's maturity (BASELINE_MEASURED.md r4)")
     ap.add_argument(
         "--grid-dir", default=os.path.join(REPO, "docs", "baseline_grids"),
         help="where sample grids are written. The ARTIFACT pass (TPU, full "
