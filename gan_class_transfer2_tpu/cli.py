@@ -81,6 +81,39 @@ def config_from_args(args, checkpoint_config: bool = False) -> Config:
     return Config(**overrides).validate()
 
 
+def _setup_compilation_cache(flag_value):
+    """Enable JAX's persistent compilation cache for every CLI command.
+
+    The reference pays a fresh trace+compile on every ``python train.py``
+    launch (reference train.py:505-514 rebuilds and re-traces the model each
+    run); on this framework's target — a remote/tunneled TPU where each
+    compile is an RPC taking minutes at the flagship config — an on-disk
+    executable cache turns restart/resume/serve cold-starts into
+    seconds-long warm starts. jax keys the cache on program + flags +
+    platform, so it is always safe to share one directory.
+    """
+    import os
+
+    path = flag_value
+    if path is None:
+        path = os.environ.get(
+            "GCT2_COMPILATION_CACHE",
+            os.path.join(
+                os.path.expanduser("~"), ".cache",
+                "gan_class_transfer2_tpu", "xla-cache",
+            ),
+        )
+    if not path or path.lower() in ("none", "off"):
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover — older jax without the knobs
+        pass
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="gan_class_transfer2_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -98,6 +131,14 @@ def main(argv=None):
             help="force the JAX backend (the JAX_PLATFORMS env var is "
             "overridden by TPU plugins in some environments; this flag "
             "always wins)",
+        )
+        p.add_argument(
+            "--compilation-cache", type=str, default=None, metavar="DIR",
+            help="persistent XLA compilation cache directory. Default: "
+            "$GCT2_COMPILATION_CACHE or ~/.cache/gan_class_transfer2_tpu/"
+            "xla-cache — on by default because on a remote/tunneled TPU the "
+            "first compile of the flagship step takes minutes and is "
+            "identical across restarts. Pass 'none' to disable.",
         )
         _add_config_args(p)
         if cmd in ("train", "gan-train", "cgan-train"):
@@ -205,6 +246,7 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    _setup_compilation_cache(getattr(args, "compilation_cache", None))
     if getattr(args, "coordinator", None):
         # MUST precede any backend touch (multihost.initialize docstring);
         # jax.config.update above is config-only and safe before this

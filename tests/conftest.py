@@ -40,6 +40,10 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:  # pragma: no cover — older jax without the knobs
     pass
+# CLI-driven tests go through cli._setup_compilation_cache, which would
+# otherwise re-point the cache at the user's ~/.cache default — keep them
+# on the test cache dir.
+os.environ.setdefault("GCT2_COMPILATION_CACHE", _CACHE_DIR)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

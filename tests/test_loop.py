@@ -165,6 +165,47 @@ def test_cli_config_construction():
     assert c.size == 32 and c.batch_size == 4 and c.parameterization == "epsilon"
 
 
+def test_cli_compilation_cache_resolution(tmp_path, monkeypatch):
+    """--compilation-cache resolution: flag > $GCT2_COMPILATION_CACHE >
+    ~/.cache default; 'none'/'off'/'' disables. The cache exists because the
+    reference re-traces+recompiles on every launch (reference
+    train.py:505-514) and a tunneled-TPU compile is minutes of RPC."""
+    import jax
+
+    from gan_class_transfer2_tpu import cli
+
+    calls = []
+    monkeypatch.setattr(
+        jax.config, "update", lambda k, v: calls.append((k, v))
+    )
+
+    # flag value wins over the env var
+    monkeypatch.setenv("GCT2_COMPILATION_CACHE", str(tmp_path / "env"))
+    cli._setup_compilation_cache(str(tmp_path / "flag"))
+    assert ("jax_compilation_cache_dir", str(tmp_path / "flag")) in calls
+
+    # env var wins over the home default
+    calls.clear()
+    cli._setup_compilation_cache(None)
+    assert ("jax_compilation_cache_dir", str(tmp_path / "env")) in calls
+
+    # no flag, no env → the documented ~/.cache default
+    calls.clear()
+    monkeypatch.delenv("GCT2_COMPILATION_CACHE")
+    cli._setup_compilation_cache(None)
+    (dir_call,) = [c for c in calls if c[0] == "jax_compilation_cache_dir"]
+    assert dir_call[1] == os.path.join(
+        os.path.expanduser("~"), ".cache", "gan_class_transfer2_tpu",
+        "xla-cache",
+    )
+
+    # explicit opt-out never touches jax.config
+    for off in ("none", "OFF", ""):
+        calls.clear()
+        cli._setup_compilation_cache(off)
+        assert calls == []
+
+
 def test_cli_inherits_default_checkpoint_dir_config(tmp_path, monkeypatch):
     """sample/edit/serve with NO --checkpoint-dir must still pick up the
     config.json under the DEFAULT checkpoint dir, or restores rebuild the
