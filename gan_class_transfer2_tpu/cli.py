@@ -119,8 +119,8 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="command", required=True)
 
     for cmd in ("train", "gan-train", "cgan-train", "sample", "edit", "bench",
-                "serve", "build-cache", "export-weights", "eval", "profile",
-                "distill"):
+                "serve", "build-cache", "export-weights", "export-model",
+                "eval", "profile", "distill"):
         p = sub.add_parser(cmd)
         p.add_argument("--config", type=str, default=None, help="config JSON")
         p.add_argument(
@@ -165,6 +165,11 @@ def main(argv=None):
                 help="class to sample from (conditional checkpoints, "
                 "num_classes > 0)",
             )
+            p.add_argument(
+                "--bundle", type=str, default=None, metavar="DIR",
+                help="sample from a compiled model bundle (export-model) "
+                "instead of a checkpoint — no model build, no re-trace",
+            )
         if cmd == "edit":
             p.add_argument("--input", type=str, required=True, help="image path")
             p.add_argument("--out", type=str, default="edited")
@@ -188,6 +193,28 @@ def main(argv=None):
                 "--out", type=str, default="weights.npz",
                 help="output npz of flat weights in Keras build order "
                 "(load with tf_import docs or model.set_weights)",
+            )
+        if cmd == "export-model":
+            p.add_argument(
+                "--out", type=str, required=True,
+                help="output bundle directory (manifest.json + one "
+                "serialized StableHLO program per inference surface)",
+            )
+            p.add_argument(
+                "--model", type=str, default="diffusion",
+                choices=("diffusion", "gan", "cgan"),
+                help="which checkpoint kind to export",
+            )
+            p.add_argument(
+                "--programs", type=str, nargs="*", default=None,
+                help="subset of programs to export (default: all — "
+                "diffusion: denoise/sample/invert; gan: transfer_ab/"
+                "transfer_ba; cgan: transfer)",
+            )
+            p.add_argument(
+                "--export-platforms", type=str, default="tpu,cpu",
+                help="comma-separated lowering targets baked into the "
+                "bundle (default tpu,cpu: one artifact for dev and prod)",
             )
         if cmd == "eval":
             p.add_argument(
@@ -271,7 +298,8 @@ def main(argv=None):
     cfg = config_from_args(
         args,
         checkpoint_config=args.command
-        in ("sample", "edit", "serve", "export-weights", "eval", "distill"),
+        in ("sample", "edit", "serve", "export-weights", "export-model",
+            "eval", "distill"),
     )
 
     if args.command == "train":
@@ -376,6 +404,9 @@ def main(argv=None):
         )
         return 0
 
+    if args.command == "export-model":
+        return _export_model(cfg, args)
+
     if args.command == "serve":
         from .serve.server import serve_from_checkpoint
 
@@ -391,6 +422,101 @@ def main(argv=None):
     return 1
 
 
+def _export_model(cfg: Config, args) -> int:
+    """Export trained weights as a compiled model bundle (utils/bundle.py):
+    batch-polymorphic, multi-platform StableHLO programs with the weights
+    embedded — the deployment artifact the reference cannot produce at all
+    (reference train.py has no save/export surface)."""
+    import jax
+
+    from .utils import bundle as bundle_lib
+    from .utils import checkpoint as ckpt_lib
+
+    if not (
+        cfg.checkpoint_dir
+        and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None
+    ):
+        raise SystemExit(
+            f"no checkpoint found in {cfg.checkpoint_dir!r} "
+            "(export needs trained weights)"
+        )
+    key = jax.random.PRNGKey(cfg.seed)
+    if args.model == "diffusion":
+        from .train import trainer as trainer_lib
+
+        state = trainer_lib.init_state(cfg, key)
+    elif args.model == "gan":
+        from .train import gan as gan_lib
+
+        state = gan_lib.init_gan_state(cfg, key)
+    else:
+        from .train import conditional_gan as cgan_lib
+
+        state = cgan_lib.init_conditional_gan_state(cfg, key)
+    state = ckpt_lib.restore(cfg.checkpoint_dir, state)
+
+    platforms = tuple(
+        p.strip() for p in args.export_platforms.split(",") if p.strip()
+    )
+    manifest = bundle_lib.export_bundle(
+        cfg, state, args.out,
+        model=args.model, programs=args.programs, platforms=platforms,
+    )
+    names = ", ".join(sorted(manifest["programs"]))
+    print(
+        f"wrote bundle to {args.out}: programs [{names}] "
+        f"(step {manifest['step']}, platforms {manifest['platforms']})"
+    )
+    return 0
+
+
+def _sample_from_bundle(args) -> int:
+    """Sample from a compiled bundle: the config (size, classes, stride) and
+    the weights both live inside the artifact — nothing is rebuilt."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from .utils import bundle as bundle_lib
+
+    bundle = bundle_lib.load_bundle(args.bundle)
+    m = bundle.manifest
+    if "sample" not in m["programs"]:
+        raise SystemExit(
+            f"bundle {args.bundle!r} has no 'sample' program "
+            f"(model={m['model']}, programs={bundle.programs})"
+        )
+    bcfg = m["config"]
+    seed = bcfg.get("seed", 0)
+    size = bcfg["size"]
+    rng = np.random.default_rng(seed)
+    batch = jnp.asarray(
+        rng.normal(size=(args.num, size, size, 3)).astype(np.float32)
+    )
+    call_args = [batch]
+    conditional = len(m["programs"]["sample"]["inputs"]) > 1
+    if conditional:
+        num_classes = bcfg.get("num_classes", 0)
+        cls = args.class_idx if args.class_idx is not None else 0
+        if not 0 <= cls < num_classes:
+            raise SystemExit(f"--class-idx must be in [0, {num_classes})")
+        call_args.append(jnp.full((args.num,), cls, jnp.int32))
+    elif args.class_idx is not None:
+        raise SystemExit("--class-idx: bundle is unconditional")
+    images = np.asarray(bundle.call("sample", *call_args))
+    os.makedirs(args.out, exist_ok=True)
+    for i, img in enumerate(images):
+        arr = np.clip((img * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(args.out, f"sample_{i}.png"))
+    print(
+        f"wrote {len(images)} samples to {args.out} "
+        f"(bundle step {m['step']})"
+    )
+    return 0
+
+
 def _sample(cfg: Config, args) -> int:
     import os
 
@@ -401,6 +527,9 @@ def _sample(cfg: Config, args) -> int:
     from .sample import sampler
     from .train import trainer as trainer_lib
     from .utils import checkpoint as ckpt_lib
+
+    if getattr(args, "bundle", None):
+        return _sample_from_bundle(args)
 
     state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
     if cfg.checkpoint_dir and ckpt_lib.latest_step(cfg.checkpoint_dir) is not None:
