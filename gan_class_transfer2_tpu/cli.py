@@ -267,6 +267,13 @@ def main(argv=None):
                 "asyncio event loop (scales to many slow/idle clients; "
                 "device batching identical)",
             )
+            p.add_argument(
+                "--bundle", type=str, default=None, metavar="DIR",
+                help="serve a compiled model bundle (export-model) instead "
+                "of a checkpoint: config + weights come from the artifact; "
+                "sample/denoise/transfer per its programs (edit/stream/"
+                "reload stay checkpoint-only)",
+            )
 
     args = parser.parse_args(argv)
     if getattr(args, "platform", None):
@@ -408,6 +415,16 @@ def main(argv=None):
         return _export_model(cfg, args)
 
     if args.command == "serve":
+        if args.bundle:
+            from .serve.server import serve_from_bundle
+
+            serve_from_bundle(
+                args.bundle,
+                host=args.host,
+                port=args.port,
+                frontend=args.frontend,
+            )
+            return 0
         from .serve.server import serve_from_checkpoint
 
         serve_from_checkpoint(

@@ -299,16 +299,22 @@ class ModelService:
     #3); a 1-device mesh (or None) is the plain single-chip path."""
 
     def __init__(self, cfg, state=None, gan_state=None, cgan_state=None,
-                 mesh=None):
+                 mesh=None, bundle=None):
         import jax
 
         from ..sample import sampler
         from ..train import trainer as trainer_lib
 
         self.cfg = cfg
+        self.bundle = bundle
+        if bundle is not None:
+            # a bundle's programs are sealed single-program artifacts — the
+            # mesh-sharded sampler path cannot apply; serve it replicated
+            mesh = None
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         self._lock = threading.Lock()
-        if state is None and gan_state is None and cgan_state is None:
+        if (state is None and gan_state is None and cgan_state is None
+                and bundle is None):
             state = trainer_lib.init_state(cfg, jax.random.PRNGKey(cfg.seed))
         self.state = state
         self.gan_state = gan_state
@@ -380,6 +386,61 @@ class ModelService:
             self._cgan_batcher = TargetedImageBatcher(
                 self._run_cgan_transfer, max_queue=self._max_queue
             )
+        if bundle is not None:
+            # Serve a compiled bundle (utils/bundle.py): the artifact's
+            # programs replace the jitted state-backed ones behind the SAME
+            # batchers/shed/metrics. Surfaces not in the bundle stay
+            # unavailable (sample/denoise/transfer route by capability);
+            # edit/stream/reload are checkpoint-only by construction (they
+            # jit fresh programs against raw params / mutate weights).
+            progs = set(bundle.programs)
+            if "sample" in progs:
+                conditional = (
+                    len(bundle.manifest["programs"]["sample"]["inputs"]) > 1
+                )
+
+                def _bundle_sample(p, b, c):
+                    return bundle.call(
+                        "sample", *((b, c) if conditional else (b,))
+                    )
+
+                self._sample = _bundle_sample
+                self._params = None
+                self._batcher = SampleBatcher(
+                    self._run_sample, max_queue=self._max_queue
+                )
+            if "preview" in progs:
+                cond_preview = (
+                    len(bundle.manifest["programs"]["preview"]["inputs"]) > 2
+                )
+
+                def _bundle_preview(p, x, n):
+                    if cond_preview:
+                        # /denoise carries no class; the documented
+                        # conditional default is class 0 (matches sample())
+                        c = np.zeros((x.shape[0],), np.int32)
+                        return bundle.call("preview", x, n, c)
+                    return bundle.call("preview", x, n)
+
+                self._preview = _bundle_preview
+                self._denoise_batcher = ImageBatcher(
+                    self._run_denoise, max_queue=self._max_queue
+                )
+            gan_dirs = [
+                d for d in ("ab", "ba") if f"transfer_{d}" in progs
+            ]
+            if gan_dirs:
+                self._transfer_batchers = {
+                    d: ImageBatcher(
+                        lambda imgs, d=d: self._run_bundle_transfer(imgs, d),
+                        max_queue=self._max_queue,
+                    )
+                    for d in gan_dirs
+                }
+            if "transfer" in progs:
+                self._cgan_batcher = TargetedImageBatcher(
+                    self._run_bundle_cgan_transfer, max_queue=self._max_queue
+                )
 
     def _place_params(self, params):
         """Replicate params over the serving mesh (a committed single-device
@@ -425,6 +486,8 @@ class ModelService:
 
     @property
     def step(self) -> int:
+        if self.bundle is not None:
+            return int(self.bundle.manifest["step"])
         for st in (self.state, self.gan_state, self.cgan_state):
             if st is not None:
                 return int(st.step)
@@ -438,6 +501,11 @@ class ModelService:
         lock. Returns the restored step."""
         from ..utils import checkpoint as ckpt_lib
 
+        if self.bundle is not None:
+            raise ValueError(
+                "bundle serving is immutable (weights are sealed into the "
+                "artifact) — re-export and restart to update"
+            )
         if not self.cfg.checkpoint_dir:
             raise ValueError("no checkpoint_dir configured")
         if ckpt_lib.latest_step(self.cfg.checkpoint_dir) is None:
@@ -531,8 +599,11 @@ class ModelService:
             raise ValueError(f"class must be in [0, {self.cfg.num_classes})")
 
     def sample(self, num: int, class_idx: Optional[int] = None) -> np.ndarray:
-        if self.state is None:
-            raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
+        if getattr(self, "_batcher", None) is None:
+            raise ValueError(
+                "sampling not served (no diffusion checkpoint or bundle "
+                "'sample' program loaded)"
+            )
         self._validate_class(class_idx)
         self._bump("requests_sample")
         if class_idx is None and self.cfg.num_classes > 0:
@@ -548,7 +619,10 @@ class ModelService:
         committed a 200 multipart header (a generator raises lazily, which
         would otherwise corrupt the response mid-stream)."""
         if self.state is None:
-            raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
+            raise ValueError(
+                "streaming requires a checkpoint-backed diffusion server"
+                + (" (not available from a bundle)" if self.bundle else "")
+            )
         self._validate_class(class_idx)
 
     def sample_stream(self, num: int, segments: int = 4,
@@ -668,6 +742,22 @@ class ModelService:
                 gan.select_generator(self.gan_state, direction), x
             ))[:n]
 
+    def _run_bundle_transfer(self, imgs: np.ndarray, direction: str) -> np.ndarray:
+        x, n = self._pad_pow2(imgs)
+        self._bump("device_batches")
+        with self._lock:
+            return np.asarray(self.bundle.call(f"transfer_{direction}", x))[:n]
+
+    def _run_bundle_cgan_transfer(
+        self, imgs: np.ndarray, targets: np.ndarray
+    ) -> np.ndarray:
+        x, n = self._pad_pow2(imgs)
+        t = np.zeros((x.shape[0],), np.int32)
+        t[:n] = targets
+        self._bump("device_batches")
+        with self._lock:
+            return np.asarray(self.bundle.call("transfer", x, t))[:n]
+
     def _run_cgan_transfer(self, imgs: np.ndarray, targets: np.ndarray) -> np.ndarray:
         from ..train import conditional_gan as cgan_lib
 
@@ -701,7 +791,10 @@ class ModelService:
         from ..sample import sampler
 
         if self.state is None:
-            raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
+            raise ValueError(
+                "edit requires a checkpoint-backed diffusion server"
+                + (" (not available from a bundle)" if self.bundle else "")
+            )
         bad = [e for e in edits if e not in self.EDIT_NAMES]
         if bad:
             raise ValueError(
@@ -733,14 +826,20 @@ class ModelService:
             self._release_trajectory_slot()
 
     def denoise(self, image: np.ndarray) -> np.ndarray:
-        if self.state is None:
-            raise ValueError("no diffusion checkpoint loaded (serving GAN only)")
+        if getattr(self, "_denoise_batcher", None) is None:
+            raise ValueError(
+                "denoise not served (no diffusion checkpoint or bundle "
+                "'preview' program loaded)"
+            )
         self._bump("requests_denoise")
         return self._shed(lambda: self._denoise_batcher.submit_image(image))
 
     def transfer(self, image: np.ndarray, direction: str = "ab") -> np.ndarray:
-        if self.gan_state is None:
-            raise ValueError("no GAN checkpoint loaded")
+        if direction not in getattr(self, "_transfer_batchers", {}):
+            raise ValueError(
+                f"transfer direction {direction!r} not served (no GAN "
+                "checkpoint or bundle transfer program loaded)"
+            )
         self._bump("requests_transfer")
         return self._shed(
             lambda: self._transfer_batchers[direction].submit_image(image)
@@ -749,8 +848,11 @@ class ModelService:
     def transfer_to(self, image: np.ndarray, target: int) -> np.ndarray:
         """Multi-class conditional transfer (BASELINE config 5): requests
         for different target classes coalesce into one device batch."""
-        if self.cgan_state is None:
-            raise ValueError("no conditional-GAN checkpoint loaded")
+        if getattr(self, "_cgan_batcher", None) is None:
+            raise ValueError(
+                "conditional transfer not served (no conditional-GAN "
+                "checkpoint or bundle 'transfer' program loaded)"
+            )
         if not 0 <= target < self.cfg.num_classes:
             raise ValueError(f"target must be in [0, {self.cfg.num_classes})")
         self._bump("requests_transfer")
@@ -995,6 +1097,44 @@ def build_service(cfg, model: str = "diffusion") -> ModelService:
     if has_ckpt:
         state = ckpt_lib.restore(cfg.checkpoint_dir, state)
     return ModelService(cfg, state=state, mesh=mesh)
+
+
+def build_bundle_service(bundle_path: str) -> ModelService:
+    """Construct a ModelService over a compiled model bundle
+    (utils/bundle.py): config and weights both come from the artifact —
+    no checkpoint, no model build, no Python model code executed. Serves
+    whatever programs the bundle carries (sample/denoise/transfer);
+    edit/stream/reload stay checkpoint-only."""
+    import json as json_lib
+
+    from ..config import Config
+    from ..utils import bundle as bundle_lib
+
+    bundle = bundle_lib.load_bundle(bundle_path)
+    cfg = Config.from_json(json_lib.dumps(bundle.manifest["config"]))
+    return ModelService(cfg, bundle=bundle)
+
+
+def serve_from_bundle(
+    bundle_path: str,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    frontend: str = "threaded",
+):
+    """Serve a compiled model bundle forever (CLI: serve --bundle)."""
+    service = build_bundle_service(bundle_path)
+    if frontend == "aio":
+        from .aio import AsyncServer
+
+        AsyncServer(service, host, port).run_forever()
+        return
+    server = Server(service, host, port)
+    print(
+        f"serving bundle {bundle_path} on {host}:{server.port} "
+        f"(step {service.step}, programs {service.bundle.programs})",
+        flush=True,
+    )
+    server.httpd.serve_forever()
 
 
 def serve_from_checkpoint(

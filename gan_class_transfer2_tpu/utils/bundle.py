@@ -79,10 +79,18 @@ def _diffusion_programs(cfg, params):
             cfg, params, image, class_idx=c[0] if c else None
         )
 
+    def preview_fn(image, noise, *c):
+        # the /denoise serving surface (single-step preview at test_step,
+        # reference train.py:325-361); returns the denoised image only
+        return sampler.preview(
+            cfg, params, image, noise, class_idx=c[0] if c else None
+        )[0]
+
     return {
         "denoise": (denoise, [("image", 3), ("ivec",)] + cls),
         "sample": (sample_fn, [("image", 3)] + cls),
         "invert": (invert_fn, [("image", 3)] + cls),
+        "preview": (preview_fn, [("image", 3), ("image", 3)] + cls),
     }
 
 

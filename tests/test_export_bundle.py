@@ -33,7 +33,9 @@ def test_diffusion_bundle_roundtrip(tmp_path):
     manifest = bundle_lib.export_bundle(
         cfg, state, out, platforms=("cpu",)
     )
-    assert sorted(manifest["programs"]) == ["denoise", "invert", "sample"]
+    assert sorted(manifest["programs"]) == [
+        "denoise", "invert", "preview", "sample",
+    ]
 
     bundle = bundle_lib.load_bundle(out)
     # batch-polymorphic: the SAME artifact serves batch 1 and batch 3
@@ -59,6 +61,11 @@ def test_diffusion_bundle_roundtrip(tmp_path):
     want_x, want_eps = sampler.invert(cfg, state.params, x)
     np.testing.assert_array_equal(np.asarray(got_x), np.asarray(want_x))
     np.testing.assert_array_equal(np.asarray(got_eps), np.asarray(want_eps))
+
+    n = _noise((2, cfg.size, cfg.size, 3), seed=9)
+    got = np.asarray(bundle.call("preview", x, n))
+    want = np.asarray(sampler.preview(cfg, state.params, x, n)[0])
+    np.testing.assert_array_equal(got, want)
 
 
 def test_conditional_diffusion_bundle(tmp_path):
