@@ -41,6 +41,16 @@ def _add_config_args(p: argparse.ArgumentParser):
             p.add_argument(name, type=str, default=None)
 
 
+def _explicit_overrides(args) -> dict:
+    """The Config fields the user explicitly set on the command line."""
+    overrides = {}
+    for f in dataclasses.fields(Config):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            overrides[f.name] = tuple(v) if f.name == "classes" else v
+    return overrides
+
+
 def config_from_args(args, checkpoint_config: bool = False) -> Config:
     """Resolve the effective Config: explicit CLI flags > --config JSON >
     (for checkpoint-reading commands) the config.json the train command
@@ -53,14 +63,11 @@ def config_from_args(args, checkpoint_config: bool = False) -> Config:
     right base when the user doesn't pass every flag."""
     import os
 
-    overrides = {}
-    default_ckpt_dir = None
-    for f in dataclasses.fields(Config):
-        if f.name == "checkpoint_dir":
-            default_ckpt_dir = f.default
-        v = getattr(args, f.name, None)
-        if v is not None:
-            overrides[f.name] = tuple(v) if f.name == "classes" else v
+    overrides = _explicit_overrides(args)
+    default_ckpt_dir = next(
+        f.default for f in dataclasses.fields(Config)
+        if f.name == "checkpoint_dir"
+    )
     base = None
     if getattr(args, "config", None):
         with open(args.config) as fh:
@@ -423,6 +430,9 @@ def main(argv=None):
                 host=args.host,
                 port=args.port,
                 frontend=args.frontend,
+                # serving knobs (shedding caps, sample_stride, seed …) stay
+                # user-settable; the model shape is sealed in the artifact
+                overrides=_explicit_overrides(args),
             )
             return 0
         from .serve.server import serve_from_checkpoint
@@ -490,11 +500,8 @@ def _export_model(cfg: Config, args) -> int:
 def _sample_from_bundle(args) -> int:
     """Sample from a compiled bundle: the config (size, classes, stride) and
     the weights both live inside the artifact — nothing is rebuilt."""
-    import os
-
     import jax.numpy as jnp
     import numpy as np
-    from PIL import Image
 
     from .utils import bundle as bundle_lib
 
@@ -506,7 +513,9 @@ def _sample_from_bundle(args) -> int:
             f"(model={m['model']}, programs={bundle.programs})"
         )
     bcfg = m["config"]
-    seed = bcfg.get("seed", 0)
+    # --seed is a live sampling knob (fresh noise draws); everything else
+    # about the model is sealed in the artifact
+    seed = args.seed if args.seed is not None else bcfg.get("seed", 0)
     size = bcfg["size"]
     rng = np.random.default_rng(seed)
     batch = jnp.asarray(
@@ -523,10 +532,7 @@ def _sample_from_bundle(args) -> int:
     elif args.class_idx is not None:
         raise SystemExit("--class-idx: bundle is unconditional")
     images = np.asarray(bundle.call("sample", *call_args))
-    os.makedirs(args.out, exist_ok=True)
-    for i, img in enumerate(images):
-        arr = np.clip((img * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
-        Image.fromarray(arr).save(os.path.join(args.out, f"sample_{i}.png"))
+    _write_sample_pngs(images, args.out)
     print(
         f"wrote {len(images)} samples to {args.out} "
         f"(bundle step {m['step']})"
@@ -534,12 +540,23 @@ def _sample_from_bundle(args) -> int:
     return 0
 
 
-def _sample(cfg: Config, args) -> int:
+def _write_sample_pngs(images, out_dir: str) -> None:
+    """ONE encoder for both sample paths — bundle-vs-checkpoint byte parity
+    is a tested contract (test_cli_export_model_and_bundle_sample)."""
     import os
 
-    import jax
     import numpy as np
     from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i, img in enumerate(images):
+        arr = np.clip((img * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(out_dir, f"sample_{i}.png"))
+
+
+def _sample(cfg: Config, args) -> int:
+    import jax
+    import numpy as np
 
     from .sample import sampler
     from .train import trainer as trainer_lib
@@ -578,10 +595,7 @@ def _sample(cfg: Config, args) -> int:
         lambda p, b, c: sampler.sample(cfg, p, b, class_idx=c)
     )(params, batch, class_idx)
     images = np.asarray(result.images)
-    os.makedirs(args.out, exist_ok=True)
-    for i, img in enumerate(images):
-        arr = np.clip((img * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
-        Image.fromarray(arr).save(os.path.join(args.out, f"sample_{i}.png"))
+    _write_sample_pngs(images, args.out)
     print(f"wrote {len(images)} samples to {args.out}")
     return 0
 

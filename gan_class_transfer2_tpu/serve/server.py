@@ -394,6 +394,10 @@ class ModelService:
             # edit/stream/reload are checkpoint-only by construction (they
             # jit fresh programs against raw params / mutate weights).
             progs = set(bundle.programs)
+            # every bundle program ignores the params argument (weights are
+            # sealed in); the placeholder must exist for ANY program subset
+            # (_run_denoise reads it even when 'sample' was not exported)
+            self._params = None
             if "sample" in progs:
                 conditional = (
                     len(bundle.manifest["programs"]["sample"]["inputs"]) > 1
@@ -405,7 +409,6 @@ class ModelService:
                     )
 
                 self._sample = _bundle_sample
-                self._params = None
                 self._batcher = SampleBatcher(
                     self._run_sample, max_queue=self._max_queue
                 )
@@ -566,6 +569,7 @@ class ModelService:
         depths = {}
         if getattr(self, "_batcher", None) is not None:
             depths["sample"] = self._batcher.depth()
+        if getattr(self, "_denoise_batcher", None) is not None:
             depths["denoise"] = self._denoise_batcher.depth()
         for d, b in getattr(self, "_transfer_batchers", {}).items():
             depths[f"transfer_{d}"] = b.depth()
@@ -1099,12 +1103,17 @@ def build_service(cfg, model: str = "diffusion") -> ModelService:
     return ModelService(cfg, state=state, mesh=mesh)
 
 
-def build_bundle_service(bundle_path: str) -> ModelService:
+def build_bundle_service(bundle_path: str, overrides=None) -> ModelService:
     """Construct a ModelService over a compiled model bundle
     (utils/bundle.py): config and weights both come from the artifact —
     no checkpoint, no model build, no Python model code executed. Serves
     whatever programs the bundle carries (sample/denoise/transfer);
-    edit/stream/reload stay checkpoint-only."""
+    edit/stream/reload stay checkpoint-only.
+
+    ``overrides``: explicit Config fields (e.g. the serve_max_queue /
+    serve_max_streams shedding knobs from CLI flags) applied over the
+    manifest's train-time config — model-shape fields are baked into the
+    sealed programs and cannot be changed here."""
     import json as json_lib
 
     from ..config import Config
@@ -1112,6 +1121,8 @@ def build_bundle_service(bundle_path: str) -> ModelService:
 
     bundle = bundle_lib.load_bundle(bundle_path)
     cfg = Config.from_json(json_lib.dumps(bundle.manifest["config"]))
+    if overrides:
+        cfg = cfg.replace(**overrides).validate()
     return ModelService(cfg, bundle=bundle)
 
 
@@ -1120,9 +1131,10 @@ def serve_from_bundle(
     host: str = "127.0.0.1",
     port: int = 8080,
     frontend: str = "threaded",
+    overrides=None,
 ):
     """Serve a compiled model bundle forever (CLI: serve --bundle)."""
-    service = build_bundle_service(bundle_path)
+    service = build_bundle_service(bundle_path, overrides=overrides)
     if frontend == "aio":
         from .aio import AsyncServer
 

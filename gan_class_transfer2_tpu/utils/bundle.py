@@ -155,7 +155,12 @@ def export_bundle(
     else:
         raise ValueError(f"unknown model kind {model!r}")
 
-    if programs:
+    if programs is not None:
+        if not programs:
+            raise ValueError(
+                f"programs must be non-empty when given; "
+                f"available for {model}: {sorted(table)}"
+            )
         unknown = set(programs) - set(table)
         if unknown:
             raise ValueError(

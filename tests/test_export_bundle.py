@@ -65,7 +65,9 @@ def test_diffusion_bundle_roundtrip(tmp_path):
     n = _noise((2, cfg.size, cfg.size, 3), seed=9)
     got = np.asarray(bundle.call("preview", x, n))
     want = np.asarray(sampler.preview(cfg, state.params, x, n)[0])
-    np.testing.assert_array_equal(got, want)
+    # preview's renoise+inverse arithmetic reassociates under compiled
+    # fusion vs the eager reference — float-level (1 ulp) tolerance
+    np.testing.assert_allclose(got, want, atol=1e-6)
 
 
 def test_conditional_diffusion_bundle(tmp_path):
@@ -136,6 +138,9 @@ def test_bundle_manifest_and_errors(tmp_path):
         bundle_lib.export_bundle(
             cfg, state, str(tmp_path / "x"), programs=("banana",)
         )
+    # an explicitly empty selection is an error, not "export everything"
+    with pytest.raises(ValueError, match="non-empty"):
+        bundle_lib.export_bundle(cfg, state, str(tmp_path / "x"), programs=[])
     with pytest.raises(ValueError, match="unknown model kind"):
         bundle_lib.export_bundle(cfg, state, str(tmp_path / "x"), model="vae")
     with pytest.raises(FileNotFoundError, match="not a model bundle"):

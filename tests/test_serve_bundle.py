@@ -109,6 +109,61 @@ def test_bundle_unsupported_surfaces(bundle_server):
     assert status == 400 and b"not served" in body
 
 
+def test_partial_bundle_metrics_and_denoise(tmp_path):
+    """Program-subset bundles must not crash the other surfaces: a
+    sample-only bundle still serves /metrics (review finding: metrics_text
+    dereferenced the absent denoise batcher), and a preview-only bundle
+    serves denoise (finding: _params was only set under 'sample')."""
+    cfg = tiny_test_config()
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+
+    out_s = str(tmp_path / "sample_only")
+    bundle_lib.export_bundle(
+        cfg, state, out_s, programs=("sample",), platforms=("cpu",)
+    )
+    svc = ModelService(cfg, bundle=bundle_lib.load_bundle(out_s))
+    try:
+        text = svc.metrics_text()
+        assert 'gct2_queue_depth{batcher="sample"}' in text
+        assert 'gct2_queue_depth{batcher="denoise"}' not in text
+        with pytest.raises(ValueError, match="denoise not served"):
+            svc.denoise(np.zeros((1, cfg.size, cfg.size, 3), np.float32))
+    finally:
+        svc.close()
+
+    out_p = str(tmp_path / "preview_only")
+    bundle_lib.export_bundle(
+        cfg, state, out_p, programs=("preview",), platforms=("cpu",)
+    )
+    svc = ModelService(cfg, bundle=bundle_lib.load_bundle(out_p))
+    try:
+        img = np.zeros((1, cfg.size, cfg.size, 3), np.float32)
+        assert svc.denoise(img).shape == (1, cfg.size, cfg.size, 3)
+        with pytest.raises(ValueError, match="sampling not served"):
+            svc.sample(1)
+    finally:
+        svc.close()
+
+
+def test_bundle_service_overrides(tmp_path):
+    """serve --bundle applies explicit CLI config overrides (shedding
+    knobs) over the manifest's train-time config."""
+    from gan_class_transfer2_tpu.serve.server import build_bundle_service
+
+    cfg = tiny_test_config()
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    out = str(tmp_path / "b")
+    bundle_lib.export_bundle(
+        cfg, state, out, programs=("sample",), platforms=("cpu",)
+    )
+    svc = build_bundle_service(out, overrides={"serve_max_queue": 8})
+    try:
+        assert svc._max_queue == 8
+        assert svc.cfg.serve_max_queue == 8
+    finally:
+        svc.close()
+
+
 def test_cgan_bundle_service(tmp_path):
     from gan_class_transfer2_tpu.train import conditional_gan as cgan_lib
 

@@ -57,13 +57,18 @@ def main():
 
     platform = jax.devices()[0].platform
     t0 = time.monotonic()
-    bundle_lib.export_bundle(
+    manifest = bundle_lib.export_bundle(
         cfg, state, args.out, programs=("sample",), platforms=(platform,)
     )
     export_s = time.monotonic() - t0
-    size_mb = sum(
-        os.path.getsize(os.path.join(args.out, f))
-        for f in os.listdir(args.out)
+    # count only THIS export's files (a reused --out dir may hold stale
+    # programs from a previous run with a different program set)
+    size_mb = (
+        os.path.getsize(os.path.join(args.out, "manifest.json"))
+        + sum(
+            os.path.getsize(os.path.join(args.out, p["file"]))
+            for p in manifest["programs"].values()
+        )
     ) / 1e6
 
     bundle = bundle_lib.load_bundle(args.out)
