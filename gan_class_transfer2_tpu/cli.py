@@ -127,7 +127,7 @@ def main(argv=None):
 
     for cmd in ("train", "gan-train", "cgan-train", "sample", "edit", "bench",
                 "serve", "build-cache", "export-weights", "export-model",
-                "eval", "profile", "distill"):
+                "eval", "profile", "distill", "plan"):
         p = sub.add_parser(cmd)
         p.add_argument("--config", type=str, default=None, help="config JSON")
         p.add_argument(
@@ -259,6 +259,26 @@ def main(argv=None):
             p.add_argument(
                 "--distill-steps", type=int, default=2000,
                 help="optimizer steps per halving round",
+            )
+        if cmd == "plan":
+            p.add_argument(
+                "--chips", type=int, default=8,
+                help="TPU chip budget to plan for (default: the BASELINE "
+                "north-star v5e-8)",
+            )
+            p.add_argument(
+                "--hbm-gb", type=float, default=16.0,
+                help="HBM per chip in GB (default 16 = v5e)",
+            )
+            p.add_argument(
+                "--budget-frac", type=float, default=0.75,
+                help="fraction of HBM to plan to (headroom for XLA "
+                "workspaces/fragmentation)",
+            )
+            p.add_argument(
+                "--json", action="store_true",
+                help="emit the full machine-readable plan instead of the "
+                "table",
             )
         if cmd == "serve":
             p.add_argument("--host", type=str, default="127.0.0.1")
@@ -421,6 +441,9 @@ def main(argv=None):
     if args.command == "export-model":
         return _export_model(cfg, args)
 
+    if args.command == "plan":
+        return _plan(cfg, args)
+
     if args.command == "serve":
         if args.bundle:
             from .serve.server import serve_from_bundle
@@ -447,6 +470,27 @@ def main(argv=None):
         return 0
 
     return 1
+
+
+def _plan(cfg: Config, args) -> int:
+    """Recommend a parallelism strategy for this workload and chip budget
+    (parallel/planner.py). The reference is single-device by construction
+    (reference train.py:40); on TPU the scaling recipe is pick-a-mesh →
+    annotate shardings → let XLA insert collectives, and this command
+    automates the pick. Entirely analytic — no devices touched, works with
+    the TPU tunnel down."""
+    import json as json_lib
+
+    from .parallel import planner
+
+    result = planner.plan(
+        cfg, args.chips, hbm_gb=args.hbm_gb, budget_frac=args.budget_frac
+    )
+    if args.json:
+        print(json_lib.dumps(result))
+    else:
+        print(planner.format_plan(result))
+    return 0
 
 
 def _export_model(cfg: Config, args) -> int:

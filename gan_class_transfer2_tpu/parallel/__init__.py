@@ -1,3 +1,19 @@
-from . import mesh, multihost, pipeline, spatial, spatial_train, spatial_unet
+from . import (
+    mesh,
+    multihost,
+    pipeline,
+    planner,
+    spatial,
+    spatial_train,
+    spatial_unet,
+)
 
-__all__ = ["mesh", "multihost", "spatial", "spatial_train", "spatial_unet"]
+__all__ = [
+    "mesh",
+    "multihost",
+    "pipeline",
+    "planner",
+    "spatial",
+    "spatial_train",
+    "spatial_unet",
+]

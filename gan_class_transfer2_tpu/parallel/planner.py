@@ -1,0 +1,749 @@
+"""Parallelism planner: pick a mesh for a workload (``gct2 plan``).
+
+The reference is single-device by construction (reference train.py:40 pins
+one GPU; SURVEY §2.3's absence table) — scaling a run is entirely the
+user's problem. On TPU the scaling recipe is: pick a mesh, annotate
+shardings, let XLA insert the collectives. This module automates the *pick*
+step: given a workload Config and a chip budget, it enumerates the
+parallelism strategies this framework implements (DP, DP+ZeRO-1, TP,
+pipeline over octave bands, spatial sharding), models per-chip memory and
+expected throughput for each, and recommends concrete Config overrides.
+
+Everything here is analytic — ``jax.eval_shape`` for exact parameter
+shapes, closed-form activation/MAC models — so planning needs no devices
+and costs no FLOPs. The models are calibrated against measured numbers in
+BASELINE_MEASURED.md rather than guessed:
+
+* throughput anchors: measured img/s/chip at 64²–1024² on TPU v5e
+  ("TPU-native operating points" / memory-frontier execution rows);
+* the activation-memory constant is fitted at the measured 512² b64 XLA
+  ``memory_analysis`` row (14.2 GB) and validated at 1024² b16;
+* PP bubble/boundary models are the ones validated on-chip ("Pipeline
+  parallelism: the performance story");
+* lever costs: bf16 moment storage is free (measured), remat costs ~20%
+  step time and did NOT lower the measured peak at ≤512² b64 (XLA's
+  scheduler already bounds liveness) — so remat is reported, not chosen.
+
+Predictions are first-order (±20%); strategies with no measured cost model
+on this stack (TP activation collectives, spatial halo exchange on a real
+mesh) are reported with ``pred_img_s=None`` and an explicit note instead
+of an invented number.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Optional
+
+import numpy as np
+
+# --------------------------------------------------------------- constants
+
+HBM_GB_V5E = 16.0
+BUDGET_FRAC = 0.75  # leave headroom for XLA workspaces / fragmentation
+
+# Measured single-chip operating points (TPU v5e, bf16, fused diffusion,
+# concat elision — BASELINE_MEASURED.md). Each anchor's achieved model
+# FLOP/s is interpolated in log2(size) to predict other resolutions.
+MEASURED_ANCHORS = (
+    {"size": 64, "octaves": 4, "batch": 512, "ips": 10_978.0},
+    {"size": 128, "octaves": 6, "batch": 256, "ips": 4_575.0},
+    {"size": 256, "octaves": 6, "batch": 256, "ips": 1_241.4},
+    {"size": 512, "octaves": 6, "batch": 64, "ips": 218.0},
+    {"size": 1024, "octaves": 6, "batch": 16, "ips": 53.0},
+)
+
+# Per-chip batch efficiency, normalised to the measured 256² ladder
+# (607/712/784/1203/1241 img/s at b16..b256 — BASELINE_MEASURED.md
+# "TPU-native operating points"). Keyed by WORK-EQUIVALENT batch
+# b · (size/256)², since the knee tracks per-step work, not image count.
+# Points below b16 are EXTRAPOLATED (the ladder was not measured there);
+# they only matter for ranking strategies that shrink the per-launch
+# batch (PP microbatching), where "small is bad on the MXU" is the
+# qualitative truth the numbers encode.
+BATCH_EFFICIENCY = (
+    (1, 0.12),  # extrapolated
+    (4, 0.28),  # extrapolated
+    (8, 0.39),  # extrapolated
+    (16, 0.49),
+    (32, 0.57),
+    (64, 0.63),
+    (128, 0.97),
+    (192, 1.0),
+)
+
+# Fitted at the measured 512² b64 row: XLA memory_analysis temp+args
+# 14.2 GB − 0.67 GB model state = 211.4 MB/img of activations+workspace
+# vs the analytic 98.1 MB/img of saved conv outputs → ×2.155. Validated
+# at 1024² b16 (predicts 14.0 GB vs 15.8 measured, −11%) — treat every
+# activation figure as ±20%.
+ACT_CALIB = 2.155
+
+REMAT_NOTE = (
+    "remat is NOT offered as a memory lever: measured at 512² b64 it did "
+    "not lower XLA's peak (15.17 vs 14.2 GB) and costs ~20% step time "
+    "(BASELINE_MEASURED.md memory frontier)"
+)
+
+
+# ---------------------------------------------------------- memory models
+
+
+def abstract_params(cfg):
+    """Exact parameter ShapeDtypeStructs via eval_shape (no FLOPs).
+
+    The key is passed abstractly too, so planning never initialises a
+    backend — ``gct2 plan`` works with the TPU tunnel down."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import unet
+
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    return jax.eval_shape(lambda r: unet.init_unet(r, cfg), key)
+
+
+def _leaf_bytes(leaf) -> int:
+    return int(np.prod(leaf.shape)) * leaf.dtype.itemsize
+
+
+def param_bytes(tree) -> int:
+    import jax
+
+    return sum(_leaf_bytes(l) for l in jax.tree_util.tree_leaves(tree))
+
+
+@dataclasses.dataclass
+class _AbstractMesh:
+    """Duck-typed stand-in so mesh.py's real sharding rules run without
+    devices — the planner must model the EXACT rules the runtime applies."""
+
+    shape: dict
+
+
+def _spec_divisor(spec, axis_sizes: dict) -> int:
+    """How many ways a PartitionSpec splits a leaf."""
+    div = 1
+    for entry in spec:
+        if entry is None:
+            continue
+        for ax in (entry if isinstance(entry, tuple) else (entry,)):
+            div *= axis_sizes.get(ax, 1)
+    return div
+
+
+def tp_param_bytes_per_chip(tree, model: int) -> int:
+    """Per-chip parameter bytes under the TP rule (mesh._leaf_spec)."""
+    import jax
+
+    from . import mesh as mesh_lib
+
+    sizes = {"model": model}
+    return sum(
+        _leaf_bytes(l) // _spec_divisor(mesh_lib._leaf_spec(l, model), sizes)
+        for l in jax.tree_util.tree_leaves(tree)
+    )
+
+
+def zero1_moment_bytes_per_chip(
+    tree, data: int, model: int, moment_dtype: str
+) -> int:
+    """Per-chip Adam moment bytes (2 moments) under mesh._zero1_spec."""
+    import jax
+
+    from . import mesh as mesh_lib
+
+    fake = _AbstractMesh(shape={"data": data, "model": model})
+    sizes = {"data": data, "model": model}
+    itemsize = 2 if moment_dtype == "bfloat16" else 4
+    total = 0
+    for l in jax.tree_util.tree_leaves(tree):
+        spec = mesh_lib._zero1_spec(l, fake)
+        total += (
+            int(np.prod(l.shape)) * itemsize // _spec_divisor(spec, sizes)
+        )
+    return 2 * total
+
+
+def model_state_bytes_per_chip(
+    p_bytes_chip: int,
+    n_param_elems_chip: float,
+    *,
+    zero1_data: int = 1,
+    moment_dtype: str = "float32",
+    moment_bytes_chip: Optional[int] = None,
+    ema: bool = False,
+) -> float:
+    """Steady per-chip model state: fp32 params + fp32 grads (live at the
+    update) + 2 Adam moments (optionally ZeRO-1-sharded / bf16)."""
+    if moment_bytes_chip is None:
+        mb = 2 if moment_dtype == "bfloat16" else 4
+        moment_bytes_chip = 2 * n_param_elems_chip * mb / zero1_data
+    state = p_bytes_chip + p_bytes_chip + moment_bytes_chip
+    if ema:
+        state += p_bytes_chip
+    return float(state)
+
+
+def act_elems_per_image(cfg) -> int:
+    """Saved-activation elements per image: every down/up conv output plus
+    the input and head output (SURVEY §2.2's topology). Multiplied by
+    ACT_CALIB to cover cotangents and XLA workspaces."""
+    total = 2 * cfg.size**2 * 3
+    for i in range(cfg.octaves):
+        sp_down = (cfg.size >> (i + 1)) ** 2
+        total += sp_down * cfg.octave_filters(i)
+        total += (cfg.size >> i) ** 2 * cfg.octave_up_filters(i)
+        if cfg.block_depth:
+            total += 2 * cfg.block_depth * sp_down * cfg.octave_filters(i)
+    return total
+
+
+def act_bytes(cfg, local_batch: float, spatial_ways: int = 1) -> float:
+    dtype_bytes = 2 if cfg.compute_dtype in ("bfloat16", "float16") else 4
+    return (
+        ACT_CALIB
+        * act_elems_per_image(cfg)
+        * dtype_bytes
+        * local_batch
+        / spatial_ways
+    )
+
+
+# ------------------------------------------------- pipeline (PP) models
+# Canonical copies of the MAC/boundary/time models validated in
+# BASELINE_MEASURED.md "Pipeline parallelism: the performance story";
+# tools/pp_analysis.py imports these.
+
+
+def channels(cfg, i):
+    """(f_i, u_i) — down/up conv out-channels at octave i (SURVEY §2.2)."""
+    return cfg.octave_filters(i), cfg.octave_up_filters(i)
+
+
+def conv_macs(cfg):
+    """Per-image MACs of every conv, attributed to octaves (down, up, head).
+
+    down_i: 4×4/s2 conv f_{i-1} (or 3) → f_i at (size/2^{i+1})² output;
+    up_i: 4×4/s2 convT (u_{i+1}+f_i, or f_i at the innermost) → u_i at
+    (size/2^i)² output; head: dense (u_0+3) → 3 at size². block_depth > 0
+    adds 3×3 convs at both ends of each octave."""
+    down, up = [], []
+    for i in range(cfg.octaves):
+        f_in = 3 if i == 0 else channels(cfg, i - 1)[0]
+        f_i, u_i = channels(cfg, i)
+        sp_down = (cfg.size // 2 ** (i + 1)) ** 2
+        d = sp_down * 16 * f_in * f_i
+        if i == cfg.octaves - 1:
+            up_in = f_i
+        else:
+            up_in = channels(cfg, i + 1)[1] + f_i
+        sp_up = (cfg.size // 2**i) ** 2
+        u = sp_up * 4 * up_in * u_i
+        if cfg.block_depth > 0:
+            blk = cfg.block_depth * sp_down * 9 * f_i * f_i
+            d += blk
+            u += blk
+        down.append(d)
+        up.append(u)
+    head = cfg.size**2 * (channels(cfg, 0)[1] + 3) * 3
+    return down, up, head
+
+
+def stage_work(cfg, plan):
+    """Per-device (w_down, w_up) MACs per image under a stage plan.
+
+    Device s owns octave band [a, b); stage 0's up stage also owns the
+    head; the last device fuses band+middle into one virtual stage."""
+    down, up, head = conv_macs(cfg)
+    out = []
+    for s, (a, b) in enumerate(plan):
+        w_d = sum(down[a:b])
+        w_u = sum(up[a:b])
+        if s == 0:
+            w_u += head
+        if s == len(plan) - 1:
+            mid = (
+                cfg.block_depth
+                * (cfg.size // 2**cfg.octaves) ** 2
+                * 9
+                * channels(cfg, cfg.octaves - 1)[0] ** 2
+            )
+            out.append((w_d + w_u + mid, 0.0))
+        else:
+            out.append((w_d, w_u))
+    return out
+
+
+def boundary_bytes(cfg, plan, micro_batch, dtype_bytes=2):
+    """Bytes PP ships across each stage boundary per microbatch
+    (forward activations + backward cotangents)."""
+    per_boundary = []
+    for s in range(len(plan) - 1):
+        k = plan[s][1]
+        sp = (cfg.size // 2**k) ** 2
+        f_prev = channels(cfg, k - 1)[0]
+        u_k = channels(cfg, k)[1]
+        fwd = micro_batch * sp * (f_prev + u_k) * dtype_bytes
+        per_boundary.append(2 * fwd)
+    return per_boundary
+
+
+def pp_times(work, n_micro):
+    """(t_pp, t_ideal, bubble) in MAC units from per-device (w_d, w_u)."""
+    w_dev = [d + u for d, u in work]
+    taus = (
+        [d for d, _ in work[:-1]]
+        + [work[-1][0]]
+        + [u for _, u in reversed(work[:-1])]
+    )
+    t_pp = (n_micro - 1) * max(w_dev) + sum(taus)
+    t_ideal = n_micro * sum(w_dev) / len(work)
+    return t_pp, t_ideal, 1 - t_ideal / t_pp
+
+
+def pp_stage_act_elems(cfg, plan, s) -> int:
+    """Saved-activation elements per image for stage s's octave band."""
+    a, b = plan[s]
+    total = 0
+    for i in range(a, b):
+        total += (cfg.size >> (i + 1)) ** 2 * cfg.octave_filters(i)
+        total += (cfg.size >> i) ** 2 * cfg.octave_up_filters(i)
+        if cfg.block_depth:
+            total += (
+                2 * cfg.block_depth
+                * (cfg.size >> (i + 1)) ** 2
+                * cfg.octave_filters(i)
+            )
+    if s == 0:
+        total += 2 * cfg.size**2 * 3
+    return total
+
+
+# ---------------------------------------------------- throughput model
+
+
+def _flops_per_image_train(cfg) -> float:
+    from ..utils import benchmark as bench_lib
+
+    return 3.0 * bench_lib.model_flops_per_image(cfg)
+
+
+def _achieved_tflops_at(size: int) -> float:
+    """Interpolate measured achieved model-TFLOP/s in log2(size)."""
+    from ..config import Config
+    from ..utils import benchmark as bench_lib
+
+    pts = []
+    for a in MEASURED_ANCHORS:
+        acfg = Config(
+            size=a["size"], octaves=a["octaves"], batch_size=a["batch"],
+            compute_dtype="bfloat16", checkpoint_dir=None,
+        )
+        fl = 3.0 * bench_lib.model_flops_per_image(acfg)
+        pts.append((math.log2(a["size"]), fl * a["ips"] / 1e12))
+    pts.sort()
+    x = math.log2(size)
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return float(np.interp(x, xs, ys))
+
+
+def _batch_efficiency(cfg, local_batch: float) -> float:
+    b_eq = local_batch * (cfg.size / 256.0) ** 2
+    xs = [b for b, _ in BATCH_EFFICIENCY]
+    ys = [e for _, e in BATCH_EFFICIENCY]
+    return float(np.interp(b_eq, xs, ys))
+
+
+def predict_ips_per_chip(cfg, local_batch: float) -> float:
+    """First-order per-chip img/s at this size and local batch (±20%).
+
+    Anchors are bf16 (the supported fast path). fp32 convs take the MXU's
+    multi-pass path; the ×1/3 factor is an ASSUMPTION, not a measurement —
+    plan production runs in bf16."""
+    tflops = _achieved_tflops_at(cfg.size) * _batch_efficiency(cfg, local_batch)
+    ips = tflops * 1e12 / _flops_per_image_train(cfg)
+    if cfg.compute_dtype == "float32":
+        ips /= 3.0
+    return ips
+
+
+# ------------------------------------------------------------ candidates
+
+
+@dataclasses.dataclass
+class Candidate:
+    name: str
+    overrides: dict
+    state_gb: float
+    act_gb: float
+    fits: bool
+    pred_img_s: Optional[float]  # total, all chips; None = unmeasured
+    ici_mb_step: Optional[float]
+    note: str = ""
+
+    @property
+    def total_gb(self) -> float:
+        return self.state_gb + self.act_gb
+
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "overrides": self.overrides,
+            "state_gb": round(self.state_gb, 2),
+            "act_gb": round(self.act_gb, 2),
+            "total_gb": round(self.total_gb, 2),
+            "fits": self.fits,
+            "pred_img_s": (
+                round(self.pred_img_s, 1) if self.pred_img_s else None
+            ),
+            "ici_mb_step": (
+                round(self.ici_mb_step, 1)
+                if self.ici_mb_step is not None
+                else None
+            ),
+            "note": self.note,
+        }
+
+
+def _divisors(n: int):
+    return [d for d in range(1, n + 1) if n % d == 0]
+
+
+def _auto_levers(cfg, dp, state_fn, act_fn, budget):
+    """Apply the measured-free levers in cost order until the candidate
+    fits: bf16 moments → grad_accum (activations) → ZeRO-1 (state).
+    Returns (overrides, state_bytes, act_bytes, note)."""
+    overrides: dict = {}
+    notes = []
+    moment_dtype = cfg.moment_dtype
+    state = state_fn(moment_dtype, 1)
+    act = act_fn(1)
+    if state + act > budget and moment_dtype != "bfloat16":
+        moment_dtype = "bfloat16"
+        overrides["moment_dtype"] = "bfloat16"
+        overrides["optimizer"] = (
+            cfg.optimizer
+            if cfg.optimizer in ("adam_tf", "adam_fused")
+            else "adam_tf"
+        )
+        state = state_fn(moment_dtype, 1)
+        notes.append("bf16 moments (free — measured)")
+    accum = 1
+    while state + act_fn(accum) > budget and accum < 64:
+        # try ZeRO-1 on state first when activations already fit
+        if act_fn(accum) + state_fn(moment_dtype, dp) <= budget and accum == 1:
+            break
+        accum *= 2
+    if accum > 1:
+        overrides["grad_accum"] = accum
+        notes.append(
+            f"grad_accum={accum} (microbatch {cfg.batch_size}/{dp}/{accum})"
+        )
+    act = act_fn(accum)
+    if state + act > budget and dp > 1 and accum == 1:
+        state = state_fn(moment_dtype, dp)
+        overrides["zero1"] = True
+        notes.append("ZeRO-1 moments over data axis")
+    return overrides, state, act, "; ".join(notes)
+
+
+def plan(cfg, n_chips: int, hbm_gb: float = HBM_GB_V5E,
+         budget_frac: float = BUDGET_FRAC) -> dict:
+    """Enumerate and rank parallelism strategies for ``cfg`` on ``n_chips``.
+
+    Returns a JSON-ready dict: workload summary, every candidate with its
+    memory/throughput model, the chosen strategy's Config overrides and CLI
+    flags, and the planner's caveats."""
+    import jax  # noqa: F401  (eval_shape via abstract_params)
+
+    cfg = cfg.validate()
+    tree = abstract_params(cfg)
+    p_bytes = param_bytes(tree)
+    n_params = p_bytes / 4
+    budget = hbm_gb * 1024**3 * budget_frac
+    slices = max(getattr(cfg, "mesh_slice", 1), 1)
+    if n_chips % slices:
+        raise ValueError(f"n_chips={n_chips} not divisible by mesh_slice={slices}")
+    per_slice = n_chips // slices
+    B = cfg.batch_size
+
+    candidates = []
+
+    def add(c):
+        candidates.append(c)
+
+    # ---- pure DP (optionally with the auto levers) ----
+    dp_total = n_chips  # slice × data both carry batch
+    if B % dp_total == 0 or dp_total == 1:
+        b_local = B / dp_total
+
+        def state_fn(mdt, z):
+            return model_state_bytes_per_chip(
+                p_bytes,
+                n_params,
+                moment_bytes_chip=zero1_moment_bytes_per_chip(
+                    tree, per_slice, 1, mdt
+                )
+                if z > 1
+                else None,
+                moment_dtype=mdt,
+                ema=cfg.ema_decay > 0,
+            )
+
+        def act_fn(accum):
+            return act_bytes(cfg, b_local / accum)
+
+        ov, state, act, lever_note = _auto_levers(
+            cfg, per_slice, state_fn, act_fn, budget
+        )
+        fits = state + act <= budget
+        ips = None
+        if fits:
+            eff_batch = b_local / ov.get("grad_accum", 1)
+            ips = predict_ips_per_chip(cfg, eff_batch) * n_chips
+            eff = _batch_efficiency(cfg, eff_batch)
+            if eff < 0.95:
+                knee = math.ceil(192 * (256.0 / cfg.size) ** 2) * dp_total
+                lever_note = (lever_note + "; " if lever_note else "") + (
+                    f"per-chip batch {eff_batch:g} is below the measured "
+                    f"knee — global batch ≥{knee} would buy "
+                    f"~{(1 / eff - 1):.0%} more throughput if the recipe "
+                    "tolerates it"
+                )
+        # ring all-reduce of bf16 grads over the data axis
+        ici = 2 * (dp_total - 1) / dp_total * n_params * 2 / 1e6
+        name = "DP" + (f"×{slices}slices" if slices > 1 else "")
+        ov = {"mesh_data": per_slice, "mesh_model": 1, **ov}
+        if slices > 1:
+            ov["mesh_slice"] = slices
+        note = lever_note
+        if slices > 1:
+            note = (note + "; " if note else "") + (
+                "cross-slice gradient partials ride DCN "
+                "(hierarchical all-reduce)"
+            )
+        add(Candidate(name, ov, state / 1e9, act / 1e9, fits, ips, ici, note))
+    else:
+        add(Candidate(
+            "DP", {"mesh_data": per_slice}, 0, 0, False, None, None,
+            f"batch_size={B} not divisible by {dp_total} chips — "
+            f"round batch to a multiple or use grad_accum",
+        ))
+
+    # ---- DP × TP ----
+    for m in (2, 4, 8):
+        if per_slice % m or slices > 1:
+            continue
+        dp = per_slice // m
+        if dp < 1 or (B % dp and dp > 1):
+            continue
+        b_local = B / max(dp, 1)
+        p_chip = tp_param_bytes_per_chip(tree, m)
+        state = model_state_bytes_per_chip(
+            p_chip, p_chip / 4, moment_dtype=cfg.moment_dtype,
+            ema=cfg.ema_decay > 0,
+        )
+        act = act_bytes(cfg, b_local)  # activations replicated over model
+        fits = state + act <= budget
+        add(Candidate(
+            f"DP{dp}×TP{m}",
+            {"mesh_data": dp, "mesh_model": m},
+            state / 1e9, act / 1e9, fits, None, None,
+            "TP halves param memory per ×2 but adds per-layer activation "
+            "collectives — unmeasured on this stack; prefer DP/PP unless "
+            "params alone overflow",
+        ))
+
+    # ---- PP × DP ----
+    from . import pipeline as pp
+    for S in range(2, min(cfg.octaves, per_slice) + 1):
+        if slices > 1:
+            continue
+        idle = 0
+        if per_slice % S == 0:
+            dp = per_slice // S
+        else:
+            dp, idle = 1, per_slice - S  # PP-only plan, leftover chips idle
+        if B % max(dp, 1):
+            continue
+        b_local = B // max(dp, 1)
+        plan_s = pp.plan_stages(cfg, S)
+        work = stage_work(cfg, plan_s)
+        # microbatches: smallest divisor of the per-replica batch with <10%
+        # bubble (more microbatches shrink the bubble but also the
+        # per-launch conv batch); fall back to the bubble-minimising one
+        ms = [d for d in _divisors(int(b_local)) if S <= d <= 32 * S]
+        M = None
+        for cand_m in ms:  # ascending: first under 10%, else the largest
+            _, _, bub = pp_times(work, cand_m)
+            M = cand_m
+            if bub < 0.10:
+                break
+        if M is None:
+            continue
+        _, _, bubble = pp_times(work, M)
+        micro_b = b_local // M
+        stage_p = [
+            param_bytes(pp.tree_stage_view(plan_s, tree, s))
+            for s in range(S)
+        ]
+        worst = max(range(S), key=lambda s: stage_p[s])
+        state = model_state_bytes_per_chip(
+            stage_p[worst], stage_p[worst] / 4,
+            moment_dtype=cfg.moment_dtype, ema=cfg.ema_decay > 0,
+        )
+        # live per chip: the schedule recomputes band activations in the
+        # backward (parallel/pipeline.py), so only ONE microbatch's band
+        # activations are live at a time, plus the stage's boundary inputs
+        # buffered for every in-flight microbatch
+        dtype_b = 2 if cfg.compute_dtype != "float32" else 4
+        bb_per_micro = boundary_bytes(cfg, plan_s, micro_b, dtype_b)
+
+        def stage_act(s):
+            band = (
+                ACT_CALIB
+                * pp_stage_act_elems(cfg, plan_s, s)
+                * dtype_b
+                * micro_b
+            )
+            bufs = sum(
+                bb_per_micro[j]
+                for j in range(len(bb_per_micro))
+                if j in (s - 1, s)
+            ) * M / 2  # fwd-side buffers only (cotangents stream)
+            return band + bufs
+
+        act = max(stage_act(s) for s in range(S))
+        fits = state + act <= budget
+        bb = sum(boundary_bytes(cfg, plan_s, micro_b)) * M / 1e6
+        ips = None
+        if fits:
+            w_dev = [d + u for d, u in work]
+            balance = (sum(w_dev) / len(w_dev)) / max(w_dev)
+            # efficiency at the MICROBATCH — each PP launch convolves only
+            # micro_b images, and small launches waste the MXU (the reason
+            # PP loses to DP whenever DP fits)
+            ips = (
+                predict_ips_per_chip(cfg, micro_b)
+                * (n_chips - idle)
+                * (1 - bubble)
+                * balance
+            )
+        note = (
+            f"bubble {bubble:.1%} at M={M}; calibrate pipeline_cuts with "
+            "tools/pp_analysis.py --calibrate on the target chip"
+        )
+        if idle:
+            note += f"; {idle} of {per_slice} chips sit idle (S∤chips)"
+        add(Candidate(
+            f"PP{S}×DP{dp}",
+            {
+                "mesh_data": dp, "pipeline_stages": S,
+                "pipeline_microbatches": M,
+            },
+            state / 1e9, act / 1e9, fits, ips, bb, note,
+        ))
+
+    # ---- DP × spatial (library API — no Config knob) ----
+    for sp in (2, 4, 8):
+        if per_slice % sp or slices > 1:
+            continue
+        dp = per_slice // sp
+        if B % max(dp, 1):
+            continue
+        b_local = B / max(dp, 1)
+        state = model_state_bytes_per_chip(
+            p_bytes, n_params, moment_dtype=cfg.moment_dtype,
+            ema=cfg.ema_decay > 0,
+        )
+        act = act_bytes(cfg, b_local, spatial_ways=sp)
+        fits = state + act <= budget
+        add(Candidate(
+            f"DP{dp}×spatial{sp}", {}, state / 1e9, act / 1e9, fits, None,
+            None,
+            "height-sharded activations (halo exchange); library API: "
+            "parallel.spatial_train.make_dp_spatial_mesh(data, spatial) — "
+            "use when ONE image's activations overflow a chip "
+            "(≥1024² territory)",
+        ))
+
+    # rank: fitting candidates with predictions first (by predicted
+    # throughput), then fitting-unmeasured, then non-fitting
+    def key(c: Candidate):
+        return (
+            not c.fits,
+            c.pred_img_s is None,
+            -(c.pred_img_s or 0),
+            c.total_gb,
+        )
+
+    candidates.sort(key=key)
+    chosen = candidates[0] if candidates and candidates[0].fits else None
+
+    flags = ""
+    if chosen:
+        parts = []
+        for k, v in chosen.overrides.items():
+            parts.append(f"--{k.replace('_', '-')} {v}")
+        flags = " ".join(parts)
+
+    return {
+        "workload": {
+            "size": cfg.size,
+            "batch_size": B,
+            "params_m": round(n_params / 1e6, 1),
+            "compute_dtype": cfg.compute_dtype,
+            "flops_per_image_train": _flops_per_image_train(cfg),
+        },
+        "chips": n_chips,
+        "slices": slices,
+        "hbm_gb": hbm_gb,
+        "budget_gb": round(budget / 1e9, 2),
+        "candidates": [c.to_dict() for c in candidates],
+        "chosen": chosen.name if chosen else None,
+        "overrides": chosen.overrides if chosen else {},
+        "cli_flags": flags,
+        "notes": [
+            "predictions are first-order (±20%), calibrated on measured "
+            "TPU v5e anchors (BASELINE_MEASURED.md)",
+            REMAT_NOTE,
+        ],
+    }
+
+
+def format_plan(result: dict) -> str:
+    """Human-readable table for the CLI."""
+    w = result["workload"]
+    lines = [
+        f"workload: {w['size']}²×3, {w['params_m']} M params, "
+        f"global batch {w['batch_size']}, {w['compute_dtype']}",
+        f"budget: {result['chips']} chips × {result['hbm_gb']} GB HBM "
+        f"(plan to {result['budget_gb']} GB/chip)",
+        "",
+        f"{'strategy':<16} {'state GB':>9} {'act GB':>8} {'total':>7} "
+        f"{'fits':>5} {'pred img/s':>11}  note",
+    ]
+    for c in result["candidates"]:
+        pred = f"{c['pred_img_s']:.0f}" if c["pred_img_s"] else "—"
+        lines.append(
+            f"{c['name']:<16} {c['state_gb']:>9.2f} {c['act_gb']:>8.2f} "
+            f"{c['total_gb']:>7.2f} {'yes' if c['fits'] else 'NO':>5} "
+            f"{pred:>11}  {c['note']}"
+        )
+    lines.append("")
+    if result["chosen"]:
+        lines.append(f"recommended: {result['chosen']}")
+        if result["cli_flags"]:
+            lines.append(f"  flags: {result['cli_flags']}")
+    else:
+        lines.append(
+            "NO strategy fits — shrink the batch, raise grad_accum, or "
+            "add chips"
+        )
+    for n in result["notes"]:
+        lines.append(f"note: {n}")
+    return "\n".join(lines)

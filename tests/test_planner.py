@@ -1,0 +1,169 @@
+"""Parallelism planner (parallel/planner.py, `gct2 plan`).
+
+The reference is single-device by construction (reference train.py:40), so
+strategy selection has no reference counterpart — these tests pin the
+planner's own contracts: the MAC model conserves total work, the sharded
+memory models agree with the runtime's actual sharding rules, the lever
+auto-engagement is deterministic, and the CLI surface emits a valid plan.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from gan_class_transfer2_tpu.config import Config
+from gan_class_transfer2_tpu.parallel import pipeline as pp
+from gan_class_transfer2_tpu.parallel import planner
+
+
+def flagship(**kw):
+    base = dict(compute_dtype="bfloat16", batch_size=256, checkpoint_dir=None)
+    base.update(kw)
+    return Config(**base)
+
+
+def test_flagship_8chip_plan_recommends_dp():
+    r = planner.plan(flagship(), 8)
+    assert r["chosen"] == "DP"
+    assert r["overrides"]["mesh_data"] == 8
+    dp = next(c for c in r["candidates"] if c["name"] == "DP")
+    assert dp["fits"]
+    # memory model: 41.7 M params → ~0.67 GB state (fp32 p+g+2 moments)
+    assert 0.5 < dp["state_gb"] < 0.9
+    assert dp["pred_img_s"] > 0
+    # ring all-reduce of bf16 grads: 2(n-1)/n · 41.7 M · 2 B ≈ 146 MB
+    assert 120 < dp["ici_mb_step"] < 170
+    assert "--mesh-data 8" in r["cli_flags"]
+
+
+@pytest.mark.parametrize("block_depth", [0, 2])
+@pytest.mark.parametrize("stages", [2, 3, 6])
+def test_stage_work_conserves_total_macs(stages, block_depth):
+    cfg = flagship(block_depth=block_depth)
+    down, up, head = planner.conv_macs(cfg)
+    mid = (
+        block_depth
+        * (cfg.size // 2**cfg.octaves) ** 2
+        * 9
+        * planner.channels(cfg, cfg.octaves - 1)[0] ** 2
+    )
+    total = sum(down) + sum(up) + head + mid
+    plan_s = pp.plan_stages(cfg, stages)
+    work = planner.stage_work(cfg, plan_s)
+    assert sum(d + u for d, u in work) == pytest.approx(total, rel=1e-12)
+
+
+def test_pp_times_bubble_shrinks_with_microbatches():
+    cfg = flagship()
+    work = planner.stage_work(cfg, pp.plan_stages(cfg, 2))
+    t2, i2, b2 = planner.pp_times(work, 2)
+    t32, i32, b32 = planner.pp_times(work, 32)
+    assert t2 >= i2 and t32 >= i32
+    assert b32 < b2
+    assert 0 <= b32 < 1
+
+
+def test_tp_and_zero1_bytes_match_runtime_rules():
+    cfg = flagship()
+    tree = planner.abstract_params(cfg)
+    total = planner.param_bytes(tree)
+    tp2 = planner.tp_param_bytes_per_chip(tree, 2)
+    # TP shards the big conv kernels; biases/small leaves stay replicated
+    assert total / 2 <= tp2 < 0.7 * total
+    for data in (2, 8):
+        per_chip = planner.zero1_moment_bytes_per_chip(tree, data, 1, "float32")
+        # 2 fp32 moments over all params, sharded `data` ways with
+        # non-divisible leaves replicated
+        assert 2 * total / data <= per_chip <= 2 * total
+    bf16 = planner.zero1_moment_bytes_per_chip(tree, 8, 1, "bfloat16")
+    assert bf16 == planner.zero1_moment_bytes_per_chip(tree, 8, 1, "float32") // 2
+
+
+def test_auto_levers_engage_under_tight_hbm():
+    # 2 GB/chip: flagship DP on 8 chips does not fit raw (0.67 state +
+    # 1.69 act GB > 1.5 budget) — the planner must engage the measured-free
+    # levers (bf16 moments, then grad_accum) and still fit
+    r = planner.plan(flagship(), 8, hbm_gb=2.0)
+    dp = next(c for c in r["candidates"] if c["name"] == "DP")
+    assert dp["fits"]
+    ov = dp["overrides"]
+    assert ov.get("moment_dtype") == "bfloat16"
+    assert ov.get("grad_accum", 1) > 1 or ov.get("zero1")
+    # lever overrides must be valid Config fields that validate together
+    flagship(**{k: v for k, v in ov.items()}).validate()
+
+
+def test_indivisible_batch_is_reported_not_crashed():
+    r = planner.plan(flagship(batch_size=7), 8)
+    dp = next(c for c in r["candidates"] if c["name"] == "DP")
+    assert not dp["fits"]
+    assert "not divisible" in dp["note"]
+
+
+def test_spatial_candidate_splits_a_single_image():
+    # spatial sharding's use case: batch=1 cannot split over the data axis
+    # at all (DP reports the divisibility problem), but spatial8 divides the
+    # ONE image's activations across all 8 chips
+    cfg = flagship(size=1024, batch_size=1)
+    r = planner.plan(cfg, 8)
+    by_name = {c["name"]: c for c in r["candidates"]}
+    assert "not divisible" in by_name["DP"]["note"]
+    sp8 = by_name["DP1×spatial8"]
+    # candidate GB figures are rounded to 2 decimals in the report
+    assert sp8["act_gb"] * 1e9 == pytest.approx(
+        planner.act_bytes(cfg, 1, spatial_ways=8), abs=0.006e9
+    )
+    # on a 4-chip budget the only spatial split of one image is 4-way;
+    # doubling the ways halves the per-chip activations
+    r4 = planner.plan(cfg, 4)
+    sp4 = next(c for c in r4["candidates"] if c["name"] == "DP1×spatial4")
+    assert sp8["act_gb"] == pytest.approx(sp4["act_gb"] / 2, abs=0.01)
+
+
+def test_throughput_anchor_reproduces_measured_point():
+    # at the measured 256² b256 anchor the interpolation must return the
+    # anchor itself (batch efficiency 1.0 at work-equivalent b256)
+    cfg = flagship()
+    ips = planner.predict_ips_per_chip(cfg, 256)
+    assert ips == pytest.approx(1241.4, rel=0.02)
+
+
+def test_cli_plan_json(capsys):
+    from gan_class_transfer2_tpu import cli
+
+    rc = cli.main([
+        "plan", "--chips", "8", "--json",
+        "--compute-dtype", "bfloat16", "--batch-size", "256",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["chosen"] == "DP"
+    assert out["workload"]["params_m"] == pytest.approx(41.7, abs=0.1)
+    assert any(c["name"].startswith("PP") for c in out["candidates"])
+
+
+def test_cli_plan_table(capsys):
+    from gan_class_transfer2_tpu import cli
+
+    rc = cli.main(["plan", "--chips", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "recommended:" in out
+    assert "strategy" in out
+
+
+def test_plan_slices_requires_divisibility():
+    with pytest.raises(ValueError, match="divisible"):
+        planner.plan(flagship(mesh_slice=3), 8)
+
+
+def test_abstract_params_total_matches_golden_count():
+    # the same 41,691,660-param golden the unet tests pin (SURVEY §2.2)
+    tree = planner.abstract_params(flagship())
+    import jax
+
+    n = sum(
+        int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(tree)
+    )
+    assert n == 41_691_660

@@ -43,102 +43,16 @@ HBM_BYTES = 16 * 1024**3  # v5e
 DP_CHIPS = 8  # the BASELINE north-star pod (v5e-8)
 
 
-# ----------------------------------------------------------- conv MAC model
-
-
-def channels(cfg, i):
-    """(f_i, u_i) — down/up conv out-channels at octave i (SURVEY §2.2)."""
-    f = min(cfg.pixel_size * 2**i, cfg.max_size)
-    u = min(cfg.pixel_size * 2**i // 2, cfg.max_size)
-    return f, u
-
-
-def conv_macs(cfg):
-    """Per-image MACs of every conv, attributed to virtual stages.
-
-    Returns (down[i], up[i], head) MAC lists mirroring SURVEY §2.2's table:
-    down_i: 4x4/s2 conv  f_{i-1} (or 3) -> f_i  at (size/2^{i+1})² output;
-    up_i:   4x4/s2 convT (u_{i+1}+f_i or f_i at the innermost) -> u_i at
-            (size/2^i)² output, 4 effective taps per output pixel;
-    head:   dense (u_0 + 3) -> 3 at size².
-    block_depth > 0 adds 3x3 convs at both ends of each octave."""
-    down, up = [], []
-    for i in range(cfg.octaves):
-        f_in = 3 if i == 0 else channels(cfg, i - 1)[0]
-        f_i, u_i = channels(cfg, i)
-        sp_down = (cfg.size // 2 ** (i + 1)) ** 2
-        d = sp_down * 16 * f_in * f_i
-        if i == cfg.octaves - 1:
-            up_in = f_i
-        else:
-            up_in = channels(cfg, i + 1)[1] + f_i
-        sp_up = (cfg.size // 2**i) ** 2
-        u = sp_up * 4 * up_in * u_i
-        if cfg.block_depth > 0:
-            blk = cfg.block_depth * sp_down * 9 * f_i * f_i
-            d += blk
-            u += blk
-        down.append(d)
-        up.append(u)
-    head = cfg.size**2 * (channels(cfg, 0)[1] + 3) * 3
-    return down, up, head
-
-
-def stage_work(cfg, plan):
-    """Per-device (w_down, w_up) MACs per image under the given plan.
-
-    Device s owns octave band [a, b): its down virtual stage runs down
-    convs a..b-1, its up virtual stage the matching up convs; stage 0's up
-    stage also owns the head; the last device fuses band+middle into ONE
-    virtual stage (middle is identity at block_depth=0)."""
-    down, up, head = conv_macs(cfg)
-    out = []
-    for s, (a, b) in enumerate(plan):
-        w_d = sum(down[a:b])
-        w_u = sum(up[a:b])
-        if s == 0:
-            w_u += head
-        if s == len(plan) - 1:
-            mid = cfg.block_depth * (cfg.size // 2**cfg.octaves) ** 2 * 9 \
-                * channels(cfg, cfg.octaves - 1)[0] ** 2
-            out.append((w_d + w_u + mid, 0.0))  # fused single virtual stage
-        else:
-            out.append((w_d, w_u))
-    return out
-
-
-def boundary_bytes(cfg, plan, micro_batch, dtype_bytes=2):
-    """Bytes PP ships across each stage boundary per MICROBATCH.
-
-    Crossing at octave k = plan[s][1]: forward ships the down activation
-    (B_m, size/2^k, size/2^k, f_{k-1}) into stage s+1 and the up activation
-    (B_m, size/2^k, size/2^k, u_k) back; backward ships both cotangents.
-    """
-    per_boundary = []
-    for s in range(len(plan) - 1):
-        k = plan[s][1]
-        sp = (cfg.size // 2**k) ** 2
-        f_prev = channels(cfg, k - 1)[0]
-        u_k = channels(cfg, k)[1]
-        fwd = micro_batch * sp * (f_prev + u_k) * dtype_bytes
-        per_boundary.append(2 * fwd)  # forward + backward cotangents
-    return per_boundary
-
-
-# ------------------------------------------------------------- time model
-
-
-def pp_times(work, n_micro):
-    """(t_pp, t_ideal, bubble) in MAC units from per-device (w_d, w_u)."""
-    w_dev = [d + u for d, u in work]
-    taus = [w for pair in (  # path order: down_0..down_{S-2}, mid, up_{S-2}..up_0
-        [d for d, _ in work[:-1]]
-        + [work[-1][0]]
-        + [u for _, u in reversed(work[:-1])]
-    ) for w in [pair]]
-    t_pp = (n_micro - 1) * max(w_dev) + sum(taus)
-    t_ideal = n_micro * sum(w_dev) / len(work)
-    return t_pp, t_ideal, 1 - t_ideal / t_pp
+# MAC / boundary / time models: the canonical copies live in
+# gan_class_transfer2_tpu.parallel.planner (they also drive `gct2 plan`);
+# this tool imports them so the validated model cannot drift.
+from gan_class_transfer2_tpu.parallel.planner import (  # noqa: E402
+    boundary_bytes,
+    channels,
+    conv_macs,
+    pp_times,
+    stage_work,
+)
 
 
 # ------------------------------------------------------------ memory model
