@@ -262,6 +262,13 @@ def main(argv=None):
             )
         if cmd == "plan":
             p.add_argument(
+                "--model", type=str, default="diffusion",
+                choices=("diffusion", "gan", "cgan"),
+                help="workload kind: diffusion gets the full strategy "
+                "enumeration; gan/cgan get DP planning over their exact "
+                "state trees",
+            )
+            p.add_argument(
                 "--chips", type=int, default=8,
                 help="TPU chip budget to plan for (default: the BASELINE "
                 "north-star v5e-8)",
@@ -484,7 +491,8 @@ def _plan(cfg: Config, args) -> int:
     from .parallel import planner
 
     result = planner.plan(
-        cfg, args.chips, hbm_gb=args.hbm_gb, budget_frac=args.budget_frac
+        cfg, args.chips, hbm_gb=args.hbm_gb, budget_frac=args.budget_frac,
+        model=args.model,
     )
     if args.json:
         print(json_lib.dumps(result))

@@ -14,8 +14,9 @@ shapes, closed-form activation/MAC models — so planning needs no devices
 and costs no FLOPs. The models are calibrated against measured numbers in
 BASELINE_MEASURED.md rather than guessed:
 
-* throughput anchors: measured img/s/chip at 64²–1024² on TPU v5e
-  ("TPU-native operating points" / memory-frontier execution rows);
+* throughput: a measured (size × batch) grid of img/s/chip at 64²–1024²
+  on TPU v5e (tools/bench_grid.py), interpolated in log2(size) ×
+  log2(batch) and validated at held-out points (tools/validate_planner.py);
 * the activation-memory constant is fitted at the measured 512² b64 XLA
   ``memory_analysis`` row (14.2 GB) and validated at 1024² b16;
 * PP bubble/boundary models are the ones validated on-chip ("Pipeline
@@ -44,35 +45,23 @@ import numpy as np
 HBM_GB_V5E = 16.0
 BUDGET_FRAC = 0.75  # leave headroom for XLA workspaces / fragmentation
 
-# Measured single-chip operating points (TPU v5e, bf16, fused diffusion,
-# concat elision — BASELINE_MEASURED.md). Each anchor's achieved model
-# FLOP/s is interpolated in log2(size) to predict other resolutions.
-MEASURED_ANCHORS = (
-    {"size": 64, "octaves": 4, "batch": 512, "ips": 10_978.0},
-    {"size": 128, "octaves": 6, "batch": 256, "ips": 4_575.0},
-    {"size": 256, "octaves": 6, "batch": 256, "ips": 1_241.4},
-    {"size": 512, "octaves": 6, "batch": 64, "ips": 218.0},
-    {"size": 1024, "octaves": 6, "batch": 16, "ips": 53.0},
-)
-
-# Per-chip batch efficiency, normalised to the measured 256² ladder
-# (607/712/784/1203/1241 img/s at b16..b256 — BASELINE_MEASURED.md
-# "TPU-native operating points"). Keyed by WORK-EQUIVALENT batch
-# b · (size/256)², since the knee tracks per-step work, not image count.
-# Points below b16 are EXTRAPOLATED (the ladder was not measured there);
-# they only matter for ranking strategies that shrink the per-launch
-# batch (PP microbatching), where "small is bad on the MXU" is the
-# qualitative truth the numbers encode.
-BATCH_EFFICIENCY = (
-    (1, 0.12),  # extrapolated
-    (4, 0.28),  # extrapolated
-    (8, 0.39),  # extrapolated
-    (16, 0.49),
-    (32, 0.57),
-    (64, 0.63),
-    (128, 0.97),
-    (192, 1.0),
-)
+# Measured single-chip training throughput grid (TPU v5e, bf16, fused
+# diffusion, lax convs, 32 MiB scoped VMEM — tools/bench_grid.py;
+# methodology in BASELINE_MEASURED.md). Per-size batch ladders of
+# img/s/chip at the default channel widths (octaves=4 at 64², 6 elsewhere).
+# An earlier model transferred ONE 256² batch-efficiency curve across sizes
+# by work-equivalent batch; chip measurement showed that misses 64² by −47%
+# (tools/validate_planner.py), so the grid holds real ladders per size.
+MEASURED_GRID = {
+    64: ((32, 6283.4), (64, 9806.8), (96, 12391.4), (128, 14180.8),
+         (256, 17506.0), (512, 19485.8)),
+    128: ((32, 2408.6), (64, 3147.3), (128, 4211.3), (192, 4236.2),
+          (256, 4575.1)),
+    256: ((16, 720.9), (32, 814.9), (40, 836.4), (64, 883.1),
+          (128, 1209.3), (192, 1147.1), (256, 1236.5)),
+    512: ((8, 185.9), (16, 210.0), (24, 222.0), (32, 225.0), (64, 220.0)),
+    1024: ((8, 51.3), (16, 53.3)),
+}
 
 # Fitted at the measured 512² b64 row: XLA memory_analysis temp+args
 # 14.2 GB − 0.67 GB model state = 211.4 MB/img of activations+workspace
@@ -331,44 +320,227 @@ def _flops_per_image_train(cfg) -> float:
     return 3.0 * bench_lib.model_flops_per_image(cfg)
 
 
-def _achieved_tflops_at(size: int) -> float:
-    """Interpolate measured achieved model-TFLOP/s in log2(size)."""
+def _grid_cfg(size: int):
+    """The Config the grid was measured at (default widths)."""
     from ..config import Config
-    from ..utils import benchmark as bench_lib
 
-    pts = []
-    for a in MEASURED_ANCHORS:
-        acfg = Config(
-            size=a["size"], octaves=a["octaves"], batch_size=a["batch"],
-            compute_dtype="bfloat16", checkpoint_dir=None,
-        )
-        fl = 3.0 * bench_lib.model_flops_per_image(acfg)
-        pts.append((math.log2(a["size"]), fl * a["ips"] / 1e12))
-    pts.sort()
-    x = math.log2(size)
-    xs = [p[0] for p in pts]
-    ys = [p[1] for p in pts]
-    return float(np.interp(x, xs, ys))
+    return Config(
+        size=size, octaves=4 if size == 64 else 6,
+        compute_dtype="bfloat16", checkpoint_dir=None,
+    )
 
 
-def _batch_efficiency(cfg, local_batch: float) -> float:
-    b_eq = local_batch * (cfg.size / 256.0) ** 2
-    xs = [b for b, _ in BATCH_EFFICIENCY]
-    ys = [e for _, e in BATCH_EFFICIENCY]
-    return float(np.interp(b_eq, xs, ys))
+def _ladder_ips(size: int, batch: float) -> float:
+    """Interpolate a measured size's batch ladder in log2(batch).
+
+    Clamps at the ladder ends: beyond the largest measured batch the
+    ladders are flat (measured), below the smallest the prediction is
+    optimistic — small launches only matter for ranking PP microbatching,
+    where relative order survives the clamp."""
+    ladder = MEASURED_GRID[size]
+    xs = [math.log2(b) for b, _ in ladder]
+    ys = [v for _, v in ladder]
+    return float(np.interp(math.log2(max(batch, 1.0)), xs, ys))
 
 
 def predict_ips_per_chip(cfg, local_batch: float) -> float:
-    """First-order per-chip img/s at this size and local batch (±20%).
+    """First-order per-chip img/s at this size and local batch.
 
-    Anchors are bf16 (the supported fast path). fp32 convs take the MXU's
+    For each measured size, evaluate its ladder at the WORK-EQUIVALENT
+    batch (conserving per-step conv work: b·size²), convert to achieved
+    model-TFLOP/s through that size's own FLOP count, interpolate across
+    sizes in log2(size), and convert back through ``cfg``'s FLOP count. At
+    a measured (size, batch) grid point this reduces to the measurement
+    itself (pinned by test); held-out-point validation measured ≤14% error
+    (tools/validate_planner.py, BASELINE_MEASURED.md).
+
+    A per-chip batch that is not a multiple of 8 pads to the next sublane
+    multiple and throws the padded fraction away — measured: 1024² b12 runs
+    at the b16 rate × 12/16 (38.8 vs 53.3 img/s), 256² b36 at the b40 rate
+    × 36/40 (748 vs 836) — so the model evaluates at the padded batch and
+    scales down (held-out b40 then predicts to 0.06%).
+
+    The grid is bf16 (the supported fast path). fp32 convs take the MXU's
     multi-pass path; the ×1/3 factor is an ASSUMPTION, not a measurement —
     plan production runs in bf16."""
-    tflops = _achieved_tflops_at(cfg.size) * _batch_efficiency(cfg, local_batch)
-    ips = tflops * 1e12 / _flops_per_image_train(cfg)
+    from ..utils import benchmark as bench_lib
+
+    padded = max(math.ceil(local_batch / 8) * 8, 8)
+    waste = local_batch / padded if local_batch >= 1 else 1.0
+    if local_batch >= 1:
+        local_batch = padded
+
+    pts = []
+    for s in sorted(MEASURED_GRID):
+        b_eq = local_batch * (cfg.size / s) ** 2
+        fl = 3.0 * bench_lib.model_flops_per_image(_grid_cfg(s))
+        pts.append((math.log2(s), _ladder_ips(s, b_eq) * fl / 1e12))
+    tflops = float(
+        np.interp(math.log2(cfg.size), [p[0] for p in pts],
+                  [p[1] for p in pts])
+    )
+    ips = waste * tflops * 1e12 / _flops_per_image_train(cfg)
     if cfg.compute_dtype == "float32":
         ips /= 3.0
     return ips
+
+
+def _knee_batch(cfg) -> int:
+    """Smallest power-of-two per-chip batch whose predicted throughput is
+    ≥95% of the flat ceiling (the measured ladders saturate)."""
+    ceiling = 0.95 * predict_ips_per_chip(cfg, 1 << 20)
+    b = 1
+    while b < (1 << 20) and predict_ips_per_chip(cfg, b) < ceiling:
+        b *= 2
+    return b
+
+
+# ----------------------------------------------------- GAN-mode workloads
+
+
+def _gan_generator_passes(cfg, model: str) -> int:
+    """Gradient-traversed generator (U-Net) applications per G step.
+
+    Mirrors train/gan.gan_train_step and conditional_gan_train_step:
+    zero-weight loss terms are elided from the compiled program, so the
+    pass count is config-dependent. The discriminator's activations are
+    excluded (measured small next to the U-Net's)."""
+    extra = (1 if cfg.cycle_weight > 0 else 0) + (
+        1 if cfg.identity_weight > 0 else 0
+    )
+    per_direction = 1 + extra
+    return 2 * per_direction if model == "gan" else per_direction
+
+
+def _abstract_gan_state(cfg, model: str):
+    """Exact GANState / ConditionalGANState ShapeDtypeStructs (no FLOPs)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    if model == "gan":
+        from ..train import gan as gan_lib
+
+        return jax.eval_shape(lambda r: gan_lib.init_gan_state(cfg, r), key)
+    from ..train import conditional_gan as cgan_lib
+
+    return jax.eval_shape(
+        lambda r: cgan_lib.init_conditional_gan_state(cfg, r), key
+    )
+
+
+def _plan_gan(cfg, model: str, n_chips: int, hbm_gb: float,
+              budget_frac: float) -> dict:
+    """DP candidates for the GAN-mode trainers.
+
+    The GAN steps scale over the mesh via the same batch sharding as the
+    diffusion step (mesh.make_parallel_gan_train_step); pipeline/TP/spatial
+    enumeration is diffusion-specific, so GAN planning covers DP with the
+    bf16-moment and ZeRO-1 levers. State bytes are EXACT (eval_shape of the
+    real init, params + both optimizers + EMA); activations are the
+    diffusion activation model × the generator pass count (cycle/identity
+    terms each add a full U-Net pass per direction — train/gan.py) with the
+    discriminator excluded. No throughput prediction: the measured grid is
+    diffusion-step-only."""
+    import jax
+
+    cfg = cfg.validate()
+    budget = hbm_gb * 1024**3 * budget_frac
+    passes = _gan_generator_passes(cfg, model)
+    g_fields = (
+        ("g_ab", "g_ba", "d_a", "d_b") if model == "gan"
+        else ("generator", "discriminator")
+    )
+
+    def state_bytes(mdt: str, zero1_ways: int) -> int:
+        c = cfg
+        if mdt != c.moment_dtype:
+            c = c.replace(
+                moment_dtype=mdt,
+                optimizer=c.optimizer
+                if c.optimizer in ("adam_tf", "adam_fused") else "adam_tf",
+            )
+        tree = _abstract_gan_state(c, model)
+        # params + both opt states + EMA, exactly as init builds them
+        total = param_bytes(tree)
+        # moments shard over the data axis under ZeRO-1 (mesh._zero1_spec
+        # applies to every opt-state leaf); first-order: divide opt bytes
+        opt = param_bytes(tree.g_opt) + param_bytes(tree.d_opt)
+        total -= opt - opt // zero1_ways
+        # gradients for every trained tree are live at the update
+        total += sum(param_bytes(getattr(tree, f)) for f in g_fields)
+        return total
+
+    candidates = []
+    B = cfg.batch_size
+    if B % n_chips == 0 or n_chips == 1:
+        b_local = B / n_chips
+        overrides: dict = {"mesh_data": n_chips, "mesh_model": 1}
+        notes = [f"{passes} generator passes/step (cycle/identity terms)"]
+        mdt, z = cfg.moment_dtype, 1
+        state = state_bytes(mdt, z)
+        act = act_bytes(cfg, b_local) * passes
+        if state + act > budget and mdt != "bfloat16":
+            mdt = "bfloat16"
+            overrides["moment_dtype"] = "bfloat16"
+            overrides["optimizer"] = (
+                cfg.optimizer
+                if cfg.optimizer in ("adam_tf", "adam_fused") else "adam_tf"
+            )
+            state = state_bytes(mdt, z)
+            notes.append("bf16 moments (free — measured)")
+        if state + act > budget and n_chips > 1:
+            z = n_chips
+            overrides["zero1"] = True
+            state = state_bytes(mdt, z)
+            notes.append("ZeRO-1 moments over data axis")
+        candidates.append(Candidate(
+            "DP", overrides, state / 1e9, act / 1e9,
+            state + act <= budget, None, None, "; ".join(notes),
+        ))
+    else:
+        candidates.append(Candidate(
+            "DP", {"mesh_data": n_chips}, 0, 0, False, None, None,
+            f"batch_size={B} not divisible by {n_chips} chips",
+        ))
+
+    chosen = candidates[0] if candidates and candidates[0].fits else None
+    flags = " ".join(
+        f"--{k.replace('_', '-')} {v}"
+        for k, v in (chosen.overrides.items() if chosen else ())
+    )
+    tree = _abstract_gan_state(cfg, model)
+    n_params = sum(
+        int(np.prod(l.shape))
+        for f in g_fields
+        for l in jax.tree_util.tree_leaves(getattr(tree, f))
+    )
+    return {
+        "workload": {
+            "model": model,
+            "size": cfg.size,
+            "batch_size": B,
+            "params_m": round(n_params / 1e6, 1),
+            "compute_dtype": cfg.compute_dtype,
+            "generator_passes": passes,
+        },
+        "chips": n_chips,
+        "slices": 1,
+        "hbm_gb": hbm_gb,
+        "budget_gb": round(budget / 1e9, 2),
+        "candidates": [c.to_dict() for c in candidates],
+        "chosen": chosen.name if chosen else None,
+        "overrides": chosen.overrides if chosen else {},
+        "cli_flags": flags,
+        "notes": [
+            "GAN-mode planning covers DP (the supported mesh scaling for "
+            "the GAN steps); no throughput prediction — the measured grid "
+            "is diffusion-step-only",
+            "activation model = diffusion activations × generator passes, "
+            "discriminator excluded (±30%)",
+            REMAT_NOTE,
+        ],
+    }
 
 
 # ------------------------------------------------------------ candidates
@@ -452,14 +624,20 @@ def _auto_levers(cfg, dp, state_fn, act_fn, budget):
 
 
 def plan(cfg, n_chips: int, hbm_gb: float = HBM_GB_V5E,
-         budget_frac: float = BUDGET_FRAC) -> dict:
+         budget_frac: float = BUDGET_FRAC, model: str = "diffusion") -> dict:
     """Enumerate and rank parallelism strategies for ``cfg`` on ``n_chips``.
 
     Returns a JSON-ready dict: workload summary, every candidate with its
     memory/throughput model, the chosen strategy's Config overrides and CLI
-    flags, and the planner's caveats."""
+    flags, and the planner's caveats. ``model``: "diffusion" (the full
+    enumeration) or "gan"/"cgan" (DP with exact state trees — see
+    ``_plan_gan``)."""
     import jax  # noqa: F401  (eval_shape via abstract_params)
 
+    if model in ("gan", "cgan"):
+        return _plan_gan(cfg, model, n_chips, hbm_gb, budget_frac)
+    if model != "diffusion":
+        raise ValueError(f"unknown model {model!r}")
     cfg = cfg.validate()
     tree = abstract_params(cfg)
     p_bytes = param_bytes(tree)
@@ -504,10 +682,19 @@ def plan(cfg, n_chips: int, hbm_gb: float = HBM_GB_V5E,
         ips = None
         if fits:
             eff_batch = b_local / ov.get("grad_accum", 1)
-            ips = predict_ips_per_chip(cfg, eff_batch) * n_chips
-            eff = _batch_efficiency(cfg, eff_batch)
+            per_chip = predict_ips_per_chip(cfg, eff_batch)
+            ips = per_chip * n_chips
+            if eff_batch >= 1 and eff_batch % 8:
+                pad = math.ceil(eff_batch / 8) * 8
+                lever_note = (lever_note + "; " if lever_note else "") + (
+                    f"per-chip batch {eff_batch:g} pads to {pad} on the "
+                    f"sublane dim ({1 - eff_batch / pad:.0%} of each step "
+                    f"is padding) — round the global batch to a multiple "
+                    f"of {8 * dp_total}"
+                )
+            eff = per_chip / predict_ips_per_chip(cfg, 1 << 20)
             if eff < 0.95:
-                knee = math.ceil(192 * (256.0 / cfg.size) ** 2) * dp_total
+                knee = _knee_batch(cfg) * dp_total
                 lever_note = (lever_note + "; " if lever_note else "") + (
                     f"per-chip batch {eff_batch:g} is below the measured "
                     f"knee — global batch ≥{knee} would buy "
@@ -718,8 +905,9 @@ def plan(cfg, n_chips: int, hbm_gb: float = HBM_GB_V5E,
 def format_plan(result: dict) -> str:
     """Human-readable table for the CLI."""
     w = result["workload"]
+    tag = f" [{w['model']}]" if "model" in w else ""
     lines = [
-        f"workload: {w['size']}²×3, {w['params_m']} M params, "
+        f"workload: {w['size']}²×3{tag}, {w['params_m']} M params, "
         f"global batch {w['batch_size']}, {w['compute_dtype']}",
         f"budget: {result['chips']} chips × {result['hbm_gb']} GB HBM "
         f"(plan to {result['budget_gb']} GB/chip)",

@@ -121,12 +121,42 @@ def test_spatial_candidate_splits_a_single_image():
     assert sp8["act_gb"] == pytest.approx(sp4["act_gb"] / 2, abs=0.01)
 
 
-def test_throughput_anchor_reproduces_measured_point():
-    # at the measured 256² b256 anchor the interpolation must return the
-    # anchor itself (batch efficiency 1.0 at work-equivalent b256)
+def test_throughput_model_reproduces_every_grid_point():
+    # predict_ips_per_chip must return each measured (size, batch) grid
+    # point exactly — the interpolation may not distort the measurements
+    for size, ladder in planner.MEASURED_GRID.items():
+        for batch, ips_measured in ladder:
+            cfg = flagship(
+                size=size, octaves=4 if size == 64 else 6, batch_size=batch
+            )
+            ips = planner.predict_ips_per_chip(cfg, batch)
+            assert ips == pytest.approx(ips_measured, rel=1e-6), (size, batch)
+
+
+def test_batch_padding_model():
+    # non-multiple-of-8 per-chip batches run at the padded batch's rate
+    # with the padded fraction thrown away (measured: 1024² b12 = b16 rate
+    # × 12/16; 256² b36 = b40 rate × 36/40)
+    cfg = flagship(size=1024)
+    p12 = planner.predict_ips_per_chip(cfg, 12)
+    p16 = planner.predict_ips_per_chip(cfg, 16)
+    assert p12 == pytest.approx(p16 * 12 / 16, rel=1e-9)
+    # aligned batches are unaffected
+    assert planner.predict_ips_per_chip(cfg, 16) == pytest.approx(
+        dict(planner.MEASURED_GRID[1024])[16], rel=1e-6
+    )
+    # the DP candidate warns about the padding waste
+    r = planner.plan(flagship(batch_size=96), 8)  # 12/chip
+    dp = next(c for c in r["candidates"] if c["name"] == "DP")
+    assert "pads to" in dp["note"]
+
+
+def test_knee_batch_saturates_prediction():
     cfg = flagship()
-    ips = planner.predict_ips_per_chip(cfg, 256)
-    assert ips == pytest.approx(1241.4, rel=0.02)
+    knee = planner._knee_batch(cfg)
+    ceiling = planner.predict_ips_per_chip(cfg, 1 << 20)
+    assert planner.predict_ips_per_chip(cfg, knee) >= 0.95 * ceiling
+    assert planner.predict_ips_per_chip(cfg, knee // 2) < 0.95 * ceiling
 
 
 def test_cli_plan_json(capsys):
@@ -156,6 +186,60 @@ def test_cli_plan_table(capsys):
 def test_plan_slices_requires_divisibility():
     with pytest.raises(ValueError, match="divisible"):
         planner.plan(flagship(mesh_slice=3), 8)
+
+
+def test_gan_plan_exact_state_and_pass_count():
+    cfg = flagship()
+    r = planner.plan(cfg, 8, model="gan")
+    # CycleGAN-style: 2 directions × (transfer + cycle + identity) passes
+    assert r["workload"]["generator_passes"] == 6
+    # two full U-Nets as generators: ~2 × 41.7 M params (+discriminators)
+    assert r["workload"]["params_m"] > 2 * 41.0
+    dp = r["candidates"][0]
+    # state must exceed the diffusion workload's (two Gs + two Ds + 2 opts)
+    d_state = next(
+        c for c in planner.plan(cfg, 8)["candidates"] if c["name"] == "DP"
+    )["state_gb"]
+    assert dp["state_gb"] > 2 * d_state
+    # disabling cycle+identity elides 4 passes and shrinks activations
+    r2 = planner.plan(
+        flagship(cycle_weight=0.0, identity_weight=0.0), 8, model="gan"
+    )
+    assert r2["workload"]["generator_passes"] == 2
+    assert r2["candidates"][0]["act_gb"] < dp["act_gb"] / 2.5
+
+
+def test_cgan_plan_and_levers_under_tight_hbm():
+    # b32 on 8 chips: activations are small; a 1.6 GB/chip budget makes the
+    # raw fp32 state (0.91 GB) + act overflow, so the state levers must
+    # engage (bf16 moments + ZeRO-1) and the plan then fits
+    cfg = flagship(num_classes=3, batch_size=32)
+    raw = planner.plan(cfg, 8, model="cgan", hbm_gb=2.0)["candidates"][0]
+    assert raw["fits"] and "moment_dtype" not in raw["overrides"]
+    r = planner.plan(cfg, 8, model="cgan", hbm_gb=1.6)
+    dp = r["candidates"][0]
+    assert dp["fits"]
+    ov = dp["overrides"]
+    assert ov.get("moment_dtype") == "bfloat16"
+    assert ov.get("zero1") is True
+    assert dp["state_gb"] < raw["state_gb"]
+    # the overrides must be valid Config fields that validate together
+    flagship(num_classes=3, **{
+        k: v for k, v in ov.items() if k not in ("mesh_data", "mesh_model")
+    }).validate()
+
+
+def test_cli_plan_gan(capsys):
+    from gan_class_transfer2_tpu import cli
+
+    rc = cli.main([
+        "plan", "--model", "gan", "--chips", "8", "--json",
+        "--compute-dtype", "bfloat16", "--batch-size", "64",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["workload"]["model"] == "gan"
+    assert out["chosen"] in ("DP", None)
 
 
 def test_abstract_params_total_matches_golden_count():
