@@ -132,11 +132,38 @@ def init_sharded_state(cfg, mesh: Mesh, rng) -> trainer_lib.TrainState:
     )(rng)
 
 
+def warn_misaligned_batch(cfg, mesh: Mesh, backend: str = None) -> None:
+    """Warn when the per-chip batch is not a multiple of 8 on TPU.
+
+    Measured (BASELINE_MEASURED.md "Planner calibration grid"): XLA pads
+    the batch dim to the next sublane multiple and the padded fraction is
+    wasted work — 1024² b12 runs at the b16 rate × 12/16 (−27%), 256² b36
+    at the b40 rate × 36/40 (−10%). Called once per step construction."""
+    import sys
+
+    if backend is None:
+        backend = jax.default_backend()
+    n = data_axis_size(mesh)
+    per_chip, rem = divmod(cfg.batch_size, n)
+    if backend != "tpu" or rem:  # indivisible batches error elsewhere
+        return
+    if per_chip >= 1 and per_chip % 8:
+        pad = -(-per_chip // 8) * 8
+        print(
+            f"warning: per-chip batch {per_chip} is not a multiple of 8 — "
+            f"the TPU pads it to {pad} ({1 - per_chip / pad:.0%} of each "
+            f"step is wasted padding); consider a global batch of "
+            f"{pad * n}",
+            file=sys.stderr,
+        )
+
+
 def make_parallel_train_step(cfg, mesh: Mesh, example_state=None):
     """jit-compile the training step over the mesh.
 
     Batch: P('data'); state: TP rule above; rng replicated. XLA inserts the
     DP gradient all-reduce and any TP collectives automatically."""
+    warn_misaligned_batch(cfg, mesh)
     optimizer = trainer_lib.make_optimizer(cfg)
 
     def step(state, batch, rng):
@@ -171,6 +198,7 @@ def make_parallel_gan_train_step(cfg, mesh: Mesh, example_state=None):
     'data', G/D params under the TP rule, metrics replicated."""
     from ..train import gan as gan_lib
 
+    warn_misaligned_batch(cfg, mesh)
     g_opt = gan_lib.make_optimizer(cfg)
     d_opt = gan_lib._d_optimizer(cfg)
 
@@ -224,6 +252,7 @@ def make_parallel_conditional_gan_train_step(cfg, mesh: Mesh, example_state=None
     from ..train import conditional_gan as cgan_lib
     from ..train import gan as gan_lib
 
+    warn_misaligned_batch(cfg, mesh)
     g_opt = trainer_lib.make_optimizer(cfg)
     d_opt = gan_lib._d_optimizer(cfg)  # honors cfg.d_learning_rate
 

@@ -326,3 +326,25 @@ def test_shard_sample_batch_pads_to_data_extent():
     m1 = mesh_lib.make_mesh(devices=jax.devices()[:1], data=1, model=1)
     same, n1 = mesh_lib.shard_sample_batch(x, m1)
     assert n1 == 6 and same.shape[0] == 6
+
+
+def test_warn_misaligned_batch(capsys):
+    # measured (BASELINE_MEASURED.md "Planner calibration grid"): non-
+    # multiple-of-8 per-chip batches pad to the next sublane multiple on
+    # TPU; the step builders warn so the waste is visible at startup
+    m = mesh_lib.make_mesh(data=4, model=1)
+    cfg = tiny_test_config(batch_size=48)  # 12/chip -> pads to 16
+    mesh_lib.warn_misaligned_batch(cfg, m, backend="tpu")
+    err = capsys.readouterr().err
+    assert "pads it to 16" in err and "global batch of 64" in err
+    # aligned batch: silent
+    mesh_lib.warn_misaligned_batch(
+        tiny_test_config(batch_size=32), m, backend="tpu"
+    )
+    # non-TPU backends: silent (CPU does not tile the batch dim this way)
+    mesh_lib.warn_misaligned_batch(cfg, m, backend="cpu")
+    # indivisible batches are someone else's error, not a warning
+    mesh_lib.warn_misaligned_batch(
+        tiny_test_config(batch_size=50), m, backend="tpu"
+    )
+    assert capsys.readouterr().err == ""
