@@ -209,7 +209,7 @@ def make_parallel_gan_train_step(cfg, mesh: Mesh, example_state=None):
         example_state = jax.eval_shape(
             lambda r: gan_lib.init_gan_state(cfg, r), jax.random.PRNGKey(0)
         )
-    st_sh = state_shardings(example_state, mesh)
+    st_sh = state_shardings(example_state, mesh, zero1=cfg.zero1)
     b_sh = batch_sharding(mesh)
     rep = NamedSharding(mesh, P())
     # `rep` as a PREFIX sharding for the whole metrics dict — the key set
@@ -227,7 +227,7 @@ def init_sharded_gan_state(cfg, mesh: Mesh, rng):
     from ..train import gan as gan_lib
 
     abstract = jax.eval_shape(lambda r: gan_lib.init_gan_state(cfg, r), rng)
-    shardings = state_shardings(abstract, mesh)
+    shardings = state_shardings(abstract, mesh, zero1=cfg.zero1)
     return jax.jit(
         lambda r: gan_lib.init_gan_state(cfg, r), out_shardings=shardings
     )(rng)
@@ -239,7 +239,7 @@ def init_sharded_conditional_gan_state(cfg, mesh: Mesh, rng):
     abstract = jax.eval_shape(
         lambda r: cgan_lib.init_conditional_gan_state(cfg, r), rng
     )
-    shardings = state_shardings(abstract, mesh)
+    shardings = state_shardings(abstract, mesh, zero1=cfg.zero1)
     return jax.jit(
         lambda r: cgan_lib.init_conditional_gan_state(cfg, r),
         out_shardings=shardings,
@@ -266,7 +266,7 @@ def make_parallel_conditional_gan_train_step(cfg, mesh: Mesh, example_state=None
             lambda r: cgan_lib.init_conditional_gan_state(cfg, r),
             jax.random.PRNGKey(0),
         )
-    st_sh = state_shardings(example_state, mesh)
+    st_sh = state_shardings(example_state, mesh, zero1=cfg.zero1)
     b_sh = batch_sharding(mesh)
     rep = NamedSharding(mesh, P())
     # prefix sharding for the metrics dict (key set varies with cfg)

@@ -475,28 +475,24 @@ def _plan_gan(cfg, model: str, n_chips: int, hbm_gb: float,
     B = cfg.batch_size
     if B % n_chips == 0 or n_chips == 1:
         b_local = B / n_chips
-        overrides: dict = {"mesh_data": n_chips, "mesh_model": 1}
-        notes = [f"{passes} generator passes/step (cycle/identity terms)"]
-        mdt, z = cfg.moment_dtype, 1
-        state = state_bytes(mdt, z)
-        act = act_bytes(cfg, b_local) * passes
-        if state + act > budget and mdt != "bfloat16":
-            mdt = "bfloat16"
-            overrides["moment_dtype"] = "bfloat16"
-            overrides["optimizer"] = (
-                cfg.optimizer
-                if cfg.optimizer in ("adam_tf", "adam_fused") else "adam_tf"
-            )
-            state = state_bytes(mdt, z)
-            notes.append("bf16 moments (free — measured)")
-        if state + act > budget and n_chips > 1:
-            z = n_chips
-            overrides["zero1"] = True
-            state = state_bytes(mdt, z)
-            notes.append("ZeRO-1 moments over data axis")
+
+        def act_fn(accum):
+            # accum is never engaged (allow_accum=False below): the GAN
+            # runners' effective-batch semantics under MultiSteps are
+            # unvalidated, so the planner does not recommend it
+            return act_bytes(cfg, b_local) * passes
+
+        ov, state, act, lever_note = _auto_levers(
+            cfg, n_chips, n_chips, state_bytes, act_fn, budget,
+            allow_accum=False,
+        )
+        overrides = {"mesh_data": n_chips, "mesh_model": 1, **ov}
+        note = f"{passes} generator passes/step (cycle/identity terms)"
+        if lever_note:
+            note += "; " + lever_note
         candidates.append(Candidate(
             "DP", overrides, state / 1e9, act / 1e9,
-            state + act <= budget, None, None, "; ".join(notes),
+            state + act <= budget, None, None, note,
         ))
     else:
         candidates.append(Candidate(
@@ -570,7 +566,9 @@ class Candidate:
             "total_gb": round(self.total_gb, 2),
             "fits": self.fits,
             "pred_img_s": (
-                round(self.pred_img_s, 1) if self.pred_img_s else None
+                round(self.pred_img_s, 1)
+                if self.pred_img_s is not None
+                else None
             ),
             "ici_mb_step": (
                 round(self.ici_mb_step, 1)
@@ -585,41 +583,68 @@ def _divisors(n: int):
     return [d for d in range(1, n + 1) if n % d == 0]
 
 
-def _auto_levers(cfg, dp, state_fn, act_fn, budget):
-    """Apply the measured-free levers in cost order until the candidate
-    fits: bf16 moments → grad_accum (activations) → ZeRO-1 (state).
-    Returns (overrides, state_bytes, act_bytes, note)."""
+def _auto_levers(cfg, zero1_ways, dp_total, state_fn, act_fn, budget,
+                 allow_accum=True):
+    """Engage the measured-free memory levers until the candidate fits.
+
+    Order: bf16 moments (free — measured) → ZeRO-1 (shards the moments,
+    keeps the per-launch batch) → grad_accum. grad_accum's overrides
+    REDUCE ``batch_size`` to B/accum alongside ``grad_accum=accum``: the
+    runtime's optax.MultiSteps micro-steps at the FULL configured
+    batch_size and is "equivalent to an N×batch_size step"
+    (train/trainer.py), so keeping batch_size at B would neither shrink
+    activations nor preserve the recipe. ZeRO-1 and grad_accum are
+    mutually exclusive (Config.validate), so the planner picks whichever
+    fits — preferring ZeRO-1, which keeps the per-launch batch on the
+    MXU's good side. A grad_accum that does not produce a fit is never
+    recorded. Returns (overrides, state_bytes, act_bytes, note)."""
     overrides: dict = {}
     notes = []
-    moment_dtype = cfg.moment_dtype
-    state = state_fn(moment_dtype, 1)
+    mdt = cfg.moment_dtype
+    z0 = zero1_ways if cfg.zero1 else 1
+    state = state_fn(mdt, z0)
     act = act_fn(1)
-    if state + act > budget and moment_dtype != "bfloat16":
-        moment_dtype = "bfloat16"
+    if state + act > budget and mdt != "bfloat16":
+        mdt = "bfloat16"
         overrides["moment_dtype"] = "bfloat16"
         overrides["optimizer"] = (
             cfg.optimizer
             if cfg.optimizer in ("adam_tf", "adam_fused")
             else "adam_tf"
         )
-        state = state_fn(moment_dtype, 1)
+        state = state_fn(mdt, z0)
         notes.append("bf16 moments (free — measured)")
-    accum = 1
-    while state + act_fn(accum) > budget and accum < 64:
-        # try ZeRO-1 on state first when activations already fit
-        if act_fn(accum) + state_fn(moment_dtype, dp) <= budget and accum == 1:
-            break
-        accum *= 2
-    if accum > 1:
-        overrides["grad_accum"] = accum
-        notes.append(
-            f"grad_accum={accum} (microbatch {cfg.batch_size}/{dp}/{accum})"
-        )
-    act = act_fn(accum)
-    if state + act > budget and dp > 1 and accum == 1:
-        state = state_fn(moment_dtype, dp)
+    if state + act <= budget:
+        return overrides, state, act, "; ".join(notes)
+
+    z_state = state_fn(mdt, zero1_ways) if zero1_ways > 1 else state
+    can_zero1 = zero1_ways > 1 and not cfg.zero1 and cfg.grad_accum == 1
+    if can_zero1 and z_state + act <= budget:
         overrides["zero1"] = True
         notes.append("ZeRO-1 moments over data axis")
+        return overrides, z_state, act, "; ".join(notes)
+
+    if allow_accum and cfg.grad_accum == 1 and not cfg.zero1:
+        B = cfg.batch_size
+        b_local = B // max(dp_total, 1)
+        accum = 2
+        while accum <= min(64, b_local):
+            if b_local % accum == 0 and state + act_fn(accum) <= budget:
+                overrides["grad_accum"] = accum
+                overrides["batch_size"] = B // accum
+                notes.append(
+                    f"grad_accum={accum} with batch_size {B // accum} "
+                    f"(micro-step batch {b_local // accum}/chip; effective "
+                    f"batch stays {B})"
+                )
+                return overrides, state, act_fn(accum), "; ".join(notes)
+            accum *= 2
+
+    if can_zero1 and z_state < state:
+        # does not reach a fit, but strictly reduces state — report it
+        overrides["zero1"] = True
+        notes.append("ZeRO-1 moments over data axis (still does not fit)")
+        state = z_state
     return overrides, state, act, "; ".join(notes)
 
 
@@ -676,7 +701,7 @@ def plan(cfg, n_chips: int, hbm_gb: float = HBM_GB_V5E,
             return act_bytes(cfg, b_local / accum)
 
         ov, state, act, lever_note = _auto_levers(
-            cfg, per_slice, state_fn, act_fn, budget
+            cfg, per_slice, dp_total, state_fn, act_fn, budget
         )
         fits = state + act <= budget
         ips = None
@@ -758,7 +783,11 @@ def plan(cfg, n_chips: int, hbm_gb: float = HBM_GB_V5E,
         if B % max(dp, 1):
             continue
         b_local = B // max(dp, 1)
-        plan_s = pp.plan_stages(cfg, S)
+        # explicit pipeline_cuts pin exactly one stage count; for every
+        # other S fall back to the MAC plan instead of crashing
+        cuts = [c for c in (cfg.pipeline_cuts or "").split(",") if c]
+        plan_cfg = cfg if len(cuts) + 1 == S else cfg.replace(pipeline_cuts="")
+        plan_s = pp.plan_stages(plan_cfg, S)
         work = stage_work(cfg, plan_s)
         # microbatches: smallest divisor of the per-replica batch with <10%
         # bubble (more microbatches shrink the bubble but also the
@@ -916,7 +945,9 @@ def format_plan(result: dict) -> str:
         f"{'fits':>5} {'pred img/s':>11}  note",
     ]
     for c in result["candidates"]:
-        pred = f"{c['pred_img_s']:.0f}" if c["pred_img_s"] else "—"
+        pred = (
+            f"{c['pred_img_s']:.0f}" if c["pred_img_s"] is not None else "—"
+        )
         lines.append(
             f"{c['name']:<16} {c['state_gb']:>9.2f} {c['act_gb']:>8.2f} "
             f"{c['total_gb']:>7.2f} {'yes' if c['fits'] else 'NO':>5} "

@@ -83,15 +83,39 @@ def test_tp_and_zero1_bytes_match_runtime_rules():
 def test_auto_levers_engage_under_tight_hbm():
     # 2 GB/chip: flagship DP on 8 chips does not fit raw (0.67 state +
     # 1.69 act GB > 1.5 budget) — the planner must engage the measured-free
-    # levers (bf16 moments, then grad_accum) and still fit
+    # levers (bf16 moments, then ZeRO-1 or grad_accum) and still fit
     r = planner.plan(flagship(), 8, hbm_gb=2.0)
     dp = next(c for c in r["candidates"] if c["name"] == "DP")
     assert dp["fits"]
     ov = dp["overrides"]
     assert ov.get("moment_dtype") == "bfloat16"
     assert ov.get("grad_accum", 1) > 1 or ov.get("zero1")
+    if ov.get("grad_accum", 1) > 1:
+        # MultiSteps micro-steps at the configured batch_size, so the plan
+        # must reduce batch_size alongside grad_accum to actually shrink
+        # activations while keeping the effective batch at 256
+        assert ov["batch_size"] * ov["grad_accum"] == 256
+        assert not ov.get("zero1")  # mutually exclusive (Config.validate)
     # lever overrides must be valid Config fields that validate together
     flagship(**{k: v for k, v in ov.items()}).validate()
+
+
+def test_no_phantom_grad_accum_when_state_alone_overflows():
+    # a budget below even the bf16 state: grad_accum cannot help and must
+    # NOT be recorded on the (correctly) non-fitting candidate
+    r = planner.plan(flagship(), 8, hbm_gb=0.5)
+    dp = next(c for c in r["candidates"] if c["name"] == "DP")
+    assert not dp["fits"]
+    assert "grad_accum" not in dp["overrides"]
+
+
+def test_plan_tolerates_pinned_pipeline_cuts():
+    # calibrated pipeline_cuts pin one stage count; the PP enumeration
+    # must fall back to the MAC plan for other S instead of crashing
+    r = planner.plan(flagship(pipeline_cuts="1", pipeline_stages=2), 8)
+    pp2 = next(c for c in r["candidates"] if c["name"].startswith("PP2"))
+    assert pp2 is not None
+    assert any(c["name"].startswith("PP4") for c in r["candidates"])
 
 
 def test_indivisible_batch_is_reported_not_crashed():

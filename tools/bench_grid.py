@@ -76,6 +76,8 @@ def main():
     print("MEASURED_GRID = {")
     for size in sorted(by_size):
         pts = ", ".join(f"({b}, {v})" for b, v in sorted(by_size[size]))
+        if len(by_size[size]) == 1:
+            pts += ","  # keep a 1-point ladder a tuple-of-tuples
         print(f"    {size}: ({pts}),")
     print("}")
 

@@ -1,16 +1,19 @@
 """Validate `gct2 plan`'s throughput model against the real chip.
 
-The planner predicts per-chip img/s by interpolating measured anchors
-(parallel/planner.MEASURED_ANCHORS) and scaling by the batch-efficiency
-curve. Its stated error bar is ±20% first-order. This tool measures REAL
-training throughput at operating points the model was NOT fitted on
-(different batch than every anchor at that size) and prints
-predicted-vs-measured per point, so the error bar is a measurement rather
-than a promise.
+The planner predicts per-chip img/s by interpolating the measured
+(size × batch) grid (parallel/planner.MEASURED_GRID) in log2(size) ×
+log2(batch), with the sublane batch-padding model on top. This tool
+measures REAL training throughput at operating points that are NOT grid
+rows (interpolation, not reproduction) and prints predicted-vs-measured
+per point, so the error bar is a measurement rather than a promise.
 
-Run on the TPU (the anchors are chip numbers):
+NOTE: keep --points off the grid. A point that later gets folded into
+MEASURED_GRID reproduces exactly by construction and validates nothing —
+pick fresh batches between the measured rungs.
+
+Run on the TPU (the grid is chip numbers):
     python tools/validate_planner.py
-    python tools/validate_planner.py --steps 12 --points 512:32,128:64,64:128
+    python tools/validate_planner.py --steps 12 --points 512:48,128:96
 """
 
 import argparse
@@ -27,9 +30,10 @@ if "--xla_tpu_scoped_vmem_limit_kib" not in os.environ.get("LIBTPU_INIT_ARGS", "
         + " --xla_tpu_scoped_vmem_limit_kib=32768"
     ).strip()
 
-# held-out defaults: at each size, a batch NO anchor used (anchors: 64²/b512,
-# 128²/b256, 256²/b256+the b16..b256 ladder, 512²/b64, 1024²/b16)
-DEFAULT_POINTS = "512:32,128:64,64:128"
+# held-out defaults: batches BETWEEN the grid's measured rungs at each size
+# (the r4 validation campaign's points — 64:96 etc. — were folded into the
+# grid afterwards, so they no longer validate anything)
+DEFAULT_POINTS = "64:192,128:96,256:224,512:48,1024:12"
 
 
 def main():
