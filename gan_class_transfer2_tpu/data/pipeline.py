@@ -400,35 +400,70 @@ class LabeledDataset:
                 d.close()
 
 
-def device_iterator(dataset, sharding=None):
+class DeviceIterator:
     """Move host batches to device, optionally pre-sharded across a mesh.
 
     Overlaps the host→device transfer of batch N+1 with compute on batch N by
     keeping one batch in flight (double buffering).
 
+    Because of that prefetch, the dataset's own ``state_dict()`` counters run
+    ONE BATCH AHEAD of what training has consumed — a checkpoint persisting
+    them directly would silently skip one batch per dataset per restart
+    (review r4). ``consumed_state()`` instead returns the snapshot taken
+    right after the CURRENT batch was pulled and before the next prefetch:
+    exactly the stream position a resumed run must continue from. The
+    resilience sidecar uses it (ResilientRunnerMixin._data_state_extra).
+
     Multi-process (pod) runs: each host's dataset yields its LOCAL shard of
     the global batch (make_datasets splits files and batch size by process),
     and the logically-global array is assembled without cross-host data
     movement (parallel/multihost.global_batch_from_host_local)."""
-    import jax
 
-    it = iter(dataset)
-    multiproc = jax.process_count() > 1
+    def __init__(self, dataset, sharding=None):
+        self._dataset = dataset
+        self._sharding = sharding
+        self._it = None
+        self._pending = None  # (device batch, state right after its pull)
+        self._consumed = None
 
-    def put(x):
-        if sharding is not None:
-            if multiproc:
+    def _snap(self):
+        sd = getattr(self._dataset, "state_dict", None)
+        return sd() if sd is not None else None
+
+    def _put(self, x):
+        import jax
+
+        if self._sharding is not None:
+            if jax.process_count() > 1:
                 from ..parallel import multihost
 
-                return multihost.global_batch_from_host_local(x, sharding)
-            return jax.device_put(x, sharding)
+                return multihost.global_batch_from_host_local(
+                    x, self._sharding
+                )
+            return jax.device_put(x, self._sharding)
         return jax.device_put(x)
 
-    pending = put(next(it))
-    for batch in it:
-        nxt = put(batch)
-        yield pending
-        pending = nxt
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._it is None:
+            self._it = iter(self._dataset)
+            self._pending = (self._put(next(self._it)), self._snap())
+        batch, state = self._pending
+        self._pending = (self._put(next(self._it)), self._snap())
+        self._consumed = state
+        return batch
+
+    def consumed_state(self):
+        """Dataset state as of the last yielded batch (None before the
+        first); excludes the in-flight prefetched batch."""
+        return self._consumed
+
+
+def device_iterator(dataset, sharding=None) -> DeviceIterator:
+    """See DeviceIterator (kept as a function for the existing call sites)."""
+    return DeviceIterator(dataset, sharding)
 
 
 def make_datasets(cfg, files_per_class=None, **kw) -> list:

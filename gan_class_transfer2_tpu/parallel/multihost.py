@@ -64,6 +64,25 @@ def global_batch_from_host_local(local_batch, sharding):
     )
 
 
+def is_cross_process_sharded(leaf) -> bool:
+    """True when a leaf's value spans processes (e.g. ZeRO-1 moments or a
+    P('data') batch on a pod): fetching it needs ``process_allgather`` (a
+    collective) rather than ``device_get``. The ONE definition of this
+    test — host_fetch, checkpoint.restore and the resilience save gates all
+    route on it (three hand-copies before review r4)."""
+    return (
+        isinstance(leaf, jax.Array)
+        and not leaf.is_fully_addressable
+        and not leaf.is_fully_replicated
+    )
+
+
+def any_cross_process_sharded(tree) -> bool:
+    return any(
+        is_cross_process_sharded(l) for l in jax.tree_util.tree_leaves(tree)
+    )
+
+
 def host_fetch(tree):
     """Host (numpy) copy of a pytree whose leaves may be sharded across
     processes.
@@ -75,11 +94,7 @@ def host_fetch(tree):
     runners' eval paths are; they compute everywhere and gate only the
     writes on is_coordinator)."""
     def one(leaf):
-        if (
-            isinstance(leaf, jax.Array)
-            and not leaf.is_fully_addressable
-            and not leaf.is_fully_replicated
-        ):
+        if is_cross_process_sharded(leaf):
             from jax.experimental import multihost_utils
 
             # tiled=True preserves the global shape (no stacked axis) and

@@ -162,6 +162,9 @@ class ConditionalGANRunner(ResilientRunnerMixin):
     def _data_sources(self) -> dict:
         return {"labeled": self.labeled}
 
+    def _data_iterators(self) -> dict:
+        return {"labeled": self.data_iter}
+
     def fit(self, epochs: Optional[int] = None, steps_per_epoch: Optional[int] = None,
             log_samples: bool = True):
         cfg = self.cfg

@@ -92,6 +92,9 @@ class GANRunner(ResilientRunnerMixin):
     def _data_sources(self) -> dict:
         return {"a": self.dataset_a, "b": self.dataset_b}
 
+    def _data_iterators(self) -> dict:
+        return {"a": self.iter_a, "b": self.iter_b}
+
     def log_sample(self, epoch: int):
         if self._fixed_a is None:
             # host_fetch: on a pod the iterator yields cross-process-sharded

@@ -300,6 +300,9 @@ class Runner(ResilientRunnerMixin):
     def _data_sources(self) -> dict:
         return {"dataset": self.dataset}
 
+    def _data_iterators(self) -> dict:
+        return {"dataset": self.data_iter}
+
     # fit_resilient comes from ResilientRunnerMixin (SURVEY §5: the reference
     # has no recovery at all — a crash loses the run)
 

@@ -26,12 +26,25 @@ class ResilientRunnerMixin:
     def _data_sources(self) -> dict:
         return {}
 
+    def _data_iterators(self) -> dict:
+        """{name: DeviceIterator} matching _data_sources' keys. Iterators
+        know the stream position AS CONSUMED by training (the raw dataset
+        counters run one prefetched batch ahead — data/pipeline.py
+        DeviceIterator); the sidecar prefers their snapshot."""
+        return {}
+
     def _data_state_extra(self):
-        out = {
-            name: d.state_dict()
-            for name, d in self._data_sources().items()
-            if hasattr(d, "state_dict")
-        }
+        iters = self._data_iterators()
+        out = {}
+        for name, d in self._data_sources().items():
+            state = None
+            it = iters.get(name)
+            if it is not None:
+                state = it.consumed_state()
+            if state is None and hasattr(d, "state_dict"):
+                state = d.state_dict()  # nothing consumed yet: pristine
+            if state is not None:
+                out[name] = state
         return {"data": out} if out else None
 
     def _checkpoint_now(self):
@@ -45,7 +58,16 @@ class ResilientRunnerMixin:
 
         from ..parallel import multihost
 
-        state = ckpt_lib.host_complete(self.state)
+        # the fetch is a COLLECTIVE only when the state has cross-process-
+        # sharded leaves (ZeRO-1 moments); with a fully replicated state a
+        # non-coordinator would device_get ~0.7 GB (flagship) per cadence
+        # just to discard it at the gate below — skip it (review r4)
+        if multihost.is_coordinator() or multihost.any_cross_process_sharded(
+            self.state
+        ):
+            state = ckpt_lib.host_complete(self.state)
+        else:
+            state = None
         extra = self._data_state_extra()
         if jax.process_count() > 1 and extra is not None:
             # each host persists ITS OWN stream positions (files are sharded
@@ -188,16 +210,11 @@ class ResilientRunnerMixin:
         entering the collective would deadlock instead of saving."""
         import jax
 
+        from ..parallel import multihost
+
         if jax.process_count() == 1:
             return True
-        return all(
-            not (
-                isinstance(leaf, jax.Array)
-                and not leaf.is_fully_addressable
-                and not leaf.is_fully_replicated
-            )
-            for leaf in jax.tree_util.tree_leaves(self.state)
-        )
+        return not multihost.any_cross_process_sharded(self.state)
 
     def _fit_interruptible(self, fit_body, *args, **kw):
         """Run an epoch loop; on Ctrl-C save a final checkpoint (operational
@@ -244,6 +261,12 @@ class ResilientRunnerMixin:
                         f"{flush_err}", flush=True,
                     )
                 last = ckpt_lib.latest_step(self.cfg.checkpoint_dir)
+                if last is None and getattr(self.cfg, "donate_state", False):
+                    # the failed step may already have consumed the donated
+                    # state buffers; with no checkpoint to restore from, a
+                    # retry would only crash on deleted arrays and mask the
+                    # original error (review r4)
+                    raise
                 print(
                     f"step failed ({type(e).__name__}: {e}); restart "
                     f"{restarts}/{max_restarts} from checkpoint step {last}",
@@ -253,3 +276,10 @@ class ResilientRunnerMixin:
                     self.state = ckpt_lib.restore(
                         self.cfg.checkpoint_dir, self.state
                     )
+                    pipeline = getattr(self, "_pipeline", None)
+                    if pipeline is not None:
+                        # restored leaves land on the default device; the
+                        # stage programs need them back on their owning
+                        # stage meshes, exactly as Runner.__init__ does
+                        # after its restore (review r4)
+                        self.state = pipeline.place_state(self.state)

@@ -134,8 +134,12 @@ def save(ckpt_dir: str, state, cfg: Config, step: Optional[int] = None,
         os.rename(tmp_extra, path + ".extra.json")
     meta = json.loads(cfg.to_json())
     meta["checkpoint_format_version"] = CHECKPOINT_FORMAT_VERSION
-    with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
+    # atomic like every other artifact here: resume reads this file
+    # (cli.load_config), so a crash mid-dump must not truncate it
+    cfg_path = os.path.join(ckpt_dir, "config.json")
+    with open(cfg_path + ".tmp", "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
+    os.rename(cfg_path + ".tmp", cfg_path)
     keep = getattr(cfg, "checkpoint_keep", 0)
     if keep > 0:
         # protect the step JUST written: after resuming from an explicitly
@@ -269,9 +273,11 @@ def prune(ckpt_dir: str, keep: int, protect: Optional[int] = None) -> int:
             continue
         path = os.path.join(os.path.abspath(ckpt_dir), f"step_{s:09d}")
         shutil.rmtree(path, ignore_errors=True)
-        # the coordinator sidecar plus any per-host sidecars (pod runs)
-        for extra in globlib.glob(globlib.escape(path) + ".extra*.json"):
-            os.remove(extra)
+        # the coordinator sidecar plus any per-host sidecars (pod runs),
+        # and crashed-write .tmp leftovers of either
+        for pat in (".extra*.json", ".extra*.json.tmp"):
+            for extra in globlib.glob(globlib.escape(path) + pat):
+                os.remove(extra)
         removed += 1
     # orphan sidecars: host sidecars are written BEFORE the coordinator's
     # save commits the step dir (resilience._checkpoint_now), so a crashed
@@ -280,12 +286,21 @@ def prune(ckpt_dir: str, keep: int, protect: Optional[int] = None) -> int:
     # dir: a sidecar newer than that may belong to a save in flight.
     if steps:
         have = set(steps)
-        pat = os.path.join(globlib.escape(os.path.abspath(ckpt_dir)),
-                           "step_*.extra*.json")
-        for extra in globlib.glob(pat):
-            m = re.match(r"step_(\d+)\.extra", os.path.basename(extra))
-            if m and int(m.group(1)) < steps[-1] and int(m.group(1)) not in have:
-                os.remove(extra)
+        root = globlib.escape(os.path.abspath(ckpt_dir))
+        # *.json.tmp too: a crash between a sidecar's tmp write and its
+        # rename leaks the .tmp forever otherwise (review r4). A .tmp is
+        # garbage even when its step dir is committed (the rename never
+        # happened and nothing will retry it), so it only needs the
+        # older-than-newest guard against a save in flight.
+        for pattern, need_orphan in (
+            ("step_*.extra*.json", True),
+            ("step_*.extra*.json.tmp", False),
+        ):
+            for extra in globlib.glob(os.path.join(root, pattern)):
+                m = re.match(r"step_(\d+)\.extra", os.path.basename(extra))
+                if (m and int(m.group(1)) < steps[-1]
+                        and (not need_orphan or int(m.group(1)) not in have)):
+                    os.remove(extra)
     return removed
 
 
@@ -332,11 +347,9 @@ def restore(ckpt_dir: str, like, step: Optional[int] = None):
     restored = _checkpointer().restore(path, item=_host_template(like))
 
     def place(l, r):
-        if (
-            isinstance(l, jax.Array)
-            and not l.is_fully_addressable
-            and not l.is_fully_replicated
-        ):
+        from ..parallel import multihost
+
+        if multihost.is_cross_process_sharded(l):
             full = _np.asarray(r)
             return jax.make_array_from_callback(
                 l.shape, l.sharding, lambda idx: full[idx]

@@ -445,3 +445,110 @@ def test_runner_trains_with_async_checkpointing(tmp_path):
     restored = ckpt.restore(cfg.checkpoint_dir, template)
     assert int(restored.step) == 4
     runner.close()
+
+
+def test_config_json_written_atomically(tmp_path):
+    """config.json goes through tmp+rename like every other artifact —
+    resume reads it (cli.load_config), so a crash mid-dump must not leave
+    a truncated file (review r4)."""
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.train import trainer
+    from gan_class_transfer2_tpu.utils import checkpoint as ckpt
+
+    cfg = tiny_test_config(checkpoint_dir=str(tmp_path))
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    ckpt.save(str(tmp_path), state, cfg)
+    assert (tmp_path / "config.json").exists()
+    assert not (tmp_path / "config.json.tmp").exists()
+    ckpt.load_config(str(tmp_path))  # round-trips
+
+
+def test_prune_sweeps_crashed_sidecar_tmp_files(tmp_path):
+    """A crash between a sidecar's tmp write and its rename leaks
+    step_<N>.extra*.json.tmp; prune sweeps them for steps older than the
+    newest committed dir — orphaned or next to a committed dir alike
+    (review r4)."""
+    from gan_class_transfer2_tpu.utils import checkpoint as ckpt
+
+    for s in (3, 6, 9):
+        (tmp_path / f"step_{s:09d}").mkdir()
+    # crashed sidecar writes: orphaned (step 4) and next to a committed
+    # dir (step 3); a .tmp at the newest step may be a save in flight
+    leak_orphan = tmp_path / "step_000000004.extra.json.tmp"
+    leak_committed = tmp_path / "step_000000003.extra.host1.json.tmp"
+    in_flight = tmp_path / "step_000000009.extra.json.tmp"
+    for p in (leak_orphan, leak_committed, in_flight):
+        p.write_text("{}")
+    ckpt.prune(str(tmp_path), keep=3)
+    assert not leak_orphan.exists()
+    assert not leak_committed.exists()
+    assert in_flight.exists()  # newest step: may belong to a live save
+
+
+def test_fit_resilient_no_checkpoint_donated_state_reraises(tmp_path):
+    """With donate_state and NO checkpoint yet, a retry would only crash on
+    the deleted donated buffers and mask the original error — fit_resilient
+    re-raises immediately (review r4). Without donation the in-memory
+    retry path stays intact."""
+    import pytest as _pytest
+
+    from gan_class_transfer2_tpu.train.resilience import ResilientRunnerMixin
+
+    class Boom(ResilientRunnerMixin):
+        def __init__(self, cfg):
+            self.cfg = cfg
+            self.calls = 0
+
+        def fit(self, **kw):
+            self.calls += 1
+            raise RuntimeError("boom")
+
+    r = Boom(tiny_test_config(
+        checkpoint_dir=str(tmp_path / "d"), donate_state=True
+    ))
+    with _pytest.raises(RuntimeError, match="boom"):
+        r.fit_resilient(max_restarts=3)
+    assert r.calls == 1
+
+    r2 = Boom(tiny_test_config(
+        checkpoint_dir=str(tmp_path / "e"), donate_state=False
+    ))
+    with _pytest.raises(RuntimeError, match="boom"):
+        r2.fit_resilient(max_restarts=2)
+    assert r2.calls == 3
+
+
+def test_fit_resilient_replaces_restored_pipeline_state(tmp_path):
+    """After a mid-fit restore, pipeline runners must re-place the restored
+    (default-device) leaves onto their stage meshes, exactly as
+    Runner.__init__ does after its restore (review r4)."""
+    from gan_class_transfer2_tpu.train.resilience import ResilientRunnerMixin
+
+    cfg = tiny_test_config(checkpoint_dir=str(tmp_path), donate_state=False)
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    ckpt.save(str(tmp_path), state, cfg)
+
+    class FakePipeline:
+        placed = 0
+
+        def place_state(self, s):
+            self.placed += 1
+            return s
+
+    class R(ResilientRunnerMixin):
+        def __init__(self):
+            self.cfg = cfg
+            self.state = state
+            self._pipeline = FakePipeline()
+            self.calls = 0
+
+        def fit(self, **kw):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("transient")
+            return self.state
+
+    r = R()
+    r.fit_resilient(max_restarts=2)
+    assert r.calls == 2
+    assert r._pipeline.placed == 1

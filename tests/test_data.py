@@ -231,3 +231,31 @@ def test_decode_image_rejects_degenerate_dimensions(tmp_path):
     PILImage.fromarray(np.zeros((1, 1, 3), np.uint8)).save(p)
     with pytest.raises(ValueError, match="smaller than crop"):
         pipeline.decode_image(str(p), 16, np.random.default_rng(0), crop=True)
+
+
+def test_device_iterator_consumed_state_excludes_prefetch():
+    """The double-buffered iterator pre-pulls one batch, so the dataset's
+    own counters run one ahead of training; consumed_state() is the exact
+    position a resumed run must continue from (review r4 — persisting the
+    raw counter skipped one batch per restart)."""
+    import numpy as np
+
+    from gan_class_transfer2_tpu.data import pipeline
+
+    images = np.arange(12 * 4 * 4 * 3, dtype=np.float32).reshape(
+        12, 4, 4, 3
+    ) / 1000.0
+    ds = pipeline.ArrayDataset(images, batch_size=2, seed=0, flip=False)
+    it = pipeline.device_iterator(ds)
+    assert it.consumed_state() is None  # nothing consumed yet
+    next(it)
+    assert ds.state_dict()["position"] == 2  # one prefetched ahead
+    assert it.consumed_state()["position"] == 1
+
+    # a fresh dataset restored at consumed_state must yield, as its FIRST
+    # batch, exactly the batch the original training has NOT yet seen
+    ds2 = pipeline.ArrayDataset(images, batch_size=2, seed=0, flip=False)
+    ds2.set_state(it.consumed_state())
+    resumed = next(pipeline.device_iterator(ds2))
+    original = next(it)
+    np.testing.assert_array_equal(np.asarray(original), np.asarray(resumed))

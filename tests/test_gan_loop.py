@@ -233,9 +233,10 @@ def test_gan_data_position_restored_across_restart(tmp_path):
 
     ds_a2, ds_b2 = _mk_ds(cfg, 0), _mk_ds(cfg, 1)
     runner2 = GANRunner(cfg, dataset_a=ds_a2, dataset_b=ds_b2)
-    # prefetch keeps the recorded position within one batch of consumption
-    assert abs(ds_a2.state_dict()["position"] - 2) <= 1
-    assert abs(ds_b2.state_dict()["position"] - 2) <= 1
+    # EXACT consumed position (DeviceIterator.consumed_state) — the old
+    # prefetch-inflated counter skipped one batch per restart (review r4)
+    assert ds_a2.state_dict()["position"] == 2
+    assert ds_b2.state_dict()["position"] == 2
     runner2.close()
 
 

@@ -320,9 +320,11 @@ def test_data_position_restored_across_process_restart(cfg):
 
     ds2 = _dataset(cfg)  # fresh dataset at position 0
     runner2 = Runner(cfg, dataset=ds2)
-    # position restored from the step_3 sidecar (prefetch keeps it within
-    # one batch of the trained position)
-    assert abs(ds2.state_dict()["position"] - 3) <= 1
+    # position restored from the step_3 sidecar — EXACT: the sidecar records
+    # the consumed position (DeviceIterator.consumed_state), not the
+    # prefetch-inflated dataset counter (review r4: the old one-ahead
+    # counter silently skipped a batch per restart)
+    assert ds2.state_dict()["position"] == 3
     runner2.close()
 
 
