@@ -77,6 +77,13 @@ bool decode_png(const uint8_t* buf, size_t len, Image* out) {
 
   png_uint_32 w = png_get_image_width(png, info);
   png_uint_32 h = png_get_image_height(png, info);
+  // reject absurd header dims BEFORE allocating h*w*3 (a corrupt IHDR
+  // claiming 100000x100000 would ask for ~30 GB and abort the process via
+  // bad_alloc on a worker thread); 2^26 px = 67 MP, far past any sane input
+  if (w == 0 || h == 0 || static_cast<uint64_t>(w) * h > (1ull << 26)) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
   int bit_depth = png_get_bit_depth(png, info);
   int color = png_get_color_type(png, info);
 
@@ -128,6 +135,13 @@ bool decode_jpeg(const uint8_t* buf, size_t len, Image* out) {
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
+  // same absurd-dimension guard as decode_png (see comment there)
+  if (cinfo.output_height == 0 || cinfo.output_width == 0 ||
+      static_cast<uint64_t>(cinfo.output_height) * cinfo.output_width >
+          (1ull << 26)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   out->h = cinfo.output_height;
   out->w = cinfo.output_width;
   out->data.resize(static_cast<size_t>(out->h) * out->w * 3);
@@ -216,7 +230,13 @@ struct Loader {
   std::vector<std::thread> workers;
 
   ~Loader() {
-    stop.store(true);
+    {
+      // the store must happen under mu: a worker that has evaluated its
+      // wait predicate (stop false, ring full) but not yet blocked would
+      // otherwise miss the notify forever and t.join() would deadlock
+      std::lock_guard<std::mutex> lk(mu);
+      stop.store(true);
+    }
     not_full.notify_all();
     not_empty.notify_all();
     for (auto& t : workers)
@@ -227,17 +247,38 @@ struct Loader {
 bool load_file(const std::string& path, std::vector<uint8_t>* out) {
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) return false;
-  fseek(f, 0, SEEK_END);
+  // ftell is -1 on non-seekable special files; resize((size_t)-1) would
+  // throw length_error straight through a worker thread otherwise
+  if (fseek(f, 0, SEEK_END) != 0) {
+    fclose(f);
+    return false;
+  }
   long n = ftell(f);
-  fseek(f, 0, SEEK_SET);
+  if (n < 0 || fseek(f, 0, SEEK_SET) != 0) {
+    fclose(f);
+    return false;
+  }
   out->resize(n);
   size_t got = fread(out->data(), 1, n, f);
   fclose(f);
   return got == static_cast<size_t>(n);
 }
 
-void worker_main(Loader* L, uint64_t seed) {
-  std::mt19937_64 rng(seed);
+void fail_loader(Loader* L, const std::string& message) {
+  {
+    // stop/error stores under mu: a consumer between its wait-predicate
+    // check and blocking would otherwise miss the notify forever (the
+    // exact hang the fail-loudly guard exists to prevent)
+    std::lock_guard<std::mutex> lk(L->mu);
+    if (L->error_message.empty()) L->error_message = message;
+    L->error.store(true);
+    L->stop.store(true);
+  }
+  L->not_empty.notify_all();
+  L->not_full.notify_all();
+}
+
+void worker_loop(Loader* L, std::mt19937_64* rng) {
   const size_t elem = static_cast<size_t>(L->size) * L->size * 3;
   // Tolerate scattered bad files (TF decoder tolerance), but fail loudly if
   // NOTHING decodes or fits the crop (e.g. every image smaller than `size`)
@@ -251,25 +292,23 @@ void worker_main(Loader* L, uint64_t seed) {
     int filled = 0;
     while (filled < L->batch && !L->stop.load()) {
       const std::string& path = L->files[L->next_file_index()];
-      std::vector<uint8_t> raw;
-      Image img;
-      bool ok = load_file(path, &raw) &&
-                decode_any(raw.data(), raw.size(), &img) &&
-                augment_to(img, L->size, &rng, batch.data() + filled * elem);
+      bool ok = false;
+      try {
+        std::vector<uint8_t> raw;
+        Image img;
+        ok = load_file(path, &raw) &&
+             decode_any(raw.data(), raw.size(), &img) &&
+             augment_to(img, L->size, rng, batch.data() + filled * elem);
+      } catch (const std::exception&) {
+        ok = false;  // e.g. bad_alloc on a corrupt header — a bad file,
+                     // not a reason to abort the process
+      }
       if (!ok) {
         if (++consecutive_failures >= fail_limit) {
-          {
-            std::lock_guard<std::mutex> lk(L->mu);
-            if (L->error_message.empty())
-              L->error_message = "native loader: " +
-                                 std::to_string(consecutive_failures) +
-                                 " consecutive decode/crop failures (last: " +
-                                 path + ")";
-          }
-          L->error.store(true);
-          L->stop.store(true);
-          L->not_empty.notify_all();
-          L->not_full.notify_all();
+          fail_loader(L, "native loader: " +
+                             std::to_string(consecutive_failures) +
+                             " consecutive decode/crop failures (last: " +
+                             path + ")");
           return;
         }
         continue;
@@ -284,6 +323,19 @@ void worker_main(Loader* L, uint64_t seed) {
     if (L->stop.load()) return;
     L->ready.push(std::move(batch));
     L->not_empty.notify_one();
+  }
+}
+
+void worker_main(Loader* L, uint64_t seed) {
+  std::mt19937_64 rng(seed);
+  // an exception escaping a std::thread calls std::terminate and kills the
+  // training process — convert it into the loader's fail-loudly path
+  try {
+    worker_loop(L, &rng);
+  } catch (const std::exception& e) {
+    fail_loader(L, std::string("native loader worker: ") + e.what());
+  } catch (...) {
+    fail_loader(L, "native loader worker: unknown exception");
   }
 }
 
@@ -331,7 +383,7 @@ extern "C" {
 // the reader side is a zero-copy numpy memmap (data/cache.py).
 // Returns the number of records written, or -1 on I/O failure.
 int dl_cache_build(const char** files, int n_files, int store,
-                   const char* out_path) {
+                   const char* out_path) try {
   if (store <= 0 || n_files <= 0) return -1;
   FILE* f = fopen(out_path, "wb");
   if (!f) return -1;
@@ -344,11 +396,19 @@ int dl_cache_build(const char** files, int n_files, int store,
   std::vector<uint8_t> rec(static_cast<size_t>(store) * store * 3);
   uint32_t written = 0;
   for (int i = 0; i < n_files; ++i) {
-    std::vector<uint8_t> raw;
     Image img;
-    if (!load_file(files[i], &raw) || !decode_any(raw.data(), raw.size(), &img))
-      continue;  // tolerate scattered bad files
-    if (img.h < 1 || img.w < 1) continue;
+    try {
+      std::vector<uint8_t> raw;
+      if (!load_file(files[i], &raw) ||
+          !decode_any(raw.data(), raw.size(), &img))
+        continue;  // tolerate scattered bad files
+    } catch (const std::exception&) {
+      continue;  // corrupt-header huge alloc etc. — a bad file
+    }
+    // degenerate near-1-pixel dimensions (tracking-pixel GIFs in scraped
+    // data) would resize to a stretched-constant record; the live loaders
+    // skip such images (pipeline.decode_image), so must the cache
+    if (img.h < 4 || img.w < 4) continue;
     resize_center_crop(img, store, rec.data());
     if (fwrite(rec.data(), rec.size(), 1, f) != 1) {
       fclose(f);
@@ -356,11 +416,17 @@ int dl_cache_build(const char** files, int n_files, int store,
     }
     ++written;
   }
-  // back-patch the record count
-  fseek(f, 2 * sizeof(uint32_t), SEEK_SET);
-  fwrite(&written, sizeof(written), 1, f);
-  fclose(f);
+  // back-patch the record count; a silent failure here (disk full) would
+  // report success for a cache whose header still says 0 records
+  if (fseek(f, 2 * sizeof(uint32_t), SEEK_SET) != 0 ||
+      fwrite(&written, sizeof(written), 1, f) != 1) {
+    fclose(f);
+    return -1;
+  }
+  if (fclose(f) != 0) return -1;  // flush of buffered records can fail too
   return static_cast<int>(written);
+} catch (const std::exception&) {
+  return -1;  // never let an exception cross the C ABI
 }
 
 // ----------------------------------------------------------- crc32c --------
@@ -402,7 +468,7 @@ uint32_t crc32c_impl(const uint8_t* p, size_t n) {
 }
 
 void* dl_create(const char** files, int n_files, int size, int batch, int workers,
-                int capacity, uint64_t seed) {
+                int capacity, uint64_t seed) try {
   if (n_files <= 0 || size <= 0 || batch <= 0) return nullptr;
   Loader* L = new Loader();
   L->files.reserve(n_files);
@@ -418,12 +484,15 @@ void* dl_create(const char** files, int n_files, int size, int batch, int worker
   for (int i = 0; i < w; ++i)
     L->workers.emplace_back(worker_main, L, seed * 0x9E3779B97F4A7C15ULL + i + 1);
   return L;
+} catch (const std::exception&) {
+  return nullptr;  // never let an exception cross the C ABI
 }
 
 // Blocks until a batch is available; copies batch*size*size*3 floats into out.
 // Returns 0 on success, -1 when the loader stopped cleanly, -2 when the
 // worker pool aborted on persistent decode failures (see dl_error).
 int dl_next(void* handle, float* out) {
+  if (!handle) return -1;  // closed handle: clean stop, not a segfault
   Loader* L = static_cast<Loader*>(handle);
   std::vector<float> batch;
   {
@@ -440,17 +509,25 @@ int dl_next(void* handle, float* out) {
 
 // Error description after dl_next returned -2; valid until dl_destroy.
 const char* dl_error(void* handle) {
+  if (!handle) return "";
   Loader* L = static_cast<Loader*>(handle);
   std::lock_guard<std::mutex> lk(L->mu);
   return L->error_message.c_str();
 }
 
-void dl_destroy(void* handle) { delete static_cast<Loader*>(handle); }
+void dl_destroy(void* handle) {
+  if (handle) delete static_cast<Loader*>(handle);
+}
 
 // Single-image decode + augment (deterministic seed) for parity tests.
-// Returns 0 on success.
+// ``out_capacity``: the caller's buffer length in floats — the decoder
+// validates against it instead of trusting that the caller's header probe
+// (PIL) and this decoder agree on dimensions (a lenient parse on one side
+// would otherwise be a heap overflow). Returns 0 on success, -3 when the
+// decoded image exceeds the buffer.
 int dl_decode_one(const char* path, int size, uint64_t seed, int do_augment,
-                  float* out, int* out_h, int* out_w) {
+                  float* out, int64_t out_capacity, int* out_h,
+                  int* out_w) try {
   std::vector<uint8_t> raw;
   Image img;
   if (!load_file(path, &raw) || !decode_any(raw.data(), raw.size(), &img))
@@ -458,13 +535,17 @@ int dl_decode_one(const char* path, int size, uint64_t seed, int do_augment,
   *out_h = img.h;
   *out_w = img.w;
   if (!do_augment) {
-    // raw normalize only (no crop/flip), caller buffer must hold h*w*3
+    // raw normalize only (no crop/flip)
+    if (static_cast<int64_t>(img.data.size()) > out_capacity) return -3;
     for (size_t i = 0; i < img.data.size(); ++i)
       out[i] = static_cast<float>(img.data[i]) * (1.0f / 128.0f) - 1.0f;
     return 0;
   }
+  if (static_cast<int64_t>(size) * size * 3 > out_capacity) return -3;
   std::mt19937_64 rng(seed);
   return augment_to(img, size, &rng, out) ? 0 : -2;
+} catch (const std::exception&) {
+  return -1;  // never let an exception cross the C ABI
 }
 
 // CRC32C (Castagnoli) over a byte buffer — see crc32c_impl above.

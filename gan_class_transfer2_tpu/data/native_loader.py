@@ -23,15 +23,29 @@ _lib = None
 
 
 def build_library(force: bool = False) -> str:
-    """Compile the shared library if missing. Returns its path."""
+    """Compile the shared library (a no-op make when up to date). Returns
+    its path.
+
+    make runs unconditionally — its mtime tracking decides whether to
+    recompile, so an edited dataloader.cc is never silently shadowed by a
+    stale .so (an exists()-only check was — review r4). A no-op make costs
+    milliseconds once per process (_load caches the CDLL)."""
     with _build_lock:
-        if force or not os.path.exists(_LIB_PATH):
+        if force and os.path.exists(_LIB_PATH):
+            os.remove(_LIB_PATH)
+        try:
             subprocess.run(
                 ["make", "-s", "libgct2dataloader.so"],
                 cwd=_NATIVE_DIR,
                 check=True,
                 capture_output=True,
+                text=True,
             )
+        except subprocess.CalledProcessError as e:
+            # surface the compiler diagnostics, not a bare exit status
+            raise RuntimeError(
+                f"native loader build failed:\n{e.stderr or e.stdout}"
+            ) from e
     return _LIB_PATH
 
 
@@ -68,6 +82,7 @@ def _load() -> ctypes.CDLL:
             ctypes.c_uint64,
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,  # out buffer capacity in floats (bounds check)
             ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int),
         ]
@@ -128,9 +143,18 @@ def decode_one(path: str, size: int, seed: int = 0, augment: bool = True):
         seed,
         1 if augment else 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.size,  # capacity: the native side bounds-checks against it
         ctypes.byref(h),
         ctypes.byref(w),
     )
+    if rc == -3:
+        # the native decoder sees different dimensions than the PIL header
+        # probe used to size the buffer — without the capacity check this
+        # was a heap overflow (review r4)
+        raise ValueError(
+            f"native decode of {path}: decoded {h.value}x{w.value} exceeds "
+            f"the probed buffer {tuple(out.shape[:2])}"
+        )
     if rc != 0:
         raise ValueError(f"native decode failed ({rc}) for {path}")
     return out
@@ -166,6 +190,7 @@ class NativeImageDataset:
         self._batches_served = 0
         self._resume_round = 0
         self._handle = None
+        self._started = False
         self._create()
 
     def _create(self):
@@ -190,21 +215,29 @@ class NativeImageDataset:
         }
 
     def set_state(self, state: dict) -> None:
+        if self._started:
+            # same guard as ImageDataset: swapping the handle under a live
+            # iterator is a use-after-free on the C++ side (review r4)
+            raise RuntimeError("set_state must be called before iteration")
         self._batches_served = int(state["batches_served"])
         self._resume_round = int(state["resume_round"]) + 1
         self._create()  # restart workers on the resume seed
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        self._started = True
         while True:
+            handle = self._handle
+            if handle is None:
+                return  # close() raced the consumer — stop, don't segfault
             out = np.empty((self.batch_size, self.size, self.size, 3), np.float32)
             rc = self._lib.dl_next(
-                self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+                handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
             )
             if rc == -2:
                 # worker pool aborted after persistent decode/crop failures —
                 # surface the hang-prevention guard as a hard error, matching
                 # the Python pipeline's behavior
-                msg = self._lib.dl_error(self._handle) or b""
+                msg = self._lib.dl_error(handle) or b""
                 raise RuntimeError(msg.decode() or "native loader failed")
             if rc != 0:
                 return

@@ -144,3 +144,66 @@ def test_native_loader_epoch_without_replacement(tmp_path):
     counts = np.bincount(seen, minlength=n)
     assert counts.max() - counts.min() <= 2, counts
     ds.close()
+
+
+def test_close_then_iterate_stops_cleanly(image_dir):
+    """close() racing a consumer must end iteration, not pass a NULL handle
+    into dl_next (review r4 — this was a segfault). Mirrors
+    pipeline.ImageDataset's documented close()-races-consumer tolerance."""
+    ds = native_loader.NativeImageDataset(
+        str(image_dir / "*.png"), size=16, batch_size=2, seed=0
+    )
+    it = iter(ds)
+    next(it)
+    ds.close()
+    assert list(it) == []  # clean stop
+    ds.close()  # idempotent
+
+
+def test_set_state_after_iteration_raises(image_dir):
+    """Same pre-iteration guard as ImageDataset: swapping the native handle
+    under a live iterator is a use-after-free (review r4)."""
+    ds = native_loader.NativeImageDataset(
+        str(image_dir / "*.png"), size=16, batch_size=2, seed=0
+    )
+    state = ds.state_dict()
+    next(iter(ds))
+    with pytest.raises(RuntimeError, match="before iteration"):
+        ds.set_state(state)
+    ds.close()
+
+
+def test_cache_build_skips_degenerate_images(tmp_path):
+    """Near-1-pixel-dimension images (tracking pixels) must not become
+    stretched-constant cache records — the live loaders skip them
+    (pipeline.decode_image) and the cache builder must too (review r4)."""
+    rng = np.random.default_rng(0)
+    good = tmp_path / "good.png"
+    Image.fromarray(
+        rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    ).save(good)
+    strip = tmp_path / "strip.png"
+    Image.fromarray(
+        rng.integers(0, 256, size=(1, 50, 3), dtype=np.uint8)
+    ).save(strip)
+    out = tmp_path / "data.cache"
+    n = native_loader.build_cache(
+        [str(good), str(strip)], store=16, out_path=str(out)
+    )
+    assert n == 1  # the tracking strip was skipped, the real image kept
+
+
+def test_corrupt_file_is_tolerated_not_fatal(image_dir, tmp_path):
+    """A corrupt file among good ones is skipped (decoder tolerance), and a
+    PNG whose header claims absurd dimensions is rejected before the
+    allocation (review r4 — bad_alloc on a worker thread aborted the
+    process)."""
+    bad = image_dir / "bad.png"
+    bad.write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    ds = native_loader.NativeImageDataset(
+        str(image_dir / "*.png"), size=16, batch_size=2, seed=0
+    )
+    batch = next(iter(ds))
+    assert batch.shape == (2, 16, 16, 3)
+    assert np.isfinite(batch).all()
+    ds.close()
