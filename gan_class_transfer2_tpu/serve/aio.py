@@ -26,7 +26,14 @@ from urllib.parse import parse_qs
 
 import numpy as np
 
-from .server import ModelService, ServerBusy, _decode_png, _png_bytes
+from .server import (
+    MAX_BODY,
+    ModelService,
+    SampleSpec,
+    ServerBusy,
+    _decode_png,
+    _png_bytes,
+)
 
 
 def _response(code: int, content_type: str, body: bytes) -> bytes:
@@ -51,18 +58,34 @@ class AsyncServer:
     """asyncio HTTP frontend; device work delegated to a thread pool."""
 
     def __init__(self, service: ModelService, host: str = "127.0.0.1",
-                 port: int = 0, max_workers: int = 8):
+                 port: int = 0, max_workers: int = 32):
         self.service = service
         self.host = host
         self.port = port
         self._server: Optional[asyncio.AbstractServer] = None
         self._pool = ThreadPoolExecutor(max_workers=max_workers,
                                         thread_name_prefix="gct2-aio")
+        # in-flight shed (review r4): each blocking call occupies a worker
+        # until its device batch completes, so without a cap the excess sat
+        # in the executor's UNBOUNDED queue — the batcher-level
+        # serve_max_queue 503 was unreachable from this frontend and
+        # latency/memory grew without bound. Beyond 2× the worker count,
+        # requests get the designed fast 503 + Retry-After instead.
+        self._max_inflight = 2 * max_workers
+        self._inflight = 0
+        # streams get their OWN small pool: a producer that already
+        # committed its 200 multipart header must not wait behind queued
+        # request work (the stream count itself is bounded by the
+        # serve_max_streams slot acquired before the header)
+        self._stream_pool = ThreadPoolExecutor(
+            max_workers=max(getattr(service.cfg, "serve_max_streams", 2), 2),
+            thread_name_prefix="gct2-aio-stream",
+        )
 
     # ------------------------------------------------------------ plumbing
 
     MAX_HEADERS = 100
-    MAX_BODY = 64 * 1024 * 1024  # PNG uploads; far above any valid request
+    MAX_BODY = MAX_BODY  # shared with the threaded frontend (server.py)
 
     async def _read_request(self, reader):
         request_line = await asyncio.wait_for(reader.readline(), 30)
@@ -94,9 +117,29 @@ class AsyncServer:
         return method, target, headers, body
 
     async def _run_blocking(self, fn, *args):
-        return await asyncio.get_running_loop().run_in_executor(
-            self._pool, fn, *args
-        )
+        # single-threaded loop: counter updates need no lock
+        if self._inflight >= self._max_inflight:
+            raise ServerBusy(
+                f"server overloaded ({self._inflight} requests in flight)"
+            )
+        self._inflight += 1
+        try:
+            return await asyncio.get_running_loop().run_in_executor(
+                self._pool, fn, *args
+            )
+        finally:
+            self._inflight -= 1
+
+    async def _parse_json(self, body: bytes) -> dict:
+        """Parse a JSON object body; big bodies parse on the pool so a 64 MB
+        garbage upload cannot stall the event loop (review r4)."""
+        if len(body) > 65536:
+            req = await self._run_blocking(json.loads, body)
+        else:
+            req = json.loads(body or b"{}")
+        if not isinstance(req, dict):
+            raise ValueError("request body must be a JSON object")
+        return req
 
     # ------------------------------------------------------------- routing
 
@@ -129,14 +172,20 @@ class AsyncServer:
                 for snapshot in stream:
                     if abandoned.is_set():
                         return
-                    loop.call_soon_threadsafe(queue.put_nowait, snapshot)
+                    # PNG-encode HERE on the producer thread — per-frame
+                    # PIL work on the event loop stalled every connection
+                    loop.call_soon_threadsafe(
+                        queue.put_nowait, _png_bytes(snapshot[0])
+                    )
                 loop.call_soon_threadsafe(queue.put_nowait, None)
             except Exception as e:  # noqa: BLE001 — surfaced to the drain loop
                 loop.call_soon_threadsafe(queue.put_nowait, e)
             finally:
                 stream.close()  # release the stream slot promptly
 
-        producer = loop.run_in_executor(self._pool, produce)
+        # the dedicated stream pool: a producer mid-stream (header already
+        # committed) must not wait behind queued request work
+        producer = loop.run_in_executor(self._stream_pool, produce)
         try:
             failed = False
             while True:
@@ -152,7 +201,7 @@ class AsyncServer:
                     )
                     failed = True
                     break
-                body = _png_bytes(item[0])
+                body = item  # already PNG-encoded by the producer
                 writer.write(
                     f"--{boundary}\r\nContent-Type: image/png\r\n"
                     f"Content-Length: {len(body)}\r\n\r\n".encode()
@@ -184,75 +233,74 @@ class AsyncServer:
             return _json_response(404, {"error": f"unknown path {path}"})
         if method != "POST":
             return _json_response(404, {"error": f"unsupported method {method}"})
+        # NOTE every POST handler below runs decode → device → encode inside
+        # ONE blocking closure on the pool: PIL/base64/large-JSON work on the
+        # event loop froze every other connection for its duration
+        # (review r4). Validation (SampleSpec, direction, edits) is shared
+        # with the threaded frontend where the rules were duplicated.
         if path == "/sample":
-            req = json.loads(body or b"{}")
-            num = int(req.get("num", 1))
-            if not 1 <= num <= 64:
-                return _json_response(400, {"error": "num must be in [1, 64]"})
-            class_idx = req.get("class")
-            class_idx = None if class_idx is None else int(class_idx)
-            if req.get("stream"):
-                segments = int(req.get("segments", 4))
-                # same guards as the threaded frontend: bounded segments
-                # (np.array_split OOM) and one-image-per-frame wire format
-                if not 1 <= segments <= 64:
-                    return _json_response(
-                        400, {"error": "segments must be in [1, 64]"}
-                    )
-                if num != 1:
-                    return _json_response(400, {
-                        "error": "streaming supports num=1 "
-                                 "(use format=base64 for batches)"
-                    })
+            spec = SampleSpec(await self._parse_json(body))
+            if spec.stream:
                 # create the stream BEFORE the 200 header: check_streamable
                 # errors and the ServerBusy stream shed surface pre-header
                 stream = service.sample_stream(
-                    num, segments=segments, class_idx=class_idx
+                    spec.num, segments=spec.segments, class_idx=spec.class_idx
                 )
                 await self._handle_stream(writer, stream)
                 return None  # response already written
-            images = await self._run_blocking(service.sample, num, class_idx)
-            if req.get("format") == "base64":
-                return _json_response(200, {
-                    "images": [base64.b64encode(_png_bytes(im)).decode()
-                               for im in images]
-                })
-            return _response(200, "image/png", _png_bytes(images[0]))
+
+            def run_sample():
+                images = service.sample(spec.num, class_idx=spec.class_idx)
+                if spec.b64:
+                    return _json_response(200, {
+                        "images": [base64.b64encode(_png_bytes(im)).decode()
+                                   for im in images]
+                    })
+                return _response(200, "image/png", _png_bytes(images[0]))
+
+            return await self._run_blocking(run_sample)
         if path == "/reload":
             step = await self._run_blocking(service.reload)
             return _json_response(200, {"step": step})
         if path == "/denoise":
-            img = _decode_png(body, service.cfg.size)
-            out = await self._run_blocking(service.denoise, img)
-            return _response(200, "image/png", _png_bytes(out[0]))
+            def run_denoise():
+                img = _decode_png(body, service.cfg.size)
+                out = service.denoise(img)
+                return _response(200, "image/png", _png_bytes(out[0]))
+
+            return await self._run_blocking(run_denoise)
         if path == "/edit":
             q = parse_qs(query)
             raw = q.get("edits", ["pixelate,shift,quantise"])
             edits = tuple(e for e in raw[0].split(",") if e)
             cls = q.get("class", [None])[0]
-            img = _decode_png(body, service.cfg.size)
-            out = await self._run_blocking(
-                service.edit, img, edits,
-                None if cls is None else int(cls),
-            )
-            return _json_response(200, {
-                k: base64.b64encode(_png_bytes(v[0])).decode()
-                for k, v in out.items()
-            })
+
+            def run_edit():
+                img = _decode_png(body, service.cfg.size)
+                out = service.edit(
+                    img, edits, None if cls is None else int(cls)
+                )
+                return _json_response(200, {
+                    k: base64.b64encode(_png_bytes(v[0])).decode()
+                    for k, v in out.items()
+                })
+
+            return await self._run_blocking(run_edit)
         if path == "/transfer":
             q = parse_qs(query)
-            if "to" in q:  # multi-class conditional transfer
-                img = _decode_png(body, service.cfg.size)
-                out = await self._run_blocking(
-                    service.transfer_to, img, int(q["to"][0])
-                )
-                return _response(200, "image/png", _png_bytes(out[0]))
             direction = q.get("direction", ["ab"])[0]
-            if direction not in ("ab", "ba"):
+            if "to" not in q and direction not in ("ab", "ba"):
                 return _json_response(400, {"error": "direction must be ab|ba"})
-            img = _decode_png(body, service.cfg.size)
-            out = await self._run_blocking(service.transfer, img, direction)
-            return _response(200, "image/png", _png_bytes(out[0]))
+
+            def run_transfer():
+                img = _decode_png(body, service.cfg.size)
+                if "to" in q:  # multi-class conditional transfer
+                    out = service.transfer_to(img, int(q["to"][0]))
+                else:
+                    out = service.transfer(img, direction)
+                return _response(200, "image/png", _png_bytes(out[0]))
+
+            return await self._run_blocking(run_transfer)
         return _json_response(404, {"error": f"unknown path {path}"})
 
     async def _handle(self, reader, writer):
@@ -319,6 +367,7 @@ class AsyncServer:
             asyncio.run(self._serve(announce=announce))
         finally:
             self._pool.shutdown(wait=False)
+            self._stream_pool.shutdown(wait=False)
             self.service.close()
 
     # Threaded wrapper so tests can drive it like server.Server
@@ -327,6 +376,7 @@ class AsyncServer:
 
         self._loop = asyncio.new_event_loop()
         started = threading.Event()
+        self._start_error: Optional[BaseException] = None
 
         def runner():
             asyncio.set_event_loop(self._loop)
@@ -342,11 +392,19 @@ class AsyncServer:
                 self._loop.run_until_complete(main())
             except asyncio.CancelledError:
                 pass
+            except Exception as e:  # noqa: BLE001 — e.g. bind failure: the
+                # real OSError must reach start()'s caller, not die here
+                self._start_error = e
+                started.set()
 
         self._thread = threading.Thread(target=runner, daemon=True)
         self._thread.start()
         if not started.wait(timeout=30):
             raise RuntimeError("async server failed to start")
+        if self._start_error is not None:
+            raise RuntimeError(
+                f"async server failed to start: {self._start_error}"
+            ) from self._start_error
         return self
 
     def stop(self):
@@ -358,5 +416,10 @@ class AsyncServer:
 
         self._loop.call_soon_threadsafe(cancel_all)
         self._thread.join(timeout=10)
+        if not self._thread.is_alive():
+            # each start() creates a fresh loop; leaving it open leaked its
+            # epoll fd + self-pipe per start/stop cycle (review r4)
+            self._loop.close()
         self._pool.shutdown(wait=False)
+        self._stream_pool.shutdown(wait=False)
         self.service.close()

@@ -224,6 +224,45 @@ class SampleBatcher:
                     r.event.set()
 
 
+# Request-body cap shared by BOTH frontends (PNG uploads; far above any
+# valid request). The threaded frontend previously had no cap at all — a
+# declared 10 GB Content-Length buffered into RAM (review r4).
+MAX_BODY = 64 * 1024 * 1024
+
+
+class SampleSpec:
+    """Validated /sample request — ONE definition of the bounds and error
+    strings for both frontends (they had drifted-prone hand copies)."""
+
+    __slots__ = ("num", "class_idx", "stream", "segments", "b64")
+
+    def __init__(self, req):
+        if not isinstance(req, dict):
+            raise ValueError("request body must be a JSON object")
+        try:
+            self.num = int(req.get("num", 1))
+            self.segments = int(req.get("segments", 4))
+            cls = req.get("class")
+            self.class_idx = None if cls is None else int(cls)
+        except (TypeError, ValueError):
+            raise ValueError("num/segments/class must be integers")
+        if not 1 <= self.num <= 64:
+            raise ValueError("num must be in [1, 64]")
+        self.stream = bool(req.get("stream"))
+        self.b64 = req.get("format") == "base64"
+        if self.stream:
+            # unvalidated segments would hand np.array_split an
+            # attacker-sized count (host OOM); the stream wire format
+            # carries ONE image per frame, so num > 1 would silently
+            # compute a batch and transmit [0]
+            if not 1 <= self.segments <= 64:
+                raise ValueError("segments must be in [1, 64]")
+            if self.num != 1:
+                raise ValueError(
+                    "streaming supports num=1 (use format=base64 for batches)"
+                )
+
+
 def _png_bytes(img: np.ndarray) -> bytes:
     from PIL import Image
 
@@ -825,6 +864,9 @@ class ModelService:
                     )
                     self._edit_fns[key] = fn
                 out = fn(self._params, image, c)
+                # the heaviest device op must show up in /metrics like
+                # every other device invocation does
+                self._bump("device_batches")
                 return {k: np.asarray(v) for k, v in out.items()}
         finally:
             self._release_trajectory_slot()
@@ -867,6 +909,10 @@ class ModelService:
 
 def make_handler(service: ModelService):
     class Handler(BaseHTTPRequestHandler):
+        # socket timeout (socketserver applies it to the connection): a
+        # client that stalls mid-body must not pin a handler thread forever
+        timeout = 120
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -901,6 +947,10 @@ def make_handler(service: ModelService):
 
         def _body(self) -> bytes:
             length = int(self.headers.get("Content-Length", 0))
+            # same guards as the aio frontend: a negative length would make
+            # read(-1) wait for EOF, an absurd one would buffer into RAM
+            if length < 0 or length > MAX_BODY:
+                raise ValueError(f"body length {length} outside [0, {MAX_BODY}]")
             return self.rfile.read(length)
 
         def _stream_sample(self, num: int, segments: int, class_idx=None):
@@ -944,31 +994,17 @@ def make_handler(service: ModelService):
             try:
                 path, _, query = self.path.partition("?")
                 if path == "/sample":
-                    req = json.loads(self._body() or b"{}")
-                    num = int(req.get("num", 1))
-                    if not 1 <= num <= 64:
-                        return self._json(400, {"error": "num must be in [1, 64]"})
-                    class_idx = req.get("class")
-                    class_idx = None if class_idx is None else int(class_idx)
-                    if req.get("stream"):
-                        segments = int(req.get("segments", 4))
-                        # unvalidated segments would hand np.array_split an
-                        # attacker-sized count (host OOM); the stream wire
-                        # format carries ONE image per frame, so num > 1
-                        # would silently compute a batch and transmit [0]
-                        if not 1 <= segments <= 64:
-                            return self._json(
-                                400, {"error": "segments must be in [1, 64]"}
-                            )
-                        if num != 1:
-                            return self._json(400, {
-                                "error": "streaming supports num=1 "
-                                         "(use format=base64 for batches)"
-                            })
-                        service.check_streamable(class_idx)  # errors pre-header
-                        return self._stream_sample(num, segments, class_idx)
-                    images = service.sample(num, class_idx=class_idx)
-                    if req.get("format") == "base64":
+                    # shared validation (SampleSpec): ONE copy of the
+                    # bounds/error strings for both frontends
+                    spec = SampleSpec(json.loads(self._body() or b"{}"))
+                    if spec.stream:
+                        # errors pre-header
+                        service.check_streamable(spec.class_idx)
+                        return self._stream_sample(
+                            spec.num, spec.segments, spec.class_idx
+                        )
+                    images = service.sample(spec.num, class_idx=spec.class_idx)
+                    if spec.b64:
                         return self._json(
                             200,
                             {

@@ -571,3 +571,45 @@ def test_stream_load_shed():
         assert "shift" in out and "reconstruction" in out
     finally:
         svc.close()
+
+
+def test_malformed_json_shapes_are_400_not_500(server):
+    """Non-object JSON and null fields are client errors (review r4:
+    AttributeError/TypeError fell through to the 500 fault barrier)."""
+    srv, _ = server
+    for body in (b"[1]", b'"x"', b'{"num": null}', b'{"num": "many"}'):
+        status, resp = _post(srv, "/sample", body)
+        assert status == 400, (body, status, resp)
+
+
+def test_body_length_guards(server):
+    """Oversized/negative Content-Length answers 400 instead of buffering
+    (review r4: the threaded frontend had no cap at all)."""
+    import http.client
+
+    srv, _ = server
+    conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=10)
+    conn.putrequest("POST", "/sample")
+    conn.putheader("Content-Length", str(100 * 1024 * 1024 * 1024))
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
+
+
+def test_edit_bumps_device_batches(server):
+    srv, cfg = server
+    import io as io_lib
+
+    import numpy as np
+    from PIL import Image as PILImage
+
+    before = srv.service.counters["device_batches"]
+    rng = np.random.default_rng(0)
+    buf = io_lib.BytesIO()
+    PILImage.fromarray(
+        rng.integers(0, 256, (cfg.size, cfg.size, 3), dtype=np.uint8)
+    ).save(buf, format="PNG")
+    status, _ = _post(srv, "/edit?edits=shift", buf.getvalue())
+    assert status == 200
+    assert srv.service.counters["device_batches"] > before

@@ -307,3 +307,41 @@ def test_header_count_limit_is_inclusive(aserver):
     extra["X-Extra"] = "v"
     status, body = _post(srv, "/healthz-nope", b"", headers=extra)
     assert status == 400 and b"headers" in body
+
+
+def test_malformed_json_shapes_are_400_not_500(aserver):
+    srv, _ = aserver
+    for body in (b"[1]", b'"x"', b'{"num": null}', b'{"num": "many"}'):
+        status, resp = _post(srv, "/sample", body)
+        assert status == 400, (body, status, resp)
+
+
+def test_inflight_cap_sheds_503(aserver):
+    """The aio frontend sheds with a fast 503 when too many blocking calls
+    are in flight (review r4: excess requests sat in the executor's
+    unbounded queue and the batcher-level shed was unreachable)."""
+    srv, _ = aserver
+    old = srv._max_inflight
+    srv._max_inflight = 0
+    try:
+        status, body = _post(srv, "/sample", json.dumps({"num": 1}).encode())
+        assert status == 503
+        assert "overloaded" in json.loads(body)["error"]
+    finally:
+        srv._max_inflight = old
+
+
+def test_start_surfaces_bind_error():
+    """A bind failure must raise the real error from start(), not a generic
+    'failed to start' after a 30 s stall (review r4)."""
+    cfg = tiny_test_config()
+    state = trainer.init_state(cfg, jax.random.PRNGKey(0))
+    service = ModelService(cfg, state=state)
+    srv = AsyncServer(service).start()
+    try:
+        service2 = ModelService(cfg, state=state)
+        clash = AsyncServer(service2, port=srv.port)
+        with pytest.raises(RuntimeError, match="failed to start"):
+            clash.start()
+    finally:
+        srv.stop()
