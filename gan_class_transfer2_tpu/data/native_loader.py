@@ -30,22 +30,29 @@ def build_library(force: bool = False) -> str:
     recompile, so an edited dataloader.cc is never silently shadowed by a
     stale .so (an exists()-only check was — review r4). A no-op make costs
     milliseconds once per process (_load caches the CDLL)."""
+    import fcntl
+
     with _build_lock:
-        if force and os.path.exists(_LIB_PATH):
-            os.remove(_LIB_PATH)
-        try:
-            subprocess.run(
-                ["make", "-s", "libgct2dataloader.so"],
-                cwd=_NATIVE_DIR,
-                check=True,
-                capture_output=True,
-                text=True,
-            )
-        except subprocess.CalledProcessError as e:
-            # surface the compiler diagnostics, not a bare exit status
-            raise RuntimeError(
-                f"native loader build failed:\n{e.stderr or e.stdout}"
-            ) from e
+        # the thread lock serialises within a process; the flock serialises
+        # ACROSS processes (the multihost harness starts several at once,
+        # and concurrent make runs would race on the .so)
+        with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            if force and os.path.exists(_LIB_PATH):
+                os.remove(_LIB_PATH)
+            try:
+                subprocess.run(
+                    ["make", "-s", "libgct2dataloader.so"],
+                    cwd=_NATIVE_DIR,
+                    check=True,
+                    capture_output=True,
+                    text=True,
+                )
+            except subprocess.CalledProcessError as e:
+                # surface the compiler diagnostics, not a bare exit status
+                raise RuntimeError(
+                    f"native loader build failed:\n{e.stderr or e.stdout}"
+                ) from e
     return _LIB_PATH
 
 

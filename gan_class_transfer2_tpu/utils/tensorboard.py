@@ -60,10 +60,18 @@ def _load_native_crc():
         return None
 
 
-_native_crc = _load_native_crc()
+# Resolved lazily on the FIRST crc32c call: resolving at import ran
+# native_loader's `make` (a multi-second g++ build on a cold checkout) as a
+# side effect of merely importing a training loop (review r4).
+_native_crc = None
+_native_crc_resolved = False
 
 
 def crc32c(data: bytes) -> int:
+    global _native_crc, _native_crc_resolved
+    if not _native_crc_resolved:
+        _native_crc = _load_native_crc()
+        _native_crc_resolved = True
     if _native_crc is not None:
         return _native_crc(data)
     crc = 0xFFFFFFFF
@@ -116,8 +124,8 @@ def _pb_int64(field: int, v: int) -> bytes:
     return _tag(field, 0) + _varint(v & 0xFFFFFFFFFFFFFFFF)
 
 
-def _pb_int32(field: int, v: int) -> bytes:
-    return _tag(field, 0) + _varint(v & 0xFFFFFFFFFFFFFFFF)
+# int32 uses the same varint wire encoding as int64 — one implementation
+_pb_int32 = _pb_int64
 
 
 def encode_png(image: np.ndarray) -> bytes:
@@ -180,8 +188,15 @@ class SummaryWriter:
         ``x*0.5+0.5``) or uint8. Multiple images get /0, /1 … tag suffixes,
         matching tf.summary.image naming."""
         images = np.asarray(images)
-        if images.ndim == 3:
-            images = images[None]
+        if images.ndim == 2:  # one channel-less grayscale image
+            images = images[None, ..., None]
+        elif images.ndim == 3:
+            if images.shape[-1] in (1, 3, 4):
+                images = images[None]  # one HWC image
+            else:
+                # a (B, H, W) channel-less batch — treating it as HWC would
+                # log transposed garbage with colorspace=W (review r4)
+                images = images[..., None]
         if images.dtype != np.uint8:
             images = to_uint8(images)
         n = min(len(images), max_outputs)

@@ -60,3 +60,18 @@ def test_cli_profile_command(tmp_path, capsys):
     import os
 
     assert os.path.isdir(out["trace_dir"])
+
+
+def test_step_timer_p90_nearest_rank_and_start_guard():
+    import pytest
+
+    from gan_class_transfer2_tpu.utils.profiler import StepTimer
+
+    t = StepTimer()
+    with pytest.raises(RuntimeError, match="before start"):
+        t.lap(1.0)
+    # 10 laps: nearest-rank p90 is the 9th value, NOT the max (review r4)
+    t.times = [float(i) for i in range(1, 11)]  # 1..10 s
+    s = t.summary()
+    assert s["p90_ms"] == pytest.approx(9000.0)
+    assert s["p50_ms"] == pytest.approx(6000.0)

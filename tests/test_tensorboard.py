@@ -78,3 +78,18 @@ def test_tf_can_read_our_events(tmp_path):
     assert ev.step == 1
     assert ev.summary.value[0].tag == "example loss"
     assert abs(ev.summary.value[0].simple_value - 0.25) < 1e-6
+
+
+def test_image_accepts_channelless_grayscale_batch(tmp_path):
+    """(B, H, W) float batches must be treated as B grayscale images, not
+    one HWC image with colorspace=W (review r4)."""
+    from gan_class_transfer2_tpu.utils import tensorboard as tb
+
+    w = tb.SummaryWriter(str(tmp_path))
+    batch = np.linspace(0, 1, 2 * 8 * 8, dtype=np.float32).reshape(2, 8, 8)
+    w.image("gray", batch, step=0, max_outputs=2)
+    w.image("single", batch[0], step=0)  # (H, W) single image
+    w.close()
+    tags = {e[1] for e in tb.read_events(w.path) if e[1]}
+    assert "gray/image/0" in tags and "gray/image/1" in tags
+    assert "single/image" in tags
