@@ -644,7 +644,7 @@ def _sample(cfg: Config, args) -> int:
             )
         class_idx = jax.numpy.full((args.num,), args.class_idx, jax.numpy.int32)
     result = jax.jit(
-        lambda p, b, c: sampler.sample(cfg, p, b, class_idx=c)
+        lambda p, b, c: sampler.sample(cfg, p, b, class_idx=c, snapshots=False)
     )(params, batch, class_idx)
     images = np.asarray(result.images)
     _write_sample_pngs(images, args.out)
@@ -665,9 +665,13 @@ def _log_distill_grids(cfg: Config, teacher, student, stride: int, writer):
     init = jax.random.normal(
         jax.random.PRNGKey(cfg.seed + 7), (6, cfg.size, cfg.size, 3)
     )
-    t_imgs = np.asarray(sampler.sample(cfg, teacher, init).images)
+    t_imgs = np.asarray(
+        sampler.sample(cfg, teacher, init, snapshots=False).images
+    )
     s_imgs = np.asarray(
-        sampler.sample(cfg.replace(sample_stride=stride), student, init).images
+        sampler.sample(
+            cfg.replace(sample_stride=stride), student, init, snapshots=False
+        ).images
     )
     writer.image("distill/teacher_samples", t_imgs * 0.5 + 0.5, stride, 6)
     writer.image("distill/student_samples", s_imgs * 0.5 + 0.5, stride, 6)

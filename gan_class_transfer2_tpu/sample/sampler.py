@@ -117,7 +117,8 @@ class SampleResult(NamedTuple):
     snapshots: jnp.ndarray  # (4, B, H, W, C) at t = T, 3T/4, T/2, T/4
 
 
-def sample(cfg, params, init_batch, class_idx=None) -> SampleResult:
+def sample(cfg, params, init_batch, class_idx=None,
+           snapshots: bool = True) -> SampleResult:
     """Reverse diffusion t = T…1 with intermediate snapshots
     (reference train.py:439-496). ``init_batch`` seeds both x̂ and ε̂
     (train.py:436-437).
@@ -125,8 +126,31 @@ def sample(cfg, params, init_batch, class_idx=None) -> SampleResult:
     ``cfg.sample_stride`` > 1 visits only every stride-th timestep
     (T, T−s, …) — DDIM-style subset sampling, valid because each update is
     the deterministic (x̂, ε̂) re-estimate at an arbitrary t; stride 1 is
-    the exact reference loop. Denoiser calls drop from T to ⌈T/s⌉."""
+    the exact reference loop. Denoiser calls drop from T to ⌈T/s⌉.
+
+    ``snapshots=False`` drops the (4, B, H, W, C) snapshot buffer from the
+    scan carry (``.snaps`` is None): it is part of the loop state, so XLA
+    cannot dead-code it for callers that only read ``.images`` — serving
+    and quality-metric samplers were paying 4× the sample batch in HBM plus
+    a masked select per step for values they discarded (review r4)."""
     T = cfg.steps
+
+    def step(x_theta, epsilon_theta, t):
+        tf_ = t.astype(jnp.float32)
+        fake = diffusion.renoise(cfg, x_theta, epsilon_theta, tf_)
+        prediction = _denoise_call(cfg, params, fake, tf_, class_idx)
+        return diffusion.step_update(
+            cfg, prediction, fake, epsilon_theta, tf_
+        )
+
+    ts = jnp.asarray(sample_timesteps(cfg))
+    if not snapshots:
+        def body_fast(carry, t):
+            return step(*carry, t), None
+
+        (x_theta, _), _ = lax.scan(body_fast, (init_batch, init_batch), ts)
+        return SampleResult(x_theta, None)
+
     # Snapshot x̂ at the four reference timesteps (train.py:488-495); with a
     # stride, map each to the nearest VISITED timestep at or below it (the
     # lowest visited one when none is below — large strides must still fill
@@ -141,18 +165,12 @@ def sample(cfg, params, init_batch, class_idx=None) -> SampleResult:
 
     def body(carry, t):
         x_theta, epsilon_theta, snaps = carry
-        tf_ = t.astype(jnp.float32)
-        fake = diffusion.renoise(cfg, x_theta, epsilon_theta, tf_)
-        prediction = _denoise_call(cfg, params, fake, tf_, class_idx)
-        x_theta, epsilon_theta = diffusion.step_update(
-            cfg, prediction, fake, epsilon_theta, tf_
-        )
+        x_theta, epsilon_theta = step(x_theta, epsilon_theta, t)
         hit = snap_ts == t
         snaps = jnp.where(hit[:, None, None, None, None], x_theta[None], snaps)
         return (x_theta, epsilon_theta, snaps), None
 
     snaps0 = jnp.zeros((4,) + init_batch.shape, jnp.float32)
-    ts = jnp.asarray(sample_timesteps(cfg))
     (x_theta, _, snaps), _ = lax.scan(body, (init_batch, init_batch, snaps0), ts)
     return SampleResult(x_theta, snaps)
 
@@ -221,17 +239,24 @@ def edit_image(cfg, params, image, edits=("pixelate", "shift", "quantise"),
     edited noise back through reverse diffusion (reference train.py:364-496 —
     the mechanism by which class/style transfer was intended to work).
 
-    image: (1, H, W, 3) in [-1, 1). Returns dict: edit name → (1, H, W, 3)
-    decoded image (plus "reconstruction" for the unedited noise).
+    image: (B, H, W, 3) in [-1, 1) (the reference runs B=1). Returns dict:
+    edit name → (B, H, W, 3) decoded image (plus "reconstruction" for the
+    unedited noise).
     """
-    import jax
-
+    unknown = [e for e in edits if e not in ("pixelate", "shift", "quantise")]
+    if unknown:
+        # reject up front — silently dropping a misspelled edit would pay
+        # the full T-step inversion and return an incomplete dict
+        raise ValueError(
+            f"unknown edits {unknown}; valid: pixelate, shift, quantise"
+        )
     if dictionary is None:
         if rng is None:
             rng = jax.random.PRNGKey(cfg.seed)
         dictionary = jax.random.normal(
             rng, (cfg.size, cfg.size, 2**cfg.bits_per_pixel, 3), jnp.float32
         )
+    B = image.shape[0]
     _, epsilon_theta = invert(cfg, params, image, class_idx)
     candidates = {"reconstruction": epsilon_theta}
     for name in ("pixelate", "shift", "quantise"):
@@ -240,13 +265,13 @@ def edit_image(cfg, params, image, edits=("pixelate", "shift", "quantise"),
     names = list(candidates)
     batch = jnp.concatenate([candidates[n] for n in names], 0)
     if class_idx is not None:
-        # the decode stage runs all edit candidates as one batch; the input
-        # image's class applies to every candidate
-        class_idx = jnp.broadcast_to(
-            jnp.reshape(class_idx, (-1,))[:1], (batch.shape[0],)
-        )
-    decoded = sample(cfg, params, batch, class_idx).images
-    return {n: decoded[i : i + 1] for i, n in enumerate(names)}
+        # the decode stage runs all candidates as one batch, laid out in
+        # blocks of B; each input image's class applies to its candidates
+        class_idx = jnp.tile(jnp.reshape(class_idx, (-1,))[:B], len(names))
+    decoded = sample(cfg, params, batch, class_idx, snapshots=False).images
+    # candidate blocks, NOT rows — decoded[i:i+1] on a B>1 batch returned
+    # rows of the wrong candidate (review r4)
+    return {n: decoded[i * B : (i + 1) * B] for i, n in enumerate(names)}
 
 
 def make_eval_fn(cfg):

@@ -386,7 +386,9 @@ class ModelService:
                 from ..parallel import mesh as mesh_lib
 
                 b, n = mesh_lib.shard_sample_batch(b, self.mesh)
-                return sampler.sample(cfg, p, b, class_idx=c).images[:n]
+                return sampler.sample(
+                    cfg, p, b, class_idx=c, snapshots=False
+                ).images[:n]
 
             self._sample = jax.jit(_sample_prog)
             from ..parallel import mesh as mesh_lib

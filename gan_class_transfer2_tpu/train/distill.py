@@ -85,9 +85,13 @@ def _validate(cfg, stride: int) -> None:
 
 
 def student_grid(cfg, stride: int) -> np.ndarray:
-    """The student's visit schedule T, T−stride, … (descending) — identical
-    to sampler.sample_timesteps at ``sample_stride=stride``."""
-    return np.arange(cfg.steps, 0, -stride)
+    """The student's visit schedule: exactly what sample/serve will visit at
+    ``sample_stride=stride`` — delegated to sampler.sample_timesteps (the
+    ONE definition of the subset schedule) so the distilled student can
+    never train on a grid that drifts from the sampling surfaces."""
+    from ..sample import sampler
+
+    return sampler.sample_timesteps(cfg.replace(sample_stride=stride))
 
 
 def distill_target(cfg, teacher_params, z_t, t, stride: int, class_idx=None):
@@ -173,13 +177,28 @@ def distill_loss(cfg, student_params, teacher_params, batch, rng, stride: int,
 
 def distill_opt_config(cfg, steps: int):
     """The distillation round's optimizer schedule: the checkpoint's
-    optimizer and base LR, but warmup capped at steps/10 and a constant
-    (non-decaying) schedule — a fresh warmup ramp or cosine restart sized
-    for the ORIGINAL training run would otherwise consume the whole round
-    (config default warm_up=2000 ≥ the default --distill-steps)."""
+    optimizer and base LR, but ROUND-SIZED — a warmup ramp, cosine restart,
+    or EMA horizon sized for the original training run would otherwise
+    consume (or undo) the whole round:
+
+    * warmup capped at a tenth of the round's APPLIED updates. All LR
+      schedules count applied optimizer updates, and under grad_accum > 1 a
+      round of ``steps`` micro-steps applies only steps/grad_accum of them —
+      capping in micro-steps left the entire round on the ramp (review r4);
+    * constant (non-decaying) schedule after the ramp;
+    * EMA horizon capped to ~10% of the round: a training decay like 0.9999
+      would leave ~0.9999^steps of the round's OUTPUT weight on the
+      un-distilled teacher (distill_round returns the EMA params),
+      compounding across rounds (review r4). Floored away from 0 so the
+      TrainState structure (ema_params present) is unchanged."""
+    applied = max(steps // max(cfg.grad_accum, 1), 1)
+    ema = cfg.ema_decay
+    if ema > 0:
+        ema = max(min(ema, 1.0 - 10.0 / max(applied, 11)), 0.5)
     return cfg.replace(
-        warm_up=min(cfg.warm_up, max(steps // 10, 1)),
+        warm_up=min(cfg.warm_up, max(applied // 10, 1)),
         lr_schedule="warmup",  # linear ramp then constant at base LR
+        ema_decay=ema,
     )
 
 

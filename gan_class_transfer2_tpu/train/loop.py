@@ -217,7 +217,10 @@ class Runner(ResilientRunnerMixin):
 
             cfg = self.cfg
             self._metric_sampler_fn = mesh_lib.make_data_parallel_apply(
-                self.mesh, lambda p, b: sampler.sample(cfg, p, b).images
+                self.mesh,
+                lambda p, b: sampler.sample(
+                    cfg, p, b, snapshots=False
+                ).images,
             )
         return self._metric_sampler_fn(params, init)
 

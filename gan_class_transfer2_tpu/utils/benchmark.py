@@ -224,7 +224,7 @@ def run_sampler_benchmark(cfg, batch: int = 8, iters: int = 3, mesh=None) -> dic
 
     def run(p, b):
         b, n = mesh_lib.shard_sample_batch(b, mesh)
-        return sampler.sample(cfg, p, b).images[:n]
+        return sampler.sample(cfg, p, b, snapshots=False).images[:n]
 
     fn = jax.jit(run)
     r = np.random.default_rng(0)

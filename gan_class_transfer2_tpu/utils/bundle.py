@@ -71,7 +71,8 @@ def _diffusion_programs(cfg, params):
 
     def sample_fn(init, *c):
         return sampler.sample(
-            cfg, params, init, class_idx=c[0] if c else None
+            cfg, params, init, class_idx=c[0] if c else None,
+            snapshots=False,
         ).images
 
     def invert_fn(image, *c):

@@ -361,3 +361,37 @@ def test_cli_distill_roundtrip(tmp_path):
     ])
     assert rc == 0
     assert sorted(os.listdir(out)) == ["sample_0.png", "sample_1.png"]
+
+
+def test_distill_opt_config_counts_applied_updates_and_caps_ema(setup):
+    """warm_up is interpreted in APPLIED optimizer updates; under
+    grad_accum=16 a 2000-micro-step round applies only 125, so the cap must
+    shrink accordingly or the whole round rides the ramp (review r4). The
+    EMA horizon is likewise round-sized: a 0.9999 training decay would
+    leave ~82% of the round's output on the un-distilled teacher."""
+    cfg, _, _ = setup
+    big = cfg.replace(warm_up=2000, grad_accum=16, ema_decay=0.9999)
+    opt_cfg = distill.distill_opt_config(big, steps=2000)
+    assert opt_cfg.warm_up == 12  # (2000 // 16) // 10
+    assert 0.5 <= opt_cfg.ema_decay < 0.9999  # round-sized horizon
+    # 1/(1-d) ≈ 10% of the 125 applied updates
+    assert 1.0 / (1.0 - opt_cfg.ema_decay) <= 0.2 * (2000 // 16)
+    # a short training decay is preserved; disabled stays disabled (the
+    # TrainState ema structure must not change)
+    assert distill.distill_opt_config(
+        cfg.replace(ema_decay=0.6), 2000
+    ).ema_decay == 0.6
+    assert distill.distill_opt_config(
+        cfg.replace(ema_decay=0.0), 2000
+    ).ema_decay == 0.0
+
+
+def test_student_grid_delegates_to_sampler_schedule(setup):
+    from gan_class_transfer2_tpu.sample import sampler
+
+    cfg, _, _ = setup
+    for stride in (1, 2, 4):
+        np.testing.assert_array_equal(
+            distill.student_grid(cfg, stride),
+            sampler.sample_timesteps(cfg.replace(sample_stride=stride)),
+        )

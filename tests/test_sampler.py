@@ -228,3 +228,48 @@ def test_sample_timesteps_single_definition():
     assert list(sampler.sample_timesteps(cfg.replace(sample_stride=1))) == list(
         range(10, 0, -1)
     )
+
+
+def test_sample_snapshots_false_matches_images(setup):
+    """The snapshot-free fast path (serving/metric samplers) must produce
+    bit-identical images — only the carried buffer differs (review r4)."""
+    cfg, params, image = setup
+    batch = jnp.concatenate([image, -image], 0)
+    full = sampler.sample(cfg, params, batch)
+    fast = sampler.sample(cfg, params, batch, snapshots=False)
+    assert fast.snapshots is None
+    np.testing.assert_array_equal(
+        np.asarray(full.images), np.asarray(fast.images)
+    )
+
+
+def test_edit_image_rejects_unknown_edit(setup):
+    cfg, params, image = setup
+    with pytest.raises(ValueError, match="unknown edits"):
+        sampler.edit_image(cfg, params, image, edits=("quantize",))
+
+
+def test_edit_image_batched_blocks(setup):
+    """edit_image on a B=2 batch must return each edit's B rows — the old
+    row indexing returned image 1's reconstruction as 'pixelate' etc.
+    (review r4). Each batched row must equal the corresponding B=1 call."""
+    cfg, params, image = setup
+    two = jnp.concatenate([image, -image], 0)
+    dictionary = jax.random.normal(
+        jax.random.PRNGKey(3),
+        (cfg.size, cfg.size, 2**cfg.bits_per_pixel, 3),
+        jnp.float32,
+    )
+    batched = sampler.edit_image(
+        cfg, params, two, edits=("pixelate", "shift"), dictionary=dictionary
+    )
+    for b in range(2):
+        single = sampler.edit_image(
+            cfg, params, two[b : b + 1], edits=("pixelate", "shift"),
+            dictionary=dictionary,
+        )
+        for name, v in single.items():
+            assert batched[name].shape[0] == 2
+            np.testing.assert_allclose(
+                np.asarray(batched[name][b]), np.asarray(v[0]), atol=1e-5
+            )
