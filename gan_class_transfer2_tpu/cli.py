@@ -970,7 +970,12 @@ def _edit(cfg: Config, args) -> int:
         class_idx = jax.numpy.full((1,), args.class_idx, jax.numpy.int32)
 
     rng = np.random.default_rng(cfg.seed)
-    img = data_pipeline.decode_image(args.input, cfg.size, rng, crop=True)
+    # deterministic decode: the user edits the image they supplied — a
+    # random crop corner or a seed-dependent mirror of it would be a
+    # different picture (review r4)
+    img = data_pipeline.decode_image(
+        args.input, cfg.size, rng, crop=True, flip=False, center=True
+    )
     image = jax.numpy.asarray(img)[None]
     results = jax.jit(
         lambda p, x, c: sampler.edit_image(

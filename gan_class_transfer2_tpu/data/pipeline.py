@@ -139,12 +139,15 @@ class EpochIndexStream:
 
 
 def decode_image(data_or_path, size: int, rng: np.random.Generator,
-                 crop: bool = True, flip: bool = True) -> np.ndarray:
+                 crop: bool = True, flip: bool = True,
+                 center: bool = False) -> np.ndarray:
     """Decode + augment one image to float32 (size, size, 3) in [-1, 1).
 
     ``flip=False`` for deterministic EVAL decodes (FID reference sets):
     the flip draw is skipped entirely, leaving the crop-corner stream
-    unchanged."""
+    unchanged. ``center=True`` takes the deterministic center crop (no rng
+    draw) — for user-facing decodes (`gct2 edit`) where a random corner of
+    the input would be edited instead of the image the user sees."""
     img = Image.open(data_or_path)
     img = img.convert("RGB")  # 3 channels (reference decode_jpeg(file, 3))
     arr = np.asarray(img, dtype=np.uint8)
@@ -152,15 +155,18 @@ def decode_image(data_or_path, size: int, rng: np.random.Generator,
     if crop and (h > size or w > size):
         if h < size or w < size:
             raise ValueError(f"image {arr.shape} smaller than crop {size}")
-        i = rng.integers(0, h - size + 1)
-        j = rng.integers(0, w - size + 1)
+        if center:
+            i, j = (h - size) // 2, (w - size) // 2
+        else:
+            i = rng.integers(0, h - size + 1)
+            j = rng.integers(0, w - size + 1)
         arr = arr[i : i + size, j : j + size]
     if arr.shape[0] != size or arr.shape[1] != size:
-        # without this, a degenerate 1-pixel dimension (tracking-pixel GIFs
-        # in scraped data) would broadcast_to a stretched constant image
-        # instead of being skipped like every other too-small image
+        # rejects every too-small image INCLUDING degenerate 1-pixel
+        # dimensions (tracking-pixel GIFs in scraped data), which would
+        # otherwise broadcast to a stretched constant image; convert("RGB")
+        # above already guarantees 3 channels, so (size, size, 3) holds here
         raise ValueError(f"image {arr.shape} smaller than crop {size}")
-    arr = np.broadcast_to(arr, (size, size, 3))
     if flip and rng.integers(0, 2):  # random horizontal flip
         arr = arr[:, ::-1]
     return arr.astype(np.float32) / 128.0 - 1.0
@@ -274,6 +280,12 @@ class ImageDataset:
                     continue
 
     def __iter__(self) -> Iterator[np.ndarray]:
+        if self.num_workers < 1:
+            # zero workers would stall 5 s then silently StopIteration —
+            # an unexplained end-of-data instead of a config error
+            raise ValueError(
+                f"ImageDataset needs num_workers >= 1, got {self.num_workers}"
+            )
         if self._queue is None:
             self._queue = queue.Queue(maxsize=self.prefetch)
             for i in range(self.num_workers):
@@ -347,7 +359,8 @@ class ArrayDataset:
                     .integers(0, 2, self.batch_size)
                     .astype(bool)
                 )
-                batch = batch.copy()
+                # fancy indexing above already produced a fresh array, so
+                # the in-place flip is safe without another copy
                 batch[mask] = batch[mask, :, ::-1]
             yield batch
 
@@ -450,8 +463,16 @@ class DeviceIterator:
         if self._it is None:
             self._it = iter(self._dataset)
             self._pending = (self._put(next(self._it)), self._snap())
+        if self._pending is None:
+            raise StopIteration
         batch, state = self._pending
-        self._pending = (self._put(next(self._it)), self._snap())
+        try:
+            self._pending = (self._put(next(self._it)), self._snap())
+        except StopIteration:
+            # source exhausted (close() race, finite dataset): the batch
+            # already transferred to the device must still be yielded —
+            # dropping it lost one batch per stream end (review r4)
+            self._pending = None
         self._consumed = state
         return batch
 
@@ -521,8 +542,11 @@ def make_datasets(cfg, files_per_class=None, **kw) -> list:
             cfg.size,
             batch_size,
             seed=cfg.seed + i,
-            shuffle_buffer=cfg.shuffle_buffer,
-            cache=cfg.cache,
+            # same defensive defaults as the native branch above — the
+            # fallback path must not have a stricter config requirement
+            # than the preferred one
+            shuffle_buffer=getattr(cfg, "shuffle_buffer", 1000),
+            cache=getattr(cfg, "cache", False),
             **kw,
         )
         for i, src in enumerate(sources)

@@ -125,6 +125,10 @@ class Runner(ResilientRunnerMixin):
         )
         if cfg.example_image_path:
             r = np.random.default_rng(0)
+            # random crop + flip ON PURPOSE: the reference decodes its eval
+            # fixture through the training augmentations (train.py:305
+            # load_file -> decode_file(crop=True)), so the logged example
+            # is a randomly cropped/flipped view of the file
             img = pipeline.decode_image(cfg.example_image_path, cfg.size, r, crop=True)
             self.example_image = jnp.asarray(img)[None]
         else:

@@ -73,12 +73,25 @@ def random_conv_features(images, depth: int = 4, width: int = 32, seed: int = 0)
 
 
 def _sqrtm_psd_product(s1: np.ndarray, s2: np.ndarray) -> np.ndarray:
-    """(Σ₁Σ₂)^{1/2} via scipy with PSD cleanup."""
+    """(Σ₁Σ₂)^{1/2} via scipy with PSD cleanup.
+
+    Tiny imaginary components are normal numerical noise on a
+    near-singular product and are discarded; LARGE ones mean sqrtm did
+    not converge and the score would be silently wrong — reject like the
+    reference FID implementations do (review r4)."""
     import scipy.linalg
 
     out = scipy.linalg.sqrtm(s1 @ s2)  # scipy>=1.17 returns the matrix alone
     covmean = out[0] if isinstance(out, tuple) else out
     if np.iscomplexobj(covmean):
+        scale = max(float(np.abs(covmean.real).max()), 1.0)
+        imag = float(np.abs(covmean.imag).max())
+        if imag > 1e-3 * scale:
+            raise ValueError(
+                f"matrix sqrt did not converge (max imaginary component "
+                f"{imag:.3g}); the eval sets are too small or degenerate "
+                "for a meaningful FID — raise fid_samples or use KID"
+            )
         covmean = covmean.real
     return covmean
 
@@ -117,7 +130,15 @@ def get_extractor(name: str = "auto") -> Callable:
     raise ValueError(f"unknown extractor {name!r} (trained | random | auto)")
 
 
-def _features(images, extractor: Callable, batch_size: int) -> np.ndarray:
+def _features(images, extractor: Callable, batch_size: int,
+              min_images: int = 1) -> np.ndarray:
+    if len(images) < min_images:
+        # guard BEFORE extraction: an empty set would die inside
+        # np.concatenate with an opaque error, and a 1-image set would pay
+        # a full extraction pass before its caller's check fired
+        raise ValueError(
+            f"need >= {min_images} images per set, got {len(images)}"
+        )
     out = []
     for i in range(0, len(images), batch_size):
         out.append(np.asarray(extractor(jnp.asarray(images[i : i + batch_size]))))
@@ -175,11 +196,8 @@ def kid(
     are normal noise), so absolute KID values are comparable across
     eval-set sizes."""
     extractor = extractor or get_extractor("auto")
-    x = _features(images_a, extractor, batch_size)
-    y = _features(images_b, extractor, batch_size)
-    n, m = len(x), len(y)
-    if n < 2 or m < 2:
-        raise ValueError(f"kid needs >= 2 images per set, got {n} and {m}")
+    x = _features(images_a, extractor, batch_size, min_images=2)
+    y = _features(images_b, extractor, batch_size, min_images=2)
     return _kid_from_features(x, y)
 
 
@@ -223,16 +241,14 @@ def fid_and_kid(
     ``features_b``: precomputed :func:`extract_features` of ``images_b``
     (which is then ignored) — for fixed reference sets scored repeatedly."""
     extractor = extractor or get_extractor("auto")
-    x = _features(images_a, extractor, batch_size)
+    x = _features(images_a, extractor, batch_size, min_images=2)
     y = (
         np.asarray(features_b, np.float64)
         if features_b is not None
-        else _features(images_b, extractor, batch_size)
+        else _features(images_b, extractor, batch_size, min_images=2)
     )
-    if len(x) < 2 or len(y) < 2:
-        raise ValueError(
-            f"need >= 2 images per set, got {len(x)} and {len(y)}"
-        )
+    if len(y) < 2:  # precomputed features_b skips the in-extractor guard
+        raise ValueError(f"need >= 2 images per set, got {len(y)}")
     mu_a, s_a = _stats(x)
     mu_b, s_b = _stats(y)
     return {

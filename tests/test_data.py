@@ -259,3 +259,53 @@ def test_device_iterator_consumed_state_excludes_prefetch():
     resumed = next(pipeline.device_iterator(ds2))
     original = next(it)
     np.testing.assert_array_equal(np.asarray(original), np.asarray(resumed))
+
+
+def test_device_iterator_yields_final_batch_on_exhaustion():
+    """The prefetching iterator must not drop the already-transferred
+    pending batch when the source ends (review r4)."""
+    import numpy as np
+
+    from gan_class_transfer2_tpu.data import pipeline
+
+    batches = [np.full((2, 4, 4, 3), i, np.float32) for i in range(3)]
+    it = pipeline.device_iterator(batches)
+    got = [float(np.asarray(b)[0, 0, 0, 0]) for b in it]
+    assert got == [0.0, 1.0, 2.0]
+
+
+def test_image_dataset_rejects_zero_workers(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from gan_class_transfer2_tpu.data import pipeline
+
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(tmp_path / "a.png")
+    ds = pipeline.ImageDataset(
+        str(tmp_path / "*.png"), 8, 1, num_workers=0
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="num_workers"):
+        next(iter(ds))
+
+
+def test_decode_image_center_crop_is_deterministic(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from gan_class_transfer2_tpu.data import pipeline
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    p = tmp_path / "img.png"
+    Image.fromarray(arr).save(p)
+    a = pipeline.decode_image(
+        str(p), 8, np.random.default_rng(1), flip=False, center=True
+    )
+    b = pipeline.decode_image(
+        str(p), 8, np.random.default_rng(99), flip=False, center=True
+    )
+    np.testing.assert_array_equal(a, b)  # rng-independent
+    want = arr[2:10, 4:12].astype(np.float32) / 128.0 - 1.0
+    np.testing.assert_allclose(a, want, atol=1e-6)

@@ -152,7 +152,7 @@ def test_kid_matches_manual_mmd():
 
 
 def test_kid_rejects_tiny_sets():
-    with pytest.raises(ValueError, match="kid needs"):
+    with pytest.raises(ValueError, match="need >= 2 images"):
         metrics.kid(
             np.zeros((1, 8, 8, 3), np.float32), np.zeros((4, 8, 8, 3), np.float32)
         )
