@@ -243,7 +243,6 @@ def _stage_down_fn(cfg, plan, s: int):
 def _stage_mid_fn(cfg, plan):
     """Last stage: its band's downs + middle + its band's ups in one program
     (matches unet_apply's recursion at i+1 == octaves)."""
-    s = len(plan) - 1
 
     def f(sp, h):
         skips = []
@@ -290,6 +289,15 @@ def _stage_loss_fn(cfg, plan):
 def _validate(cfg) -> None:
     if cfg.pipeline_stages < 2:
         raise ValueError("PipelineTrainer needs pipeline_stages >= 2")
+    if jax.process_count() > 1:
+        # the stage meshes address devices directly; on a pod the global
+        # device list passes the count check but cross-stage device_puts
+        # then crash mid-step on non-addressable devices — reject up front
+        # like every other unsupported composition here
+        raise ValueError(
+            "pipeline parallelism is single-process (stage meshes need "
+            "locally addressable devices); use DP/ZeRO-1 across hosts"
+        )
     if cfg.num_classes > 0:
         raise ValueError("pipeline parallelism supports the unconditional "
                          "Denoiser only (num_classes == 0)")
@@ -589,6 +597,14 @@ class PipelineTrainer:
         p = [tree_stage_view(plan, state.params, s) for s in range(S)]
 
         noised, target, pred_scale, t_b = self._prep(batch, rng, state.step)
+        if noised.shape[0] == 0 or noised.shape[0] % M:
+            # _validate checked cfg.batch_size, but step() is public API —
+            # a non-divisible runtime batch would silently drop the tail
+            # samples from the loss and gradients (review r4)
+            raise ValueError(
+                f"pipeline step needs the batch ({noised.shape[0]}) "
+                f"divisible by pipeline_microbatches={M}"
+            )
         mb = noised.shape[0] // M
 
         def sl(x, m):
@@ -621,13 +637,13 @@ class PipelineTrainer:
         # each stage recomputes its forward inside the jitted VJP. The
         # microbatch losses fall out of _bwd_loss's primal (sum order is
         # irrelevant: the step loss is their mean).
-        ct = jnp.full((), 1.0 / M, jnp.float32)
+        # hoisted: the cotangent is the same constant for every microbatch
+        ct = jax.device_put(jnp.full((), 1.0 / M, jnp.float32), self._rep(0))
         g = [None] * S
         for m in range(M - 1, -1, -1):
             loss_m, pg, h_ct, sk_ct = self._bwd_loss(
                 p[0], h_up_in[m][0], skips[m][0], sl(target, m),
-                sl(pred_scale, m), sl(t_b, m),
-                jax.device_put(ct, self._rep(0)),
+                sl(pred_scale, m), sl(t_b, m), ct,
             )
             losses.append(loss_m)
             g[0] = pg if g[0] is None else self._acc(g[0], pg)

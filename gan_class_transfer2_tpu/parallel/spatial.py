@@ -37,6 +37,10 @@ from ..ops.conv import DN, _precision
 def _shift_from_lower(x, axis_name, rows: int):
     """Rows sent upward: shard i receives the *last* ``rows`` rows of shard
     i−1 (zeros at the boundary)."""
+    if rows == 0:
+        # x[:, -0:] would slice the WHOLE shard — a zero halo is an empty
+        # block, and skipping the ppermute saves the collective too
+        return x[:, :0, :, :]
     n = jax.lax.psum(1, axis_name)
     perm = [(i, i + 1) for i in range(n - 1)]
     chunk = x[:, -rows:, :, :]
@@ -46,6 +50,8 @@ def _shift_from_lower(x, axis_name, rows: int):
 
 def _shift_from_upper(x, axis_name, rows: int):
     """Shard i receives the *first* ``rows`` rows of shard i+1."""
+    if rows == 0:  # skip the collective (x[:, :0] is already empty)
+        return x[:, :0, :, :]
     n = jax.lax.psum(1, axis_name)
     perm = [(i + 1, i) for i in range(n - 1)]
     chunk = x[:, :rows, :, :]
@@ -65,6 +71,15 @@ def halo_exchange(x, axis_name: str, lo: int = 1, hi: int = 1):
 
 def _sharded_down_conv_local(x, kernel, bias, axis_name):
     """Local computation of the k4/s2 'SAME' conv on a height shard."""
+    if x.shape[1] % 2:
+        # an odd per-shard height breaks the stride-2 phase on shards > 0:
+        # the global output would be the wrong height AND numerically wrong
+        # per row, silently (review r4). Shapes are static here, so this
+        # raises at trace time.
+        raise ValueError(
+            f"spatial down-conv needs an even per-shard height, got "
+            f"{x.shape[1]} — use fewer spatial shards or a divisible size"
+        )
     xh = halo_exchange(x, axis_name, lo=1, hi=1)
     # width handled locally with the usual SAME pads (1,1)
     y = lax.conv_general_dilated(

@@ -62,6 +62,14 @@ def _make_sharded_train_step(cfg, mesh: Mesh, batch_sh: NamedSharding):
     'spatial'-sharded height axis and the gradient reductions for 'data').
     ONE builder for the spatial and DP×spatial variants — they differ only
     in the batch PartitionSpec."""
+    if cfg.num_classes > 0:
+        # labeled dict batches would broadcast the rank-4 image sharding
+        # onto the rank-1 label array and die inside jit with a rank
+        # mismatch — reject with a clear message like the pipeline path
+        raise ValueError(
+            "spatial training supports the unconditional Denoiser only "
+            "(num_classes == 0)"
+        )
     optimizer = trainer_lib.make_optimizer(cfg)
 
     def step(state, batch, rng):

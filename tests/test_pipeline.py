@@ -440,3 +440,25 @@ def test_pipeline_grad_clip_uses_global_norm():
     st, loss = tr.step(tr.place_state(state0), batch, rng)
     np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-5)
     _tree_allclose(jax.device_get(st.params), jax.device_get(ref_state.params))
+
+
+def test_pipeline_step_rejects_indivisible_runtime_batch():
+    """step() is public API: a batch not divisible by the microbatch count
+    must raise, not silently drop the tail from loss/grads (review r4)."""
+    import pytest as _pytest
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.train import trainer
+
+    cfg = tiny_test_config(
+        batch_size=4, pipeline_stages=2, pipeline_microbatches=2,
+        mesh_data=1, donate_state=False,
+    )
+    pp = pipeline.PipelineTrainer(cfg)
+    state = pp.place_state(trainer.init_state(cfg, jax.random.PRNGKey(0)))
+    r = np.random.default_rng(0)
+    bad = jnp.asarray(
+        r.uniform(-1, 1, (3, cfg.size, cfg.size, 3)), jnp.float32
+    )
+    with _pytest.raises(ValueError, match="divisible"):
+        pp.step(state, bad, jax.random.PRNGKey(1))

@@ -56,3 +56,61 @@ def test_halo_exchange_contents(mesh):
     np.testing.assert_array_equal(shards[1], [1, 2, 3, 4])
     # shard 3 owns [6,7]: halo = [5, 6, 7, 0(zero)]
     np.testing.assert_array_equal(shards[3], [5, 6, 7, 0])
+
+
+def test_halo_exchange_zero_rows():
+    """lo=0 must contribute an EMPTY halo — x[:, -0:] would prepend the
+    whole previous shard (review r4)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from gan_class_transfer2_tpu.parallel import spatial
+
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.asarray(devs), ("spatial",))
+    x = jnp.arange(4 * 8 * 4 * 1, dtype=jnp.float32).reshape(4, 8, 4, 1)
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = shard_map(
+        lambda b: spatial.halo_exchange(b, "spatial", lo=0, hi=1),
+        mesh=mesh, in_specs=P(None, "spatial"),
+        out_specs=P(None, "spatial"), check_rep=False,
+    )
+    out = np.asarray(fn(x))
+    # per shard: 2 own rows + 1 bottom halo = 3; global = 12 rows
+    assert out.shape == (4, 12, 4, 1)
+
+
+def test_spatial_down_conv_rejects_odd_shard_height():
+    import numpy as np
+    import pytest as _pytest
+    from jax.sharding import Mesh
+
+    from gan_class_transfer2_tpu.parallel import spatial
+    from gan_class_transfer2_tpu.ops import init as init_ops
+
+    devs = jax.devices()[:4]
+    mesh = Mesh(np.asarray(devs), ("spatial",))
+    fn = spatial.make_spatial_down_conv(mesh)
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(2, 20, 16, 3)), jnp.float32)  # 5/shard
+    k = jnp.asarray(r.normal(size=(4, 4, 3, 8)), jnp.float32)
+    with _pytest.raises(ValueError, match="even per-shard height"):
+        fn(jax.device_put(x, spatial.spatial_sharding(mesh)), k,
+           jnp.zeros((8,), jnp.float32))
+
+
+def test_spatial_train_rejects_conditional_model():
+    import pytest as _pytest
+
+    from gan_class_transfer2_tpu.parallel import spatial_train
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+
+    cfg = tiny_test_config(num_classes=3)
+    mesh = spatial_train.make_dp_spatial_mesh(2, 2)
+    with _pytest.raises(ValueError, match="unconditional"):
+        spatial_train.make_dp_spatial_train_step(cfg, mesh)
