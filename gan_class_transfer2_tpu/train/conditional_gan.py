@@ -26,6 +26,7 @@ import optax
 from ..models import conditional as cond_lib
 from ..models import discriminator as d_lib
 from ..ops import diffaug
+from . import trainer as trainer_lib
 from .gan import _d_optimizer, adversarial_loss, _l1, r1_penalty
 from .trainer import make_optimizer
 
@@ -60,10 +61,13 @@ def init_conditional_gan_state(cfg, rng) -> ConditionalGANState:
 def conditional_gan_train_step(
     cfg, g_optimizer, d_optimizer, state: ConditionalGANState, batch, rng
 ) -> Tuple[ConditionalGANState, dict]:
-    images, labels = batch["image"], batch["label"]
     rng = jax.random.fold_in(rng, state.step)
     # per-sample random target class != source (shift by U[1, C-1] mod C)
-    k_shift, k_gf, k_dr, k_df = jax.random.split(rng, 4)
+    k_shift, k_gf, k_dr, k_df, k_aug = jax.random.split(rng, 5)
+    # uint8 cached batches: on-device crop/flip/normalize, like gan.py and
+    # the diffusion step (review r4)
+    batch = trainer_lib.augment_if_uint8(cfg, batch, k_aug)
+    images, labels = batch["image"], batch["label"]
     shift = jax.random.randint(
         k_shift, labels.shape, 1, cfg.num_classes
     )
@@ -96,10 +100,17 @@ def conditional_gan_train_step(
             if cfg.identity_weight > 0
             else zero
         )
+        # reconstruction anchors the transfer to its INPUT (unpaired data),
+        # exactly as in gan.gan_train_step — the knob was silently ignored
+        # in conditional mode (review r4)
+        recon = (
+            _l1(fake, images) if cfg.reconstruction_weight > 0 else zero
+        )
         total = (
             cfg.adversarial_weight * adv
             + cfg.cycle_weight * cycle
             + cfg.identity_weight * ident
+            + cfg.reconstruction_weight * recon
         )
         return total, (fake, adv, cycle, ident)
 
@@ -134,12 +145,9 @@ def conditional_gan_train_step(
     )
     discriminator = optax.apply_updates(state.discriminator, d_updates)
 
-    ema = state.ema_generator
-    if ema is not None:
-        d = cfg.ema_decay
-        ema = jax.tree_util.tree_map(
-            lambda e, p: e * d + p * (1.0 - d), ema, generator
-        )
+    # shared gated blend: under grad_accum the EMA moves only on APPLIED
+    # updates (trainer.ema_update; review r4 — same fix as gan.py)
+    ema = trainer_lib.ema_update(cfg, state.ema_generator, generator, g_opt)
 
     new_state = ConditionalGANState(
         state.step + 1, generator, discriminator, g_opt, d_opt, ema

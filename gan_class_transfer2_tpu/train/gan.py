@@ -30,6 +30,7 @@ import optax
 from ..models import discriminator as d_lib
 from ..models import unet
 from ..ops import diffaug
+from . import trainer as trainer_lib
 from .trainer import make_optimizer
 
 
@@ -130,7 +131,14 @@ def gan_train_step(
     # fold_in(step): the runner passes one rng per fit call, so without the
     # fold the augmentation draws would be FROZEN across steps (review r3c)
     rng = jax.random.fold_in(rng, state.step)
-    k_dra, k_dfa, k_drb, k_dfb, k_gfa, k_gfb = jax.random.split(rng, 6)
+    (k_dra, k_dfa, k_drb, k_dfb, k_gfa, k_gfb,
+     k_aug_a, k_aug_b) = jax.random.split(rng, 8)
+    # HBM-resident uint8 batches (gct2 build-cache) crop/flip/normalize on
+    # device exactly like the diffusion step — raw 0..255 pixels previously
+    # flowed straight into the generators (review r4); float batches pass
+    # through untouched
+    batch_a = trainer_lib.augment_if_uint8(cfg, batch_a, k_aug_a)
+    batch_b = trainer_lib.augment_if_uint8(cfg, batch_b, k_aug_b)
     aug = lambda k, x: diffaug.augment(cfg, k, x)
 
     def d_loss_fn(d_params, fakes):
@@ -236,14 +244,12 @@ def gan_train_step(
     d_updates, d_opt = d_optimizer.update(d_grads, state.d_opt, d_params)
     d_params = optax.apply_updates(d_params, d_updates)
 
-    ema_ab, ema_ba = state.ema_g_ab, state.ema_g_ba
-    if ema_ab is not None:
-        d = cfg.ema_decay
-        blend = lambda e, p: jax.tree_util.tree_map(
-            lambda a, b: a * d + b * (1.0 - d), e, p
-        )
-        ema_ab = blend(ema_ab, g_params["ab"])
-        ema_ba = blend(ema_ba, g_params["ba"])
+    # shared gated blend (trainer.ema_update): under grad_accum the EMA
+    # moves only on APPLIED updates — the ungated blend decayed toward
+    # unchanged params on every no-op micro-step, silently compounding the
+    # effective per-update decay to d^accum (review r4)
+    ema_ab = trainer_lib.ema_update(cfg, state.ema_g_ab, g_params["ab"], g_opt)
+    ema_ba = trainer_lib.ema_update(cfg, state.ema_g_ba, g_params["ba"], g_opt)
 
     new_state = GANState(
         state.step + 1,
@@ -281,6 +287,9 @@ def make_gan_train_step(cfg):
 
 def select_generator(state: GANState, direction: str = "ab", use_ema: bool = True):
     """The generator param tree for a transfer direction (EMA when kept)."""
+    if direction not in ("ab", "ba"):
+        # a typo ("AB", "a_b") would silently return the ba generator
+        raise ValueError(f"direction must be 'ab' or 'ba', got {direction!r}")
     if direction == "ab":
         return state.ema_g_ab if (use_ema and state.ema_g_ab is not None) else state.g_ab
     return state.ema_g_ba if (use_ema and state.ema_g_ba is not None) else state.g_ba

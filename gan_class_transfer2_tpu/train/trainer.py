@@ -35,7 +35,6 @@ import optax
 from ..core import diffusion
 from ..core.schedule import make_lr_schedule
 from ..models import api as model_api
-from ..models import unet
 from ..ops import image as image_ops
 
 
@@ -145,12 +144,15 @@ def _scale_by_adam_tf(
 def make_optimizer(cfg) -> optax.GradientTransformation:
     lr = make_lr_schedule(cfg)
     chain = []
+    if cfg.weight_decay > 0:
+        # l2(λ) regularizer on every weight (reference train.py:80,
+        # commented): equivalent to adding 2λ·w to the gradient — which is
+        # why it must precede the clip: the reference wires l2 through
+        # kernel_regularizer, so its gradient term is part of the clipped
+        # total, not an unbounded addition on top (review r4).
+        chain.append(optax.add_decayed_weights(2.0 * cfg.weight_decay))
     if cfg.grad_clip_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
-    if cfg.weight_decay > 0:
-        # l2(λ) regularizer on every weight (reference train.py:80, commented):
-        # equivalent to adding 2λ·w to the gradient.
-        chain.append(optax.add_decayed_weights(2.0 * cfg.weight_decay))
     if cfg.optimizer == "adam":
         chain.append(optax.adam(lr, eps=cfg.adam_eps))
     elif cfg.optimizer in ("adam_tf", "adam_fused"):
@@ -333,15 +335,26 @@ def fold_and_augment(cfg, batch, rng, step):
     rng = jax.random.fold_in(rng, step)
     raw = batch["image"] if isinstance(batch, dict) else batch
     if raw.dtype == jnp.uint8:
-        from ..data import device_augment
-
         rng, rng_aug = jax.random.split(rng)
-        augmented = device_augment.augment_batch(raw, rng_aug, size=cfg.size)
-        if isinstance(batch, dict):
-            batch = dict(batch, image=augmented)
-        else:
-            batch = augmented
+        batch = augment_if_uint8(cfg, batch, rng_aug)
     return batch, rng
+
+
+def augment_if_uint8(cfg, batch, rng):
+    """The on-device uint8 crop/flip/normalize pipeline for HBM-resident
+    raw-pixel batches (gct2 build-cache), preserving dict (labeled)
+    batches; float batches pass through untouched. Shared with the GAN
+    steps — they previously fed raw 0..255 uint8 straight into the
+    generators (review r4)."""
+    raw = batch["image"] if isinstance(batch, dict) else batch
+    if raw.dtype != jnp.uint8:
+        return batch
+    from ..data import device_augment
+
+    augmented = device_augment.augment_batch(raw, rng, size=cfg.size)
+    if isinstance(batch, dict):
+        return dict(batch, image=augmented)
+    return augmented
 
 
 def train_step(

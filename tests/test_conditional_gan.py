@@ -97,3 +97,33 @@ def test_conditional_gan_runner_end_to_end(tmp_path):
     import os
 
     assert os.path.isdir(os.path.join(cfg.checkpoint_dir, "step_000000002"))
+
+
+def test_reconstruction_weight_active_in_conditional_mode():
+    """cfg.reconstruction_weight was silently ignored by the conditional
+    step (review r4) — it must change the generator loss."""
+    import numpy as np
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.train import conditional_gan as cgan
+
+    cfg0 = tiny_test_config(
+        num_classes=3, learning_rate=1e-4, donate_state=False,
+        reconstruction_weight=0.0,
+    )
+    cfg5 = cfg0.replace(reconstruction_weight=5.0)
+    r = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(
+            r.uniform(-1, 1, (cfg0.batch_size, cfg0.size, cfg0.size, 3)),
+            jnp.float32,
+        ),
+        "label": jnp.zeros((cfg0.batch_size,), jnp.int32),
+    }
+    losses = {}
+    for name, cfg in (("off", cfg0), ("on", cfg5)):
+        state = cgan.init_conditional_gan_state(cfg, jax.random.PRNGKey(0))
+        step = cgan.make_conditional_gan_train_step(cfg)
+        _, metrics = step(state, batch, jax.random.PRNGKey(1))
+        losses[name] = float(metrics["g_loss"])
+    assert losses["on"] != losses["off"]

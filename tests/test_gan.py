@@ -137,3 +137,50 @@ def test_zero_weight_terms_are_elided():
     _, metrics = step(state, a, b, jax.random.PRNGKey(1))
     assert float(metrics["cycle"]) == 0.0
     assert float(metrics["identity"]) == 0.0
+
+
+def test_gan_ema_gated_under_grad_accum():
+    """Under grad_accum the EMA must move ONLY on applied optimizer updates
+    (trainer.ema_update's gate) — the old ungated blend decayed toward
+    unchanged params every micro-step, compounding the effective decay to
+    d^accum (review r4)."""
+    cfg = _cfg(grad_accum=2, ema_decay=0.5)
+    state = gan.init_gan_state(cfg, jax.random.PRNGKey(0))
+    step = gan.make_gan_train_step(cfg)
+    a, b = _batches(cfg)
+    ema0 = np.asarray(state.ema_g_ab["head"]["kernel"])
+    state, _ = step(state, a, b, jax.random.PRNGKey(1))  # micro-step 1: no-op
+    np.testing.assert_array_equal(
+        np.asarray(state.ema_g_ab["head"]["kernel"]), ema0
+    )
+    state, _ = step(state, a, b, jax.random.PRNGKey(2))  # window closes
+    assert not np.allclose(
+        np.asarray(state.ema_g_ab["head"]["kernel"]), ema0
+    )
+
+
+def test_gan_step_normalizes_uint8_batches():
+    """Cached uint8 batches must go through the on-device crop/flip/
+    normalize like the diffusion step — raw 0..255 pixels previously fed
+    the generators directly (review r4)."""
+    cfg = _cfg()
+    state = gan.init_gan_state(cfg, jax.random.PRNGKey(0))
+    step = gan.make_gan_train_step(cfg)
+    r = np.random.default_rng(0)
+    store = cfg.size + cfg.size // 8
+    a = jnp.asarray(
+        r.integers(0, 256, (cfg.batch_size, store, store, 3)), jnp.uint8
+    )
+    b = jnp.asarray(
+        r.integers(0, 256, (cfg.batch_size, store, store, 3)), jnp.uint8
+    )
+    state, metrics = step(state, a, b, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+
+def test_select_generator_rejects_bad_direction():
+    cfg = _cfg()
+    state = gan.init_gan_state(cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="direction"):
+        gan.select_generator(state, "AB")

@@ -293,3 +293,22 @@ def test_ema_frozen_on_overflow_skipped_step():
     np.testing.assert_array_equal(
         np.asarray(s2.ema_params["head"]["kernel"]), ema_before  # EMA too
     )
+
+
+def test_weight_decay_is_clipped_with_the_gradient():
+    """The reference wires l2 through kernel_regularizer, so its 2λw term
+    is part of the clipped gradient total — decay must precede
+    clip_by_global_norm (review r4: it was added after, escaping the
+    bound). With zero gradients and large params under SGD, the update
+    norm equals lr · clip_norm exactly; the old order gave lr · ||2λw||."""
+    cfg = tiny_test_config(
+        optimizer="sgd", learning_rate=1.0, warm_up=0,
+        weight_decay=0.5, grad_clip_norm=1.0,
+    )
+    params = {"w": jnp.full((100,), 10.0, jnp.float32)}
+    tx = trainer.make_optimizer(cfg)
+    opt_state = tx.init(params)
+    zero_grads = {"w": jnp.zeros((100,), jnp.float32)}
+    updates, _ = tx.update(zero_grads, opt_state, params)
+    norm = float(jnp.linalg.norm(updates["w"]))
+    assert norm == pytest.approx(1.0, rel=1e-5)  # lr · clip_norm
