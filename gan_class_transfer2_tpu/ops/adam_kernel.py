@@ -52,9 +52,11 @@ def _leaf_update_pallas(p, m, v, g, step_size, b1, b2, eps, interpret):
     n = p.size
     rows = n // 128
     # bf16 moments pack in (16,128) tiles; blocks must honour the widest
-    # sublane requirement among the refs or Mosaic refuses to lower
+    # sublane requirement among the refs actually PASSED to the kernel —
+    # g is cast to fp32 below, so its pre-cast dtype must not force the
+    # coarser 16-row tiling on an all-fp32 invocation (review r4)
     sublane = 16 if any(
-        a.dtype == jnp.bfloat16 for a in (p, m, v, g)
+        a.dtype == jnp.bfloat16 for a in (p, m, v)
     ) else 8
     rblk = _pick_rows(rows, sublane)
     shape2 = (rows, 128)

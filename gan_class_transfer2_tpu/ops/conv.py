@@ -53,19 +53,7 @@ def _same_pads(in_size: int, k: int, s: int):
 
 def conv2d(x, kernel, bias=None, stride: int = 1, relu: bool = False):
     """TF-SAME conv. kernel HWIO."""
-    kh, kw = kernel.shape[0], kernel.shape[1]
-    pads = (
-        _same_pads(x.shape[1], kh, stride),
-        _same_pads(x.shape[2], kw, stride),
-    )
-    y = lax.conv_general_dilated(
-        x,
-        kernel.astype(x.dtype),
-        window_strides=(stride, stride),
-        padding=pads,
-        dimension_numbers=DN,
-        precision=_precision(x),
-    )
+    y = _conv_strided_raw(x, kernel, stride)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     if relu:
@@ -248,8 +236,18 @@ def _down_shuffle_kernel(kernel):
 
 
 def conv2d_down_shuffle(x, kernel, bias=None, relu: bool = False):
-    """k=4, s=2 SAME conv as pad-1 → space_to_depth → 2×2/s1 conv."""
+    """k=4, s=2 SAME conv as pad-1 → space_to_depth → 2×2/s1 conv.
+
+    Even spatial dims only: the reformulation's pad is fixed at (1, 1) and
+    space_to_depth needs 2-divisible extents, while TF-SAME on an odd
+    input pads (1, 2) — silently different math. The lax impl handles odd
+    inputs; this one refuses them (review r4)."""
     assert kernel.shape[0] == 4 and kernel.shape[1] == 4
+    if x.shape[1] % 2 or x.shape[2] % 2:
+        raise ValueError(
+            f"impl='shuffle' needs even spatial dims, got "
+            f"{x.shape[1]}x{x.shape[2]} — use impl='lax'"
+        )
     k = _down_shuffle_kernel(kernel).astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     xs = space_to_depth(xp, 2)

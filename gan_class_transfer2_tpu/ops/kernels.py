@@ -123,13 +123,33 @@ def _fused_bwd(interpret, residuals, g):
 fused_forward_diffuse.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _kernel_available() -> bool:
+    """Whether the Mosaic kernel can actually run here (tests monkeypatch
+    this to exercise the island plumbing on the virtual CPU mesh)."""
+    return jax.default_backend() == "tpu"
+
+
 def forward_diffuse_fused(cfg, x, t, rng, interpret: bool | None = None):
     """Drop-in fused version of core.diffusion.forward_diffuse for the
-    predict_x path. x: (B,H,W,C); t: (B,1,1,1) float. Returns noised."""
+    predict_x path. x: (B,H,W,C); t: (B,1,1,1) float. Returns noised.
+
+    Off-TPU this falls back to the plain jnp path (statistically identical,
+    different noise stream): Pallas interpret mode stubs prng_random_bits
+    to zeros on some builds — Box-Muller of zero bits is a CONSTANT ε
+    (silently wrong statistics) — and raises NotImplementedError on others
+    (review r4). Pass ``interpret=True`` explicitly to debug the kernel in
+    interpret mode regardless."""
     from ..core.schedule import alpha_dash
 
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        if not _kernel_available():
+            from ..core import diffusion
+
+            eps = jax.random.normal(rng, x.shape, jnp.float32)
+            return diffusion.forward_diffuse(
+                cfg, x.astype(jnp.float32), eps, t
+            ).astype(x.dtype)
+        interpret = False
     b = x.shape[0]
     n = x.shape[1] * x.shape[2] * x.shape[3]
     ad = alpha_dash(t[:, 0, 0, 0], cfg.steps, cfg.schedule).astype(jnp.float32)
@@ -205,9 +225,22 @@ def forward_diffuse_fused_sharded(cfg, x, t, rng, mesh, batch_spec):
 
     from ..core.schedule import alpha_dash
 
+    if not _kernel_available():
+        # same off-TPU fallback as forward_diffuse_fused: the Mosaic kernel
+        # can neither lower nor interpret correctly off-TPU (review r4);
+        # the plain jnp path shards fine under GSPMD
+        from ..core import diffusion
+
+        eps = jax.random.normal(rng, x.shape, jnp.float32)
+        return diffusion.forward_diffuse(
+            cfg, x.astype(jnp.float32), eps, t
+        ).astype(x.dtype)
+
     ad = alpha_dash(t[:, 0, 0, 0], cfg.steps, cfg.schedule).astype(jnp.float32)
-    ss = jnp.sqrt(ad)
-    sn = jnp.sqrt(1.0 - ad)
+    # same non-differentiable-schedule contract as the single-device
+    # wrapper (its stop_gradient cleanup missed this path — review r4)
+    ss = jax.lax.stop_gradient(jnp.sqrt(ad))
+    sn = jax.lax.stop_gradient(jnp.sqrt(1.0 - ad))
     seed = jax.random.randint(rng, (), 0, 2**31 - 1, jnp.int32)
 
     axes = []

@@ -120,12 +120,18 @@ def supported(x_shape, kernel_shape) -> bool:
     """Shapes this kernel handles AND profits on (see module doc)."""
     b, h, w, c = x_shape
     kh, kw, ci, o = kernel_shape
+    # the gate must mirror _down_conv_pallas_raw's ACTUAL tile choice:
+    # a divisibility test against a different tile size admits shapes
+    # whose grid under-covers the output channels, returning uninitialized
+    # memory for the uncovered ones (review r4: c=256, o=192 passed the
+    # old `o % min(o, 256)` gate but the kernel tiled ntile=128)
+    ntile = min(o, 128 if c >= 256 else 256)
     return (
         kh == 4 and kw == 4 and ci == c
         and c % 128 == 0
         and h % 2 == 0 and w % 2 == 0
         and (h // 2) >= 8 and (w // 2) >= 8  # bottleneck layers stay on lax
-        and o % min(o, 256) == 0
+        and o % ntile == 0
     )
 
 

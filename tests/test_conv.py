@@ -151,3 +151,27 @@ def test_pallas_down_conv_supported_gate():
     assert not PC.supported((2, 256, 256, 3), (4, 4, 3, 128))  # stem: C=3
     assert not PC.supported((2, 8, 8, 512), (4, 4, 512, 512))  # bottleneck
     assert PC.supported((2, 128, 128, 128), (4, 4, 128, 256))
+
+
+def test_shuffle_impl_rejects_odd_spatial_dims():
+    """The space-to-depth reformulation's fixed pad (1,1) differs from
+    TF-SAME's (1,2) on odd inputs — it must refuse instead of silently
+    computing different math (review r4)."""
+    import pytest as _pytest
+
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.normal(size=(1, 7, 7, 4)), jnp.float32)
+    k = jnp.asarray(r.normal(size=(4, 4, 4, 8)), jnp.float32)
+    with _pytest.raises(ValueError, match="even spatial"):
+        conv.conv2d_down_shuffle(x, k)
+
+
+def test_pallas_supported_gate_matches_tile_choice():
+    """supported() must mirror the kernel's actual ntile selection: the old
+    `o % min(o, 256)` gate admitted (c=256, o=192), whose grid left output
+    channels 128-191 uninitialized (review r4)."""
+    from gan_class_transfer2_tpu.ops import pallas_conv
+
+    assert not pallas_conv.supported((1, 16, 16, 256), (4, 4, 256, 192))
+    assert pallas_conv.supported((1, 16, 16, 256), (4, 4, 256, 256))
+    assert pallas_conv.supported((1, 16, 16, 128), (4, 4, 128, 256))

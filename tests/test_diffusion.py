@@ -123,3 +123,28 @@ def test_renoise_is_forward_diffuse():
         np.asarray(diffusion.renoise(cfg, x, eps, 3.0)),
         np.asarray(diffusion.forward_diffuse(cfg, x, eps, 3.0)),
     )
+
+
+def test_fused_diffusion_cpu_fallback_statistics():
+    """Off-TPU, forward_diffuse_fused falls back to the plain jnp path —
+    Pallas interpret mode stubs the PRNG to zeros (a CONSTANT epsilon) on
+    some builds and raises on others (review r4). The fallback must have
+    the right mixture statistics."""
+    import jax
+
+    from gan_class_transfer2_tpu.config import tiny_test_config
+    from gan_class_transfer2_tpu.ops import kernels
+
+    if jax.default_backend() == "tpu":
+        import pytest as _pytest
+
+        _pytest.skip("exercises the off-TPU fallback")
+    cfg = tiny_test_config()
+    t = jnp.full((64, 1, 1, 1), cfg.steps / 2.0, jnp.float32)
+    x = jnp.zeros((64, cfg.size, cfg.size, 3), jnp.float32)
+    noised = kernels.forward_diffuse_fused(cfg, x, t, jax.random.PRNGKey(0))
+    from gan_class_transfer2_tpu.core.schedule import alpha_dash
+
+    sn = float((1.0 - alpha_dash(cfg.steps / 2.0, cfg.steps, cfg.schedule)) ** 0.5)
+    std = float(jnp.std(noised))
+    assert abs(std - sn) / sn < 0.05  # N(0, sn²) mixture, not constant

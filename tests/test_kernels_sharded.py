@@ -60,6 +60,8 @@ def test_island_decorrelates_seed_per_device(mesh4, monkeypatch):
         return jnp.full_like(flat, jnp.asarray(seed, jnp.float32))
 
     monkeypatch.setattr(kernels, "fused_forward_diffuse", probe)
+    # bypass the off-TPU fallback: these tests probe the ISLAND plumbing
+    monkeypatch.setattr(kernels, "_kernel_available", lambda: True)
     cfg = Config(steps=200)
     b, h, w, c = 8, 16, 8, 1  # local flat 128 per sample
     x = jnp.zeros((b, h, w, c), jnp.float32)
@@ -95,6 +97,8 @@ def test_island_shards_scales_with_batch(mesh4, monkeypatch):
         return flat + ss[:, None]
 
     monkeypatch.setattr(kernels, "fused_forward_diffuse", probe)
+    # bypass the off-TPU fallback: these tests probe the ISLAND plumbing
+    monkeypatch.setattr(kernels, "_kernel_available", lambda: True)
     cfg = Config(steps=200)
     x = jnp.zeros((8, 16, 8, 1), jnp.float32)
     t = jnp.reshape(jnp.arange(1, 9, dtype=jnp.float32), (8, 1, 1, 1))
