@@ -28,11 +28,12 @@ REFERENCE_TF_MEASURED_IPS_CPU = 0.333
 # TPU run of bench.py lands (see BASELINE_MEASURED.md).
 LAST_TPU_MEASUREMENT = {
     "metric": "train_images_per_sec_per_chip",
-    "value": 1241.449,
-    "vs_baseline": 17.976,
-    "mfu": 0.8112,
-    "date": "2026-08-18",
+    "value": 1242.435,
+    "vs_baseline": 17.991,
+    "mfu": 0.8119,
+    "date": "2026-08-19",
     "config": "256x256 b256 bf16 fused-diffusion lax-conv, TPU v5 lite, 1 chip",
+    "evidence": "docs/bench_evidence/bench_tpu_20260819T042625+0000.json",
 }
 
 
@@ -53,18 +54,36 @@ def main():
     # it in a subprocess with a timeout and fall back to the CPU bench so
     # this script always prints its one JSON line (backend field shows
     # what actually ran) instead of hanging the driver.
+    #
+    # The probe is PERSISTENT (VERDICT r4 #1): the tunnel is flappy, so a
+    # single 15 s shot erases a round's TPU evidence even when the chip was
+    # up all day. Retry with backoff until GCT2_BENCH_PROBE_BUDGET seconds
+    # (default 180 — well under the driver's bench timeout) have elapsed.
     import subprocess
+    import time as _time
 
+    probe_attempts = 0
+    probe_budget = float(os.environ.get("GCT2_BENCH_PROBE_BUDGET", "180"))
     if "cpu" not in str(os.environ.get("GCT2_BENCH_PLATFORM", "")):
-        try:
-            probe = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                timeout=15,
-            )
-            responsive = probe.returncode == 0
-        except subprocess.TimeoutExpired:
-            responsive = False
+        responsive = False
+        deadline = _time.monotonic() + probe_budget
+        attempt_timeout, backoff = 20.0, 10.0
+        while True:
+            probe_attempts += 1
+            try:
+                probe = subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                    timeout=attempt_timeout,
+                )
+                if probe.returncode == 0:
+                    responsive = True
+                    break
+            except subprocess.TimeoutExpired:
+                pass
+            if _time.monotonic() + backoff >= deadline:
+                break
+            _time.sleep(backoff)
     else:
         responsive = False  # explicit CPU request
 
@@ -100,11 +119,13 @@ def main():
         checkpoint_dir=None,
         donate_state=True,
     )
+    evidence = {} if on_tpu else None
     result = run_benchmark(
         cfg,
         steps=15 if on_tpu else 5,
         warmup=3,
         baseline_ips=REFERENCE_SEMANTICS_IPS_TPU_V5E if on_tpu else None,
+        evidence=evidence,
     )
     result.extra["reference_tf_measured_ips"] = REFERENCE_TF_MEASURED_IPS_CPU
     result.extra["reference_tf_measured_hw"] = "CPU (tools/measure_reference_tf.py)"
@@ -117,7 +138,41 @@ def main():
         result.extra["tpu_unreachable"] = (
             "cpu" not in str(os.environ.get("GCT2_BENCH_PLATFORM", ""))
         )
+        result.extra["probe_attempts"] = probe_attempts
+        result.extra["probe_budget_s"] = probe_budget
         result.extra["last_tpu_measurement"] = LAST_TPU_MEASUREMENT
+        result.extra["tpu_evidence"] = "docs/bench_evidence/ (committed raw runs)"
+    else:
+        # Raw-evidence audit trail (VERDICT r4 #1): write the full record —
+        # timestamp, device kind, synced step series, XLA cost analysis,
+        # and the printed result — under docs/bench_evidence/ so the
+        # headline MFU is auditable even when a later round's bench window
+        # hits a tunnel flap.
+        import datetime
+        import json
+
+        evidence["timestamp_utc"] = datetime.datetime.now(
+            datetime.timezone.utc
+        ).isoformat(timespec="seconds")
+        evidence["result"] = json.loads(result.to_json())
+        evidence["workload"] = (
+            "reference training loop semantics (train.py:516-523): "
+            "256x256x3, 41.7M-param U-Net, diffusion MSE, Adam+warmup"
+        )
+        ev_dir = os.environ.get(
+            "GCT2_BENCH_EVIDENCE_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "docs", "bench_evidence"),
+        )
+        try:
+            os.makedirs(ev_dir, exist_ok=True)
+            stamp = evidence["timestamp_utc"].replace(":", "").replace("-", "")
+            with open(os.path.join(ev_dir, f"bench_tpu_{stamp}.json"), "w") as f:
+                json.dump(evidence, f, indent=1)
+            with open(os.path.join(ev_dir, "latest.json"), "w") as f:
+                json.dump(evidence, f, indent=1)
+        except OSError as e:
+            result.extra["evidence_write_error"] = str(e)
     if on_tpu:
         # sampler throughput (VERDICT r1 #6): the jitted T-step reverse
         # diffusion program, batched — vs the reference's 401 eager

@@ -145,8 +145,14 @@ def model_flops_per_image(cfg, in_channels: int = 3) -> int:
     return 2 * macs
 
 
-def run_benchmark(cfg, steps: int = 30, warmup: int = 3, baseline_ips: float | None = None) -> BenchResult:
-    """Time the jitted train step on synthetic data resident in HBM."""
+def run_benchmark(cfg, steps: int = 30, warmup: int = 3, baseline_ips: float | None = None,
+                  evidence: dict | None = None) -> BenchResult:
+    """Time the jitted train step on synthetic data resident in HBM.
+
+    ``evidence``: pass a dict to also collect an auditable raw-evidence
+    record (per-step synced time series, XLA cost analysis of the compiled
+    step, device kind) — the driver-side audit trail for the headline MFU
+    claim (VERDICT r4 #1)."""
     from ..parallel import mesh as mesh_lib
 
     mesh = mesh_lib.make_mesh(cfg)
@@ -174,6 +180,36 @@ def run_benchmark(cfg, steps: int = 30, warmup: int = 3, baseline_ips: float | N
         state, loss = step_fn(state, batch, rng)
     float(loss)
     dt = time.perf_counter() - t0
+
+    if evidence is not None:
+        # Per-step synced series: each step individually value-fetched, so
+        # every element is a real device round-trip bound. Slower than the
+        # throughput loop above (per-step sync) — recorded separately and
+        # never used for the headline number.
+        series = []
+        for _ in range(min(steps, 10)):
+            ts = time.perf_counter()
+            state, loss = step_fn(state, batch, rng)
+            float(loss)
+            series.append(round((time.perf_counter() - ts) * 1000, 3))
+        evidence["step_times_ms_synced"] = series
+        evidence["throughput_loop"] = {
+            "steps": steps, "total_s": round(dt, 4),
+            "mean_step_ms": round(dt / steps * 1000, 3),
+        }
+        try:
+            cost = step_fn.lower(state, batch, rng).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            evidence["xla_cost_analysis"] = {
+                k: cost[k] for k in ("flops", "bytes accessed")
+                if k in cost
+            }
+        except Exception as e:  # noqa: BLE001 — evidence is best-effort
+            evidence["xla_cost_analysis"] = f"unavailable: {type(e).__name__}: {e}"
+        evidence["device_kind"] = jax.devices()[0].device_kind
+        evidence["n_devices"] = len(jax.devices())
+        evidence["backend"] = jax.default_backend()
 
     n_chips = mesh.size
     ips = steps * cfg.batch_size / dt
