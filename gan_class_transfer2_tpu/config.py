@@ -196,7 +196,9 @@ class Config:
     fid_samples: int = 0
     # Feature embedding for FID: "trained" = the pinned committed classifier
     # (utils/fid_extractor.py), "random" = fixed-seed random-conv projection,
-    # "auto" = trained when its weights exist (the default).
+    # "auto" = trained when its weights exist (the default),
+    # "inception:<path>" = true InceptionV3 pool3 from a standard state-dict
+    # file (.pth/.npz; utils/inception.py) — publication-comparable FID.
     fid_extractor: str = "auto"
     # Serving load shed: max images queued per request batcher before the
     # HTTP frontends answer 503 + Retry-After (serve/server.ServerBusy).
@@ -257,10 +259,14 @@ class Config:
                 f"serve_max_queue must be >= 0 (0 = unbounded), "
                 f"got {self.serve_max_queue}"
             )
-        if self.fid_extractor not in ("auto", "trained", "random"):
+        if self.fid_extractor not in ("auto", "trained", "random") and not (
+            self.fid_extractor.startswith("inception:")
+            or self.fid_extractor.startswith("inception-tv:")
+        ):
             raise ValueError(
                 f"unknown fid_extractor {self.fid_extractor!r} "
-                "(auto | trained | random)"
+                "(auto | trained | random | inception:<path> | "
+                "inception-tv:<path>)"
             )
         if self.moment_dtype not in ("float32", "bfloat16"):
             raise ValueError(

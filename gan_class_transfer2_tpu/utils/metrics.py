@@ -118,16 +118,29 @@ def get_extractor(name: str = "auto") -> Callable:
 
     ``trained``: the pinned committed classifier (utils/fid_extractor.py);
     ``random``: the fixed-seed random-conv projection;
-    ``auto``: trained when its weights file exists, else random."""
+    ``auto``: trained when its weights file exists, else random;
+    ``inception:<path>``: true InceptionV3 pool3 (utils/inception.py) from
+    a standard state-dict file (.pth/.npz) — publication-comparable FID;
+    ``inception-tv:<path>``: same weights, stock-torchvision pooling."""
     from . import fid_extractor
 
+    if name.startswith("inception:") or name.startswith("inception-tv:"):
+        from . import inception
+
+        kind, _, path = name.partition(":")
+        return inception.features_from_file(
+            path, variant="fid" if kind == "inception" else "torchvision"
+        )
     if name == "auto":
         name = "trained" if fid_extractor.available() else "random"
     if name == "trained":
         return fid_extractor.trained_features
     if name == "random":
         return random_conv_features
-    raise ValueError(f"unknown extractor {name!r} (trained | random | auto)")
+    raise ValueError(
+        f"unknown extractor {name!r} "
+        "(trained | random | auto | inception:<path> | inception-tv:<path>)"
+    )
 
 
 def _features(images, extractor: Callable, batch_size: int,

@@ -71,13 +71,13 @@ def test_halo_exchange_zero_rows():
     x = jnp.arange(4 * 8 * 4 * 1, dtype=jnp.float32).reshape(4, 8, 4, 1)
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     fn = shard_map(
         lambda b: spatial.halo_exchange(b, "spatial", lo=0, hi=1),
         mesh=mesh, in_specs=P(None, "spatial"),
-        out_specs=P(None, "spatial"), check_rep=False,
+        out_specs=P(None, "spatial"), check_vma=False,
     )
     out = np.asarray(fn(x))
     # per shard: 2 own rows + 1 bottom halo = 3; global = 12 rows
