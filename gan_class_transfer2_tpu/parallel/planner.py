@@ -76,6 +76,27 @@ REMAT_NOTE = (
     "(BASELINE_MEASURED.md memory frontier)"
 )
 
+# Measured cycle-GAN step-cost model, in units of the diffusion train step
+# at the SAME (size, per-class batch). Anchors (TPU v5e, 256² b16/class,
+# BASELINE_MEASURED "GAN-mode step" + "zero-weight term elision"): full
+# cycle GAN 125.2 img/s/class, identity off 151.5, pure adversarial 261.4,
+# against the diffusion grid's 720.9 at 256² b16 → step-time ratios
+# 5.758 / 4.758 / 2.758. The three anchors decompose exactly as
+# base + cycle + identity (the compiled step elides zero-weight terms, so
+# cost is config-dependent — train/gan.py). Held-out check: the 32² b64
+# full-GAN runs measured 1100-1400 img/s/class (tools/measure_fid_steps
+# campaigns), bracketing this model's prediction at that point.
+GAN_STEP_COST = {"base": 2.758, "cycle": 2.0, "identity": 1.0}
+
+
+def gan_step_cost_ratio(cfg) -> float:
+    """Cycle-GAN step time ÷ diffusion step time at equal (size, batch)."""
+    return (
+        GAN_STEP_COST["base"]
+        + (GAN_STEP_COST["cycle"] if cfg.cycle_weight > 0 else 0.0)
+        + (GAN_STEP_COST["identity"] if cfg.identity_weight > 0 else 0.0)
+    )
+
 
 # ---------------------------------------------------------- memory models
 
@@ -440,8 +461,9 @@ def _plan_gan(cfg, model: str, n_chips: int, hbm_gb: float,
     real init, params + both optimizers + EMA); activations are the
     diffusion activation model × the generator pass count (cycle/identity
     terms each add a full U-Net pass per direction — train/gan.py) with the
-    discriminator excluded. No throughput prediction: the measured grid is
-    diffusion-step-only."""
+    discriminator excluded. Throughput for model="gan" comes from the
+    diffusion grid divided by the measured GAN_STEP_COST ratio (img/s per
+    class); cgan has no measured anchors and stays ``pred_img_s=None``."""
     import jax
 
     cfg = cfg.validate()
@@ -490,9 +512,22 @@ def _plan_gan(cfg, model: str, n_chips: int, hbm_gb: float,
         note = f"{passes} generator passes/step (cycle/identity terms)"
         if lever_note:
             note += "; " + lever_note
+        fits = state + act <= budget
+        ips = None
+        if fits and model == "gan":
+            # measured step-cost model (GAN_STEP_COST): diffusion-grid
+            # throughput at the per-class batch ÷ the anchored cost ratio.
+            # Units: img/s PER CLASS (each step also processes the other
+            # class's batch). cgan stays unpredicted — no measured anchors.
+            ratio = gan_step_cost_ratio(cfg)
+            ips = predict_ips_per_chip(cfg, b_local) / ratio * n_chips
+            note += (
+                f"; pred is img/s per class (measured step-cost ratio "
+                f"{ratio:.2f}× the diffusion step)"
+            )
         candidates.append(Candidate(
             "DP", overrides, state / 1e9, act / 1e9,
-            state + act <= budget, None, None, note,
+            fits, ips, None, note,
         ))
     else:
         candidates.append(Candidate(
@@ -530,8 +565,14 @@ def _plan_gan(cfg, model: str, n_chips: int, hbm_gb: float,
         "cli_flags": flags,
         "notes": [
             "GAN-mode planning covers DP (the supported mesh scaling for "
-            "the GAN steps); no throughput prediction — the measured grid "
-            "is diffusion-step-only",
+            "the GAN steps)",
+            "gan throughput = diffusion grid ÷ measured step-cost ratio "
+            "(GAN_STEP_COST anchors at 256² b16; validate with "
+            "tools/validate_planner.py --gan); cgan has no measured "
+            "anchors and stays unpredicted"
+            if model == "gan"
+            else "no cgan throughput prediction — no measured anchors "
+            "(the GAN_STEP_COST ratios are cycle-GAN-specific)",
             "activation model = diffusion activations × generator passes, "
             "discriminator excluded (±30%)",
             REMAT_NOTE,

@@ -275,3 +275,59 @@ def test_abstract_params_total_matches_golden_count():
         int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(tree)
     )
     assert n == 41_691_660
+
+
+def test_unscored_candidates_surface_when_only_they_fit():
+    """VERDICT r4 #6: when every strategy the throughput model can score
+    is out of memory, the planner must RECOMMEND a fitting unscored
+    strategy (with its explicit no-model note) rather than bury it below
+    scored non-fitting ones or return no plan."""
+    cfg = Config(size=256, pixel_size=256, max_size=2048, batch_size=8,
+                 compute_dtype="bfloat16", checkpoint_dir=None)
+    r = planner.plan(cfg, n_chips=8, hbm_gb=3)
+    fitting = [c for c in r["candidates"] if c["fits"]]
+    assert fitting, "scenario must keep at least one fitting strategy"
+    assert all(c["pred_img_s"] is None for c in fitting)
+    # ranking: every fitting candidate above every non-fitting one
+    names = [c["name"] for c in r["candidates"]]
+    last_fit = max(names.index(c["name"]) for c in fitting)
+    first_nofit = min(
+        names.index(c["name"]) for c in r["candidates"] if not c["fits"]
+    )
+    assert last_fit < first_nofit
+    # the recommendation is the unscored winner, note intact
+    assert r["chosen"] == r["candidates"][0]["name"]
+    assert r["candidates"][0]["fits"]
+    assert r["candidates"][0]["pred_img_s"] is None
+    assert "unmeasured" in r["candidates"][0]["note"]
+    assert r["overrides"]  # concrete Config overrides still emitted
+
+
+def test_gan_throughput_model_reproduces_anchors():
+    """GAN_STEP_COST is fitted at the three measured 256² b16 anchors
+    (BASELINE_MEASURED "GAN-mode step" + elision rows) — the plan must
+    reproduce them and scale with the mesh; cgan stays unpredicted."""
+    anchors = [
+        ((10.0, 5.0), 125.2),   # full cycle GAN
+        ((10.0, 0.0), 151.5),   # identity elided
+        ((0.0, 0.0), 261.4),    # pure adversarial
+    ]
+    for (cyc, idt), want in anchors:
+        cfg = flagship(batch_size=16, cycle_weight=cyc, identity_weight=idt)
+        r = planner.plan(cfg, 1, model="gan")
+        got = r["candidates"][0]["pred_img_s"]
+        assert got == pytest.approx(want, rel=0.01), (cyc, idt)
+        assert "per class" in r["candidates"][0]["note"]
+    # mesh scaling: 8 chips at the same per-chip batch → 8× per-class img/s
+    r8 = planner.plan(
+        flagship(batch_size=128, cycle_weight=10.0, identity_weight=5.0),
+        8, model="gan",
+    )
+    assert r8["candidates"][0]["pred_img_s"] == pytest.approx(
+        8 * 125.2, rel=0.01
+    )
+    # cgan: no measured anchors → still unpredicted
+    rc = planner.plan(
+        flagship(num_classes=3, batch_size=16), 1, model="cgan"
+    )
+    assert rc["candidates"][0]["pred_img_s"] is None
