@@ -180,8 +180,15 @@ def main():
         from gan_class_transfer2_tpu.utils.benchmark import run_sampler_benchmark
 
         try:
-            # b32 is the measured throughput knee (BASELINE_MEASURED.md)
+            # b32 for series continuity with r2-r4; b128 is the measured
+            # knee of the r5 batch ladder (BASELINE_MEASURED.md "Sampler
+            # MFU gap attributed": MFU 0.68 at b32 -> 0.79 at b128) and is
+            # the serving batcher's default coalescing width.
             result.extra.update(run_sampler_benchmark(cfg, batch=32, iters=3))
+            b128 = run_sampler_benchmark(cfg, batch=128, iters=3)
+            result.extra["sampler_b128_images_per_sec"] = (
+                b128["sampler_images_per_sec"])
+            result.extra["sampler_b128_mfu"] = b128.get("sampler_mfu")
         except Exception as e:  # noqa: BLE001 — bench must still print
             result.extra["sampler_error"] = f"{type(e).__name__}: {e}"
     print(result.to_json())
