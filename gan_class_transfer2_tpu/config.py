@@ -157,6 +157,16 @@ class Config:
     fused_diffusion: bool = True  # Pallas fused forward-diffusion kernel
     remat: bool = False  # jax.checkpoint over octaves
     donate_state: bool = True
+    # Bounded in-flight dispatch: every N steps the epoch loop fetches one
+    # accumulated device scalar, so the host can never run more than N steps
+    # ahead of the device. JAX dispatch is asynchronous and applies NO
+    # backpressure — on a remote/tunneled device a stalled executor lets the
+    # producer loop pin one host batch buffer PER QUEUED STEP (measured:
+    # 130 GB host RSS -> OOM kill at 256²/b64 within 3000 steps, r5). When
+    # the device keeps pace the fetch is one ready-value round-trip
+    # (~tens of ms per N steps, <0.5% at the flagship point). 0 disables
+    # (the pre-r5 behavior: one sync per epoch).
+    host_sync_every: int = 64
 
     # ------------------------------------------------------------- parallelism
     # Mesh axis sizes; 0 = use all remaining devices on that axis.
@@ -258,6 +268,11 @@ class Config:
             raise ValueError(
                 f"serve_max_queue must be >= 0 (0 = unbounded), "
                 f"got {self.serve_max_queue}"
+            )
+        if self.host_sync_every < 0:
+            raise ValueError(
+                f"host_sync_every must be >= 0 (0 = one sync per epoch), "
+                f"got {self.host_sync_every}"
             )
         if self.fid_extractor not in ("auto", "trained", "random") and not (
             self.fid_extractor.startswith("inception:")

@@ -288,6 +288,7 @@ def distill_round(cfg, teacher_params, data_iter, stride: int,
     else:
         step_fn = make_distill_step(opt_cfg, stride)
     loss = float("nan")
+    sync_every = getattr(cfg, "host_sync_every", 0) or steps
     for i in range(steps):
         batch = next(data_iter)
         state, loss_dev = step_fn(state, teacher_params, batch, rng)
@@ -297,6 +298,10 @@ def distill_round(cfg, teacher_params, data_iter, stride: int,
                 f"loss={loss:.6f}")
             if on_loss is not None:
                 on_loss(stride, i + 1, loss)
+        elif (i + 1) % sync_every == 0:
+            # bounded in-flight dispatch (Config.host_sync_every): without
+            # it the producer loop pins one host batch per queued step
+            float(loss_dev)
     out = state.ema_params if state.ema_params is not None else state.params
     return out, loss
 

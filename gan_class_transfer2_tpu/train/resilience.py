@@ -164,13 +164,24 @@ class ResilientRunnerMixin:
             n_steps = max(
                 origin + (epoch + 1) * steps_per_epoch - global_step, 0
             )
+            sync_every = getattr(cfg, "host_sync_every", 0)
             for _ in range(n_steps):
                 args = next_batch()
                 self.state, metrics = step_fn(self.state, *args, rng)
                 if acc is None:
                     acc = {k: jnp.zeros((), jnp.float32) for k in metrics}
+                    sync_key = next(iter(acc))
                 acc = {k: acc[k] + metrics[k] for k in acc}
                 global_step += 1
+                if sync_every and global_step % sync_every == 0:
+                    # Bounded in-flight dispatch (Config.host_sync_every):
+                    # fetch the running accumulator so the producer can
+                    # never queue more than sync_every un-executed steps —
+                    # each queued step pins a host batch buffer (OOM at
+                    # flagship scale otherwise). A value fetch, not
+                    # block_until_ready: the latter returns early on the
+                    # tunneled-TPU platform.
+                    float(acc[sync_key])
                 if (cfg.checkpoint_dir and cfg.checkpoint_every > 0
                         and global_step % cfg.checkpoint_every == 0):
                     self._checkpoint_now()

@@ -510,3 +510,34 @@ def test_cadence_zero_disables_checkpoints_and_sampling(tmp_path):
     assert ckpt.all_steps(cfg.checkpoint_dir) == []  # never saved mid-run
     tags = {e[1] for e in tb.read_events(runner.writer.path)}
     assert "loss" in tags and "denoised/image" not in tags  # no log_sample
+
+
+def test_host_sync_every_bounds_inflight_dispatch(cfg):
+    """Config.host_sync_every (r5): the epoch loop fetches the running
+    metric accumulator every N steps so the producer can never queue
+    unbounded un-executed steps (each pins a host batch buffer — an
+    unsynced 3000-step flagship loop was OOM-killed at 130 GB RSS on the
+    tunneled TPU). sync cadence 1 = fetch after every step; results must
+    be identical to the unsynced run."""
+    import jax
+
+    # distinct checkpoint dirs: a shared one would make run 2 RESUME run 1
+    c1 = cfg.replace(host_sync_every=1, seed=7,
+                     checkpoint_dir=cfg.checkpoint_dir + "_s1")
+    c0 = cfg.replace(host_sync_every=0, seed=7,
+                     checkpoint_dir=cfg.checkpoint_dir + "_s0")
+    r1 = Runner(c1, dataset=_dataset(c1))
+    r1.fit(epochs=1, steps_per_epoch=3, log_samples=False)
+    r0 = Runner(c0, dataset=_dataset(c0))
+    r0.fit(epochs=1, steps_per_epoch=3, log_samples=False)
+    a = jax.tree_util.tree_leaves(r1.state.params)
+    b = jax.tree_util.tree_leaves(r0.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    r1.close()
+    r0.close()
+
+
+def test_host_sync_every_validation():
+    with pytest.raises(ValueError, match="host_sync_every"):
+        tiny_test_config(host_sync_every=-1).validate()

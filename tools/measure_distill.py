@@ -48,6 +48,13 @@ def main():
     ap.add_argument("--eval-n", type=int, default=256,
                     help="samples per quality score (and held-out set size)")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--flagship", action="store_true",
+                    help="the reference operating point (train.py:17,24): "
+                    "256², T=200, full 41.7M U-Net widths, bf16 + fused "
+                    "diffusion — overrides --size/--steps and the widths")
+    ap.add_argument("--eval-batch", type=int, default=0,
+                    help="sampler batch for scoring (0 = eval-n in one "
+                    "launch; flagship 256² needs chunks to fit HBM)")
     args = ap.parse_args()
 
     import jax
@@ -74,13 +81,24 @@ def main():
     from gan_class_transfer2_tpu.train import distill, trainer
     from gan_class_transfer2_tpu.utils import benchmark, metrics
 
-    cfg = Config(
-        size=args.size, pixel_size=32, max_size=64, octaves=3,
-        steps=args.steps, batch_size=args.batch_size,
-        learning_rate=args.learning_rate, warm_up=200, ema_decay=0.99,
-        compute_dtype="float32", fused_diffusion=False, mesh_data=1,
-        donate_state=False, checkpoint_dir=None,
-    ).validate()
+    if args.flagship:
+        on_tpu = jax.default_backend() == "tpu"
+        cfg = Config(
+            size=256, pixel_size=128, max_size=512, octaves=6, steps=200,
+            batch_size=args.batch_size,
+            learning_rate=args.learning_rate, warm_up=200, ema_decay=0.99,
+            compute_dtype="bfloat16" if on_tpu else "float32",
+            fused_diffusion=on_tpu, conv_impl="lax", mesh_data=1,
+            donate_state=False, checkpoint_dir=None,
+        ).validate()
+    else:
+        cfg = Config(
+            size=args.size, pixel_size=32, max_size=64, octaves=3,
+            steps=args.steps, batch_size=args.batch_size,
+            learning_rate=args.learning_rate, warm_up=200, ema_decay=0.99,
+            compute_dtype="float32", fused_diffusion=False, mesh_data=1,
+            donate_state=False, checkpoint_dir=None,
+        ).validate()
 
     # training pool (seed 0) and held-out eval set (seed 1000) — disjoint
     train_pool = synthetic.circles(512, cfg.size, seed=0)
@@ -97,8 +115,12 @@ def main():
     def score(params, stride, tag):
         """KID/FID of args.eval_n fresh samples at the given stride."""
         c = cfg.replace(sample_stride=stride)
-        imgs = np.asarray(jax.jit(
-            lambda p, b: sampler.sample(c, p, b).images)(params, fixed_init))
+        fn = jax.jit(lambda p, b: sampler.sample(c, p, b).images)
+        eb = args.eval_batch or args.eval_n
+        imgs = np.concatenate([
+            np.asarray(fn(params, fixed_init[i : i + eb]))
+            for i in range(0, args.eval_n, eb)
+        ])
         float(imgs.sum())  # sync (axon rule: fetch a value)
         both = metrics.fid_and_kid(imgs, eval_set, extractor=extractor)
         out = {
@@ -126,8 +148,13 @@ def main():
     state = trainer.init_state(cfg, jax.random.PRNGKey(cfg.seed))
     step_fn = trainer.make_train_step(cfg)
     rng = jax.random.PRNGKey(cfg.seed + 1)
+    sync_every = cfg.host_sync_every or args.train_steps
     for i in range(args.train_steps):
         state, loss = step_fn(state, next(data_iter), rng)
+        if (i + 1) % sync_every == 0:
+            # bounded in-flight dispatch: an unsynced 3000-step loop at
+            # 256²/b64 pinned 130 GB of host batch buffers (OOM-killed, r5)
+            float(loss)
     loss = float(loss)
     teacher = (state.ema_params if state.ema_params is not None
                else state.params)
