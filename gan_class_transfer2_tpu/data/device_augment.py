@@ -49,12 +49,29 @@ def augment_batch(raw, rng, size: int):
 
 
 class HBMDataset:
-    """All images resident in HBM as uint8; batches drawn fully on device.
+    """All images resident in HBM; batches drawn fully on device.
 
-    ``images``: (N, H, W, 3) uint8 (H, W ≥ size). Yields float32 augmented
+    ``images``: (N, H, W, 3) uint8 (H, W ≥ size) — yields float32 augmented
     batches, or raw uint8 batches with ``raw=True`` — the train step then
     fuses crop/flip/normalize into its own program (trainer.diffusion_loss
-    handles uint8 batches), removing the separate augment dispatch.
+    handles uint8 batches), removing the separate augment dispatch. A
+    float32 pool already normalised to [−1, 1) (H = W = size) is also
+    accepted: batches are plain gathers (crop/flip augmentation is a
+    uint8-path feature; pre-normalised pools come from synthetic corpora
+    and measurement tools).
+
+    The pool is passed to the jitted draw as an ARGUMENT, not captured in
+    its closure: a closure-captured device array is baked into the HLO as a
+    literal, which bloats the executable by the pool size and outright
+    fails on remote-compile platforms (axon rejects the >100 MB compile
+    request for a 256²-scale pool with HTTP 413). As an argument it stays a
+    runtime buffer.
+
+    On tunneled platforms this path matters for memory too: every
+    host→device ``device_put`` leaks its full byte size in host RSS on the
+    axon client (measured ~50 MB/step at 256²/b64 — a 3000-step loop OOMs a
+    125 GB host; tools/probe_transfer_leak.py). The HBM-resident draw ships
+    only the int32 index vector per step and holds host RSS flat.
 
     Epoch semantics: shuffle WITHOUT replacement (every image once per
     epoch), matching the reference's permuted file stream (train.py:318) —
@@ -67,20 +84,34 @@ class HBMDataset:
                  seed: int = 0, sharding=None, raw: bool = False):
         from .pipeline import EpochIndexStream
 
-        assert images.dtype == np.uint8
+        if images.dtype == np.uint8:
+            augment = not raw
+        elif images.dtype == np.float32:
+            if images.shape[1] != size or images.shape[2] != size:
+                raise ValueError(
+                    "float32 HBM pools must be pre-cropped to the target "
+                    f"size (got {images.shape[1]}x{images.shape[2]}, "
+                    f"size={size}); crop/flip augmentation is uint8-only"
+                )
+            augment = False
+        else:
+            raise TypeError(
+                f"HBMDataset expects uint8 or float32 images, got {images.dtype}"
+            )
         self.size = size
         self.batch_size = batch_size
-        dev_images = jnp.asarray(images)
+        self._images = jnp.asarray(images)
         base_key = jax.random.PRNGKey(seed)
 
         @jax.jit
-        def draw(idx, position):
-            batch = dev_images[idx]
-            r_aug = jax.random.fold_in(base_key, position)
-            out = batch if raw else augment_batch(batch, r_aug, size=size)
+        def draw(pool, idx, position):
+            batch = pool[idx]
+            if augment:
+                r_aug = jax.random.fold_in(base_key, position)
+                batch = augment_batch(batch, r_aug, size=size)
             if sharding is not None:
-                out = jax.lax.with_sharding_constraint(out, sharding)
-            return out
+                batch = jax.lax.with_sharding_constraint(batch, sharding)
+            return batch
 
         self._draw = draw
         self._stream = EpochIndexStream(images.shape[0], batch_size, seed)
@@ -89,7 +120,7 @@ class HBMDataset:
         while True:
             pos = self._stream.position
             idx = self._stream.next_indices().astype(np.int32)
-            yield self._draw(idx, pos)
+            yield self._draw(self._images, idx, pos)
 
     def state_dict(self) -> dict:
         return self._stream.state_dict()

@@ -430,7 +430,15 @@ class DeviceIterator:
     Multi-process (pod) runs: each host's dataset yields its LOCAL shard of
     the global batch (make_datasets splits files and batch size by process),
     and the logically-global array is assembled without cross-host data
-    movement (parallel/multihost.global_batch_from_host_local)."""
+    movement (parallel/multihost.global_batch_from_host_local).
+
+    Tunneled-platform caveat (axon, r5): the tunnel client leaks each
+    host→device transfer's full byte size in host RSS — ~48 MB/step at
+    256²/b64 regardless of syncing, buffer reuse, or gc
+    (tools/probe_transfer_leak.py). Long runs whose corpus fits HBM should
+    feed via data.device_augment.HBMDataset instead (flat RSS: only the
+    int32 index vector crosses the tunnel); otherwise budget host RAM ≈
+    batch_bytes × steps. Native TPU hosts are unaffected."""
 
     def __init__(self, dataset, sharding=None):
         self._dataset = dataset

@@ -104,6 +104,49 @@ def test_hbm_dataset_epoch_without_replacement():
     assert sorted(epoch[:, 0, 0, 0].tolist()) == list(range(8))
 
 
+def test_hbm_dataset_float32_pool_matches_array_dataset():
+    """A pre-normalised float32 pool yields plain gathers, and the draw
+    order matches ArrayDataset(flip=False) at the same seed — the contract
+    tools/measure_distill.py relies on when it swaps the leaky per-step
+    device_put path for HBM-resident draws (r5, axon transfer leak:
+    tools/probe_transfer_leak.py)."""
+    from gan_class_transfer2_tpu.data.pipeline import ArrayDataset
+
+    r = np.random.default_rng(0)
+    pool = (r.random((10, 8, 8, 3), dtype=np.float32) * 2 - 1)
+    hbm = iter(device_augment.HBMDataset(pool, size=8, batch_size=4, seed=0))
+    host = iter(ArrayDataset(pool, 4, seed=0, flip=False))
+    for _ in range(6):  # crosses an epoch boundary (10 imgs / b4)
+        np.testing.assert_allclose(np.asarray(next(hbm)), next(host),
+                                   rtol=0, atol=0)
+
+
+def test_hbm_dataset_float32_pool_rejects_uncropped():
+    pool = np.zeros((4, 12, 12, 3), np.float32)
+    try:
+        device_augment.HBMDataset(pool, size=8, batch_size=2, seed=0)
+    except ValueError as e:
+        assert "pre-cropped" in str(e)
+    else:
+        raise AssertionError("expected ValueError for H != size float pool")
+
+
+def test_hbm_dataset_pool_is_jit_argument_not_constant():
+    """The pool must reach the jitted draw as an argument: closure capture
+    bakes it into the HLO as a literal, which axon's remote-compile
+    endpoint rejects (HTTP 413) at 256²-pool scale (r5)."""
+    import inspect
+
+    src = inspect.getsource(device_augment.HBMDataset.__init__)
+    assert "def draw(pool, idx, position):" in src
+    ds = device_augment.HBMDataset(
+        np.zeros((4, 8, 8, 3), np.uint8), size=8, batch_size=2, seed=0)
+    lowered = jax.jit(ds._draw).lower(
+        jnp.zeros((4, 8, 8, 3), jnp.uint8), jnp.zeros((2,), jnp.int32), 0)
+    # three runtime parameters (pool, idx, position) — pool not inlined
+    assert "%arg2" in lowered.as_text() or "arg2" in lowered.as_text()
+
+
 def test_hbm_dataset_state_roundtrip():
     r = np.random.default_rng(0)
     images = r.integers(0, 256, (10, 12, 12, 3), dtype=np.uint8)

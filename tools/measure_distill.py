@@ -76,7 +76,7 @@ def main():
 
     from gan_class_transfer2_tpu.config import Config
     from gan_class_transfer2_tpu.data import synthetic
-    from gan_class_transfer2_tpu.data.pipeline import ArrayDataset, device_iterator
+    from gan_class_transfer2_tpu.data.device_augment import HBMDataset
     from gan_class_transfer2_tpu.sample import sampler
     from gan_class_transfer2_tpu.train import distill, trainer
     from gan_class_transfer2_tpu.utils import benchmark, metrics
@@ -100,11 +100,16 @@ def main():
             donate_state=False, checkpoint_dir=None,
         ).validate()
 
-    # training pool (seed 0) and held-out eval set (seed 1000) — disjoint
+    # training pool (seed 0) and held-out eval set (seed 1000) — disjoint.
+    # HBM-resident draws (not device_iterator): on the axon tunnel every
+    # host→device batch transfer leaks its byte size in host RSS (~50
+    # MB/step at 256²/b64 — tools/probe_transfer_leak.py), which OOM-killed
+    # the first flagship run; the pool gather ships only int32 indices.
+    # Same EpochIndexStream(seed=0), so the draw order is unchanged.
     train_pool = synthetic.circles(512, cfg.size, seed=0)
     eval_set = synthetic.circles(args.eval_n, cfg.size, seed=1000)
-    data_iter = device_iterator(
-        ArrayDataset(train_pool, cfg.batch_size, seed=0, flip=False))
+    data_iter = iter(
+        HBMDataset(train_pool, cfg.size, cfg.batch_size, seed=0))
     extractor = metrics.get_extractor("auto")
     fixed_init = jnp.asarray(np.random.default_rng(42).normal(
         size=(args.eval_n, cfg.size, cfg.size, 3)).astype(np.float32))
