@@ -30,6 +30,18 @@ class Config:
     # toolchain is available; falls back to the Python/PIL pipeline.
     native_loader: bool = True
     data_workers: int = 2
+    # HBM-resident input (data/device_augment.HBMDataset): decode every
+    # training file ONCE at startup to a deterministic center crop of this
+    # side length (>= size; equal to size = flip/normalize only), park the
+    # uint8 tensor in HBM, and draw + crop/flip/normalize batches fully on
+    # device. 0 = off (streamed host decode). For corpora that fit HBM this
+    # is the fastest input path (BASELINE_MEASURED: 97% of synthetic peak at
+    # the flagship point) and the only leak-free one on tunneled platforms,
+    # where every per-step host->device transfer pins its full byte size in
+    # host RSS (tools/probe_transfer_leak.py). Trade-off vs streaming: the
+    # random crop jitters inside the stored center crop, not the full
+    # native image. Single-process runs only.
+    data_hbm: int = 0
 
     # ----------------------------------------------------------------- model
     size: int = 256  # reference train.py:17
@@ -268,6 +280,11 @@ class Config:
             raise ValueError(
                 f"serve_max_queue must be >= 0 (0 = unbounded), "
                 f"got {self.serve_max_queue}"
+            )
+        if self.data_hbm < 0 or (self.data_hbm and self.data_hbm < self.size):
+            raise ValueError(
+                f"data_hbm must be 0 (off) or >= size={self.size} (the "
+                f"stored center-crop side), got {self.data_hbm}"
             )
         if self.host_sync_every < 0:
             raise ValueError(

@@ -100,7 +100,16 @@ class HBMDataset:
             )
         self.size = size
         self.batch_size = batch_size
-        self._images = jnp.asarray(images)
+        if sharding is not None:
+            # multi-device: the pool must live on the batch sharding's mesh
+            # (replicated — gathers take arbitrary indices, so sharding the
+            # pool's N axis would turn every draw into a collective)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._images = jax.device_put(
+                images, NamedSharding(sharding.mesh, PartitionSpec()))
+        else:
+            self._images = jnp.asarray(images)
         base_key = jax.random.PRNGKey(seed)
 
         @jax.jit

@@ -138,16 +138,11 @@ class EpochIndexStream:
         self._position = int(state["position"])
 
 
-def decode_image(data_or_path, size: int, rng: np.random.Generator,
-                 crop: bool = True, flip: bool = True,
-                 center: bool = False) -> np.ndarray:
-    """Decode + augment one image to float32 (size, size, 3) in [-1, 1).
-
-    ``flip=False`` for deterministic EVAL decodes (FID reference sets):
-    the flip draw is skipped entirely, leaving the crop-corner stream
-    unchanged. ``center=True`` takes the deterministic center crop (no rng
-    draw) — for user-facing decodes (`gct2 edit`) where a random corner of
-    the input would be edited instead of the image the user sees."""
+def decode_image_uint8(data_or_path, size: int, rng: np.random.Generator,
+                       crop: bool = True, flip: bool = True,
+                       center: bool = False) -> np.ndarray:
+    """decode_image minus the normalize: (size, size, 3) uint8. The HBM-
+    resident pool stores this form (4x smaller; /128−1 runs on device)."""
     img = Image.open(data_or_path)
     img = img.convert("RGB")  # 3 channels (reference decode_jpeg(file, 3))
     arr = np.asarray(img, dtype=np.uint8)
@@ -169,6 +164,21 @@ def decode_image(data_or_path, size: int, rng: np.random.Generator,
         raise ValueError(f"image {arr.shape} smaller than crop {size}")
     if flip and rng.integers(0, 2):  # random horizontal flip
         arr = arr[:, ::-1]
+    return arr
+
+
+def decode_image(data_or_path, size: int, rng: np.random.Generator,
+                 crop: bool = True, flip: bool = True,
+                 center: bool = False) -> np.ndarray:
+    """Decode + augment one image to float32 (size, size, 3) in [-1, 1).
+
+    ``flip=False`` for deterministic EVAL decodes (FID reference sets):
+    the flip draw is skipped entirely, leaving the crop-corner stream
+    unchanged. ``center=True`` takes the deterministic center crop (no rng
+    draw) — for user-facing decodes (`gct2 edit`) where a random corner of
+    the input would be edited instead of the image the user sees."""
+    arr = decode_image_uint8(data_or_path, size, rng,
+                             crop=crop, flip=flip, center=center)
     return arr.astype(np.float32) / 128.0 - 1.0
 
 
@@ -495,13 +505,38 @@ def device_iterator(dataset, sharding=None) -> DeviceIterator:
     return DeviceIterator(dataset, sharding)
 
 
-def make_datasets(cfg, files_per_class=None, **kw) -> list:
+def load_hbm_pool(files, stored: int) -> np.ndarray:
+    """Decode files ONCE to deterministic center crops at side ``stored``,
+    uint8 — the HBM-resident pool (Config.data_hbm). Skips undecodable or
+    too-small files with the same tolerance as the streaming pipeline."""
+    rng = np.random.default_rng(0)  # unused draws (center crop, no flip)
+    out = []
+    for f in files:
+        try:
+            out.append(decode_image_uint8(
+                f, stored, rng, crop=True, flip=False, center=True))
+        except Exception as e:  # noqa: BLE001 — same tolerance as training
+            print(f"hbm pool: skipped {f!r} ({type(e).__name__}: {e})")
+    if not out:
+        raise FileNotFoundError(
+            f"hbm pool: none of the {len(files)} files decoded at "
+            f"data_hbm={stored}"
+        )
+    return np.stack(out, 0)
+
+
+def make_datasets(cfg, files_per_class=None, sharding=None, **kw) -> list:
     """One dataset per class pattern (reference train.py:299-321).
 
-    Prefers the native C++ loader (``cfg.native_loader``) when its toolchain
-    is available; otherwise the Python/PIL pipeline with identical element
+    ``cfg.data_hbm > 0``: decode everything once and return HBM-resident
+    datasets (device_augment.HBMDataset) — batches are drawn and augmented
+    fully on device; only int32 indices leave the host per step. Otherwise
+    prefers the native C++ loader (``cfg.native_loader``) when its toolchain
+    is available; else the Python/PIL pipeline with identical element
     semantics. ``files_per_class``: explicit file lists (one per class)
     overriding the glob expansion — used for held-out eval splits.
+    ``sharding``: batch sharding the HBM draws constrain to (streamed
+    datasets get theirs from device_iterator instead).
 
     Multi-process (pod) runs: the file list is round-robin sharded by
     process index and each host loads batch_size / process_count images —
@@ -513,6 +548,26 @@ def make_datasets(cfg, files_per_class=None, **kw) -> list:
     sources = (
         files_per_class if files_per_class is not None else cfg.class_patterns()
     )
+    if getattr(cfg, "data_hbm", 0):
+        if jax.process_count() > 1:
+            raise ValueError(
+                "data_hbm requires a single-process run (per-host HBM pools "
+                "with a coordinated global index stream are not implemented)"
+                " — use the streaming pipeline on pods"
+            )
+        from .device_augment import HBMDataset
+
+        return [
+            HBMDataset(
+                load_hbm_pool(
+                    list_files(src) if isinstance(src, str) else sorted(src),
+                    cfg.data_hbm,
+                ),
+                cfg.size, cfg.batch_size,
+                seed=cfg.seed + i, sharding=sharding,
+            )
+            for i, src in enumerate(sources)
+        ]
     batch_size = cfg.batch_size
     if jax.process_count() > 1:
         from ..parallel import multihost

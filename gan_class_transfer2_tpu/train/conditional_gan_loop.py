@@ -68,7 +68,10 @@ class ConditionalGANRunner(ResilientRunnerMixin):
                 )
                 files.append(tr)
                 eval_files.append(ev)
-            datasets = pipeline.make_datasets(cfg, files_per_class=files)
+            datasets = pipeline.make_datasets(
+                cfg, files_per_class=files,
+                sharding=mesh_lib.batch_sharding(self.mesh),
+            )
             if self._eval_sets is None and cfg.fid_samples > 0:
                 # undecodable reserved files are skipped, like training does
                 self._eval_sets = [

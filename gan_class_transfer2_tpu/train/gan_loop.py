@@ -64,7 +64,10 @@ class GANRunner(ResilientRunnerMixin):
                 )
                 files.append(tr)
                 eval_files.append(ev)
-            built = pipeline.make_datasets(cfg, files_per_class=files)
+            built = pipeline.make_datasets(
+                cfg, files_per_class=files,
+                sharding=mesh_lib.batch_sharding(self.mesh),
+            )
             dataset_a = dataset_a if dataset_a is not None else built[0]
             dataset_b = dataset_b if dataset_b is not None else built[1]
             self._eval_files = {"a": eval_files[0], "b": eval_files[1]}

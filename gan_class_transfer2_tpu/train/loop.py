@@ -94,7 +94,10 @@ class Runner(ResilientRunnerMixin):
                     # into other classes whenever class 0's glob has fewer
                     # than fid_samples+1 files (silently biased metric)
                     self._eval_files = list(splits[0][1])
-            dsets = pipeline.make_datasets(cfg, files_per_class=files_per_class)
+            dsets = pipeline.make_datasets(
+                cfg, files_per_class=files_per_class,
+                sharding=mesh_lib.batch_sharding(self.mesh),
+            )
             # class-conditional training gets labeled round-robin batches
             dataset = (
                 pipeline.LabeledDataset(dsets) if cfg.num_classes > 0 else dsets[0]

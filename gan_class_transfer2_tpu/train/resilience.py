@@ -114,7 +114,23 @@ class ResilientRunnerMixin:
         for name, state in extra["data"].items():
             d = sources.get(name)
             if d is not None and hasattr(d, "set_state"):
-                d.set_state(state)
+                try:
+                    d.set_state(state)
+                except (KeyError, TypeError, ValueError) as e:
+                    # each dataset type persists its own stream-state format
+                    # (native loader: batches_served; index streams: epoch/
+                    # offset/position; ...). A checkpoint written under a
+                    # different input path (e.g. native_loader -> data_hbm)
+                    # cannot resume the stream position — continue from the
+                    # restored weights with a fresh stream instead of
+                    # crashing at construction (r5 verify-drive find).
+                    print(
+                        f"data sidecar for {name!r} does not match "
+                        f"{type(d).__name__} ({type(e).__name__}: {e}); "
+                        "stream position not restored — did the input "
+                        "path (native_loader/data_hbm/cache) change since "
+                        "the checkpoint?"
+                    )
 
     def _run_epochs(self, *, epochs, steps_per_epoch, log_samples,
                     start_epoch, origin, rng, next_batch, step_fn, summarize,

@@ -309,3 +309,52 @@ def test_decode_image_center_crop_is_deterministic(tmp_path):
     np.testing.assert_array_equal(a, b)  # rng-independent
     want = arr[2:10, 4:12].astype(np.float32) / 128.0 - 1.0
     np.testing.assert_allclose(a, want, atol=1e-6)
+
+
+def test_data_hbm_validation():
+    with pytest.raises(ValueError, match="data_hbm"):
+        tiny_test_config(data_hbm=8).validate()  # < size
+    tiny_test_config(data_hbm=16).validate()  # == size ok
+
+
+def test_make_datasets_hbm(image_dir):
+    """cfg.data_hbm builds HBM-resident per-class datasets: decode once to
+    uint8 center crops, draw + augment on device (r5 — the streaming path's
+    per-step host->device transfer leaks its byte size on tunneled
+    platforms, tools/probe_transfer_leak.py)."""
+    import jax
+
+    from gan_class_transfer2_tpu.data import device_augment
+
+    cfg = tiny_test_config(
+        classes=(str(image_dir / "img_*.png"), str(image_dir / "gray*.png")),
+        batch_size=2, data_hbm=20, size=16,
+    )
+    dsets = pipeline.make_datasets(cfg)
+    assert len(dsets) == 2
+    assert all(isinstance(d, device_augment.HBMDataset) for d in dsets)
+    b = next(iter(dsets[0]))
+    assert isinstance(b, jax.Array)
+    assert b.shape == (2, 16, 16, 3)
+    bn = np.asarray(b)
+    assert bn.min() >= -1.0 and bn.max() <= 127 / 128
+    for d in dsets:
+        d.close()
+
+
+def test_load_hbm_pool_skips_small_files(image_dir, capsys):
+    rng = np.random.default_rng(0)
+    small = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    Image.fromarray(small).save(image_dir / "tiny.png")
+    files = pipeline.list_files(str(image_dir / "*.png"))
+    pool = pipeline.load_hbm_pool(files, 20)
+    assert pool.shape == (6, 20, 20, 3)  # 5 rgb + 1 gray; tiny skipped
+    assert pool.dtype == np.uint8
+    assert "skipped" in capsys.readouterr().out
+
+
+def test_load_hbm_pool_center_crop_content(image_dir):
+    files = [str(image_dir / "img_0.png")]
+    pool = pipeline.load_hbm_pool(files, 20)
+    full = np.asarray(Image.open(files[0]).convert("RGB"))
+    np.testing.assert_array_equal(pool[0], full[2:22, 2:22])

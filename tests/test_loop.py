@@ -541,3 +541,93 @@ def test_host_sync_every_bounds_inflight_dispatch(cfg):
 def test_host_sync_every_validation():
     with pytest.raises(ValueError, match="host_sync_every"):
         tiny_test_config(host_sync_every=-1).validate()
+
+
+def test_cli_train_data_hbm_end_to_end(tmp_path):
+    """--data-hbm N trains from the HBM-resident pool (decode once, draw +
+    augment on device — r5; the streaming path's per-step host->device put
+    leaks its byte size on tunneled platforms) and resumes from the sidecar
+    stream position like the streamed path."""
+    from PIL import Image as PILImage
+
+    from gan_class_transfer2_tpu import cli
+
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        arr = rng.integers(0, 256, size=(20, 20, 3), dtype=np.uint8)
+        PILImage.fromarray(arr).save(tmp_path / f"img_{i}.png")
+
+    argv = [
+        "train",
+        "--dataset-pattern", str(tmp_path / "*.png"),
+        "--size", "16", "--pixel-size", "4", "--max-size", "8",
+        "--octaves", "2", "--steps", "4", "--batch-size", "2",
+        "--steps-per-epoch", "2", "--epochs", "1", "--warm-up", "2",
+        "--test-step", "2", "--fused-diffusion", "false",
+        "--data-hbm", "20", "--fid-samples", "0",
+        "--log-dir", str(tmp_path / "logs"),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--checkpoint-every", "2", "--mesh-data", "1",
+    ]
+    assert cli.main(argv) == 0
+    assert os.path.isdir(os.path.join(str(tmp_path / "ckpt"), "step_000000002"))
+    # the sidecar restores the HBM index-stream position on resume
+    extra = os.path.join(str(tmp_path / "ckpt"), "step_000000002.extra.json")
+    assert os.path.exists(extra)
+    assert cli.main(argv + ["--epochs", "2"]) == 0
+    assert os.path.isdir(os.path.join(str(tmp_path / "ckpt"), "step_000000004"))
+
+
+def test_runner_data_hbm_mesh_sharded(tmp_path):
+    """data_hbm over a multi-device mesh: the pool is replicated on the
+    batch sharding's mesh and draws come out sharded over 'data'."""
+    import jax
+
+    if jax.device_count() < 2:
+        import pytest as _pytest
+
+        _pytest.skip("needs a multi-device platform (run under "
+                     "xla_force_host_platform_device_count)")
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(6):
+        arr = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        PILImage.fromarray(arr).save(d / f"img_{i}.png")
+    cfg = tiny_test_config(
+        steps=4, steps_per_epoch=2, epochs=1,
+        dataset_pattern=str(d / "*.png"), data_hbm=16,
+        batch_size=jax.device_count(), mesh_data=jax.device_count(),
+        fid_samples=0,
+        log_dir=str(tmp_path / "logs"),
+        checkpoint_dir=None,
+    )
+    runner = Runner(cfg)
+    batch = next(runner.data_iter)
+    assert len(batch.sharding.device_set) == jax.device_count()
+    runner.fit(epochs=1, steps_per_epoch=2, log_samples=False)
+    runner.close()
+
+
+def test_restore_tolerates_cross_input_path_sidecar(cfg, tmp_path):
+    """A checkpoint written under one input path (its sidecar format) must
+    not crash a resume under another: the stream position is skipped with a
+    warning and training continues from the restored weights (r5 — a
+    native-loader sidecar restored into an HBMDataset raised KeyError at
+    Runner construction)."""
+    runner = Runner(cfg, dataset=_dataset(cfg))
+    runner.fit(epochs=1, steps_per_epoch=3, log_samples=False)
+    runner.close()
+    # rewrite the sidecar in the native loader's format
+    import json as _json
+
+    extra = os.path.join(cfg.checkpoint_dir, "step_000000003.extra.json")
+    with open(extra, "w") as fh:
+        _json.dump({"data": {"dataset": {"batches_served": 3,
+                                         "resume_round": 0}}}, fh)
+    runner2 = Runner(cfg, dataset=_dataset(cfg))  # must not raise
+    assert int(runner2.state.step) == 3
+    runner2.fit(epochs=1, steps_per_epoch=3, log_samples=False)
+    runner2.close()
