@@ -211,6 +211,15 @@ class Config:
     # background thread. Saves still commit in order; runners flush at the
     # end of fit and before any restore.
     checkpoint_async: bool = False
+    # Track the run's primary quality metric at every logged eval and keep
+    # the best state under <checkpoint_dir>/best (a normal self-contained
+    # checkpoint dir — point sample/serve/eval at it). Lower is better
+    # (FID; GAN runners track the mean of their per-pair transfer FIDs).
+    # Motivation: cycle-GAN transfer FID is non-monotone late in training
+    # (BASELINE_MEASURED "Config 5 at 60 epochs" — phase oscillation around
+    # the identity attractor), so the FINAL checkpoint can be far worse
+    # than the best seen. Requires fid_samples > 0 to have any effect.
+    keep_best: bool = False
     log_images_every: int = 1  # epochs between log_sample calls; 0 = never
     # FID-style sample-quality tracking (BASELINE "steps-to-fixed-FID"):
     # 0 = off; N = compute FID between N generated samples and N data images

@@ -103,6 +103,7 @@ class ConditionalGANRunner(ResilientRunnerMixin):
                 f"transfer_to_{target}", np.asarray(out) * 0.5 + 0.5, epoch, 10
             )
         if self.cfg.fid_samples > 0 and self._eval_sets:
+            fids = []
             for src in range(self.cfg.num_classes):
                 for tgt in range(self.cfg.num_classes):
                     if src == tgt:
@@ -115,6 +116,14 @@ class ConditionalGANRunner(ResilientRunnerMixin):
                         self.writer.scalar(
                             f"transfer_kid_{src}_to_{tgt}", scores["kid"], epoch
                         )
+                        fids.append(scores["fid"])
+            if fids:
+                # mean over the class-pair grid (BASELINE_MEASURED r5:
+                # the per-pair FIDs oscillate out of phase late in
+                # training — the mean tracks the whole-model optimum)
+                self._maybe_keep_best(
+                    sum(fids) / len(fids), epoch, "transfer_fid_mean"
+                )
 
     def transfer_fid(self, src: int, tgt: int):
         """FID of held-out class-``src`` images transferred to class ``tgt``

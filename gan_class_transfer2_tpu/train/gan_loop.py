@@ -113,12 +113,21 @@ class GANRunner(ResilientRunnerMixin):
         self.writer.image("transfer_ba", np.asarray(fake_a) * 0.5 + 0.5, epoch, 10)
         self.writer.image("cycle_aba", np.asarray(cycled) * 0.5 + 0.5, epoch, 10)
         if self.cfg.fid_samples > 0:
+            fids = []
             for d in ("ab", "ba"):
                 scores = self.transfer_scores(d)
                 if scores is None:  # degenerate eval set: metric skipped
                     continue
                 self.writer.scalar(f"transfer_fid_{d}", scores["fid"], epoch)
                 self.writer.scalar(f"transfer_kid_{d}", scores["kid"], epoch)
+                fids.append(scores["fid"])
+            if fids:
+                # per-pair FID is non-monotone late in cycle-GAN training
+                # (phase oscillation, BASELINE_MEASURED r5) — keep_best
+                # tracks the mean over directions
+                self._maybe_keep_best(
+                    sum(fids) / len(fids), epoch, "transfer_fid_mean"
+                )
 
     def _eval_set(self, cls: str) -> np.ndarray:
         """Fixed per-class eval images, disjoint from training data.

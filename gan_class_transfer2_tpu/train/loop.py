@@ -167,6 +167,7 @@ class Runner(ResilientRunnerMixin):
             if scores is not None:  # degenerate eval set: metric skipped
                 self.writer.scalar("fid", scores["fid"], epoch)
                 self.writer.scalar("kid", scores["kid"], epoch)
+                self._maybe_keep_best(scores["fid"], epoch, "fid")
 
     def compute_fid(self, params=None):
         """FID of fresh reverse-diffusion samples vs the held-out set

@@ -90,6 +90,50 @@ class ResilientRunnerMixin:
             self.cfg.checkpoint_dir, state, self.cfg, extra=extra,
         )
 
+    def _maybe_keep_best(self, value, epoch: int, metric: str):
+        """Config.keep_best: persist the state under <checkpoint_dir>/best
+        whenever the (lower-is-better) quality metric improves
+        (ckpt_lib.save_best). Runners call this from log_sample with their
+        primary metric; the tracker survives restarts via best/best.json.
+        Every process must call it (the ZeRO-1 gather inside is a
+        collective) with an identical ``value`` — true by construction,
+        since the eval computation is replicated. Returns the saved path
+        (coordinator, on improvement) or None."""
+        import math
+
+        cfg = self.cfg
+        if not getattr(cfg, "keep_best", False) or not cfg.checkpoint_dir:
+            return None
+        if value is None or not math.isfinite(value):
+            return None
+        prev = getattr(self, "_best_metric", None)
+        if prev is None:
+            rec = ckpt_lib.read_best(cfg.checkpoint_dir)
+            if rec is not None:
+                prev = float(rec["value"])
+        if prev is not None and value >= prev:
+            self._best_metric = prev
+            return None
+        self._best_metric = float(value)
+        from ..parallel import multihost
+
+        # same collective-then-gate ordering as _checkpoint_now
+        if multihost.is_coordinator() or multihost.any_cross_process_sharded(
+            self.state
+        ):
+            state = ckpt_lib.host_complete(self.state)
+        else:
+            state = None
+        if not multihost.is_coordinator():
+            return None
+        path = ckpt_lib.save_best(
+            cfg.checkpoint_dir, state, cfg,
+            metric=metric, value=float(value), epoch=epoch,
+        )
+        print(f"keep_best: {metric}={value:.4f} at step {int(self.state.step)}"
+              f" -> {path}")
+        return path
+
     def _checkpoint_flush(self):
         """Drain pending async saves (no-op when checkpoint_async is off).
         Runners call this at the end of ``fit``, before any restore, and on

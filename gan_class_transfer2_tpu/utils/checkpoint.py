@@ -304,6 +304,46 @@ def prune(ckpt_dir: str, keep: int, protect: Optional[int] = None) -> int:
     return removed
 
 
+def save_best(ckpt_dir: str, state, cfg: Config, *, metric: str,
+              value: float, epoch: int) -> str:
+    """Persist ``state`` as the run's best checkpoint so far under
+    ``<ckpt_dir>/best`` (Config.keep_best).
+
+    ``best/`` is a normal self-contained checkpoint directory (one
+    ``step_<N>`` + ``config.json`` + ``best.json``), so every existing
+    consumer works by pointing at it — ``gct2 sample/serve/eval
+    --checkpoint-dir ckpt/best``. Crash-safe by construction: the inner
+    save() is atomic, ``best.json`` is tmp+rename, and retention runs
+    last — a crash between them leaves an extra older step dir whose
+    newest entry is still the best state.
+    """
+    best_dir = os.path.join(ckpt_dir, "best")
+    path = save(best_dir, state, cfg)
+    record = {
+        "metric": metric,
+        "value": float(value),
+        "step": int(state.step),
+        "epoch": int(epoch),
+    }
+    rec_path = os.path.join(best_dir, "best.json")
+    with open(rec_path + ".tmp", "w") as f:
+        json.dump(record, f)
+    os.rename(rec_path + ".tmp", rec_path)
+    prune(best_dir, keep=1, protect=int(state.step))
+    return path
+
+
+def read_best(ckpt_dir: str) -> Optional[dict]:
+    """The best.json record written by save_best (None when absent) —
+    lets a restarted run continue the best-metric tracker instead of
+    overwriting a better earlier checkpoint with its first eval."""
+    path = os.path.join(ckpt_dir, "best", "best.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def load_extra(ckpt_dir: str, step: Optional[int] = None,
                host: Optional[int] = None) -> Optional[dict]:
     """Read the JSON sidecar saved alongside ``step_<N>`` (None if absent).

@@ -373,3 +373,34 @@ def test_tb_epoch_index_is_monotonic_across_explicit_fits(tmp_path):
         assert steps == [0, 1, 2], steps
     finally:
         runner.close()
+
+
+def test_gan_runner_keep_best(tmp_path):
+    """keep_best on a GAN run: the mean per-direction transfer FID is
+    tracked and a consumable best/ checkpoint dir appears (r5 — cycle-GAN
+    FID oscillates late in training, the final epoch is not the best)."""
+    from gan_class_transfer2_tpu.utils import checkpoint as ckpt_lib
+
+    cfg = tiny_test_config(
+        steps_per_epoch=2, epochs=2, learning_rate=1e-4,
+        log_dir=str(tmp_path / "logs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        checkpoint_every=2, donate_state=False,
+        classes=("a", "b"), mesh_data=1,
+        fid_samples=4, keep_best=True,
+    )
+    r = np.random.default_rng(0)
+    mk = lambda seed: ArrayDataset(
+        r.integers(0, 256, size=(6, cfg.size, cfg.size, 3), dtype=np.uint8),
+        cfg.batch_size, seed=seed,
+    )
+    ev = lambda seed: np.random.default_rng(seed).uniform(
+        -1, 1, (4, cfg.size, cfg.size, 3)).astype(np.float32)
+    runner = GANRunner(cfg, dataset_a=mk(0), dataset_b=mk(1),
+                       eval_a=ev(10), eval_b=ev(11))
+    runner.fit(epochs=2, steps_per_epoch=2)
+    runner.close()
+    rec = ckpt_lib.read_best(cfg.checkpoint_dir)
+    assert rec is not None and rec["metric"] == "transfer_fid_mean"
+    assert len(ckpt_lib.all_steps(
+        os.path.join(cfg.checkpoint_dir, "best"))) == 1

@@ -631,3 +631,71 @@ def test_restore_tolerates_cross_input_path_sidecar(cfg, tmp_path):
     assert int(runner2.state.step) == 3
     runner2.fit(epochs=1, steps_per_epoch=3, log_samples=False)
     runner2.close()
+
+
+def test_keep_best_tracker_monotone(cfg, tmp_path):
+    """_maybe_keep_best saves only on (lower-is-better) improvement, and
+    best/ is a normal checkpoint dir any consumer can point at."""
+    from gan_class_transfer2_tpu.utils import checkpoint as ckpt_lib
+
+    cfg = cfg.replace(keep_best=True)
+    runner = Runner(cfg, dataset=_dataset(cfg))
+    runner.fit(epochs=1, steps_per_epoch=3, log_samples=False)
+
+    assert runner._maybe_keep_best(5.0, 0, "fid") is not None
+    assert runner._maybe_keep_best(7.0, 1, "fid") is None   # worse
+    assert runner._maybe_keep_best(3.0, 2, "fid") is not None
+    rec = ckpt_lib.read_best(cfg.checkpoint_dir)
+    assert rec == {"metric": "fid", "value": 3.0, "step": 3, "epoch": 2}
+    best_dir = os.path.join(cfg.checkpoint_dir, "best")
+    # exactly one step dir + its config.json (self-contained consumer dir)
+    assert ckpt_lib.all_steps(best_dir) == [3]
+    assert os.path.exists(os.path.join(best_dir, "config.json"))
+    runner.close()
+
+    # a restarted run continues the tracker from best.json instead of
+    # overwriting the better earlier checkpoint with its first eval
+    runner2 = Runner(cfg, dataset=_dataset(cfg))
+    assert runner2._maybe_keep_best(4.0, 0, "fid") is None  # 4.0 >= 3.0
+    assert runner2._maybe_keep_best(2.0, 1, "fid") is not None
+    assert ckpt_lib.read_best(cfg.checkpoint_dir)["value"] == 2.0
+    runner2.close()
+
+
+def test_keep_best_end_to_end_and_consumable(tmp_path):
+    """keep_best through a real fit with FID tracking: best/ appears and
+    `sample --checkpoint-dir <ckpt>/best` restores from it."""
+    from PIL import Image as PILImage
+
+    from gan_class_transfer2_tpu import cli
+    from gan_class_transfer2_tpu.utils import checkpoint as ckpt_lib
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(8):
+        arr = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        PILImage.fromarray(arr).save(d / f"img_{i}.png")
+    cfg = tiny_test_config(
+        steps=4, steps_per_epoch=2, epochs=2,
+        dataset_pattern=str(d / "*.png"),
+        fid_samples=4, keep_best=True, mesh_data=1,
+        log_dir=str(tmp_path / "logs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        checkpoint_every=2,
+    )
+    runner = Runner(cfg)
+    runner.fit()
+    runner.close()
+    rec = ckpt_lib.read_best(cfg.checkpoint_dir)
+    assert rec is not None and rec["metric"] == "fid"
+    best_dir = os.path.join(cfg.checkpoint_dir, "best")
+    assert len(ckpt_lib.all_steps(best_dir)) == 1
+
+    rc = cli.main([
+        "sample", "--platform", "cpu", "--checkpoint-dir", best_dir,
+        "--out", str(tmp_path / "samples"), "--num", "1",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(str(tmp_path / "samples"),
+                                       "sample_0.png"))
