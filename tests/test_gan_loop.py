@@ -404,3 +404,63 @@ def test_gan_runner_keep_best(tmp_path):
     assert rec is not None and rec["metric"] == "transfer_fid_mean"
     assert len(ckpt_lib.all_steps(
         os.path.join(cfg.checkpoint_dir, "best"))) == 1
+
+
+def _png_class_dirs(tmp_path, n_classes=2, n=6, side=20):
+    """Per-class PNG dirs + the glob patterns, for file-driven runner tests."""
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(0)
+    patterns = []
+    for k in range(n_classes):
+        d = tmp_path / f"class{k}"
+        d.mkdir()
+        for i in range(n):
+            arr = rng.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
+            PILImage.fromarray(arr).save(d / f"img_{i}.png")
+        patterns.append(str(d / "*.png"))
+    return tuple(patterns)
+
+
+def test_gan_runner_data_hbm(tmp_path):
+    """GANRunner with cfg.data_hbm: both class datasets are HBM-resident
+    (decode once, on-device augment) and the run trains + checkpoints."""
+    patterns = _png_class_dirs(tmp_path)
+    cfg = tiny_test_config(
+        steps_per_epoch=2, epochs=1, learning_rate=1e-4,
+        log_dir=str(tmp_path / "logs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        checkpoint_every=2, donate_state=False,
+        classes=patterns, mesh_data=1, data_hbm=20, fid_samples=0,
+    )
+    runner = GANRunner(cfg)
+    from gan_class_transfer2_tpu.data import device_augment
+
+    assert isinstance(runner.dataset_a, device_augment.HBMDataset)
+    runner.fit(epochs=1, steps_per_epoch=2)
+    runner.close()
+    assert os.path.isdir(os.path.join(cfg.checkpoint_dir, "step_000000002"))
+
+
+def test_conditional_gan_runner_data_hbm(tmp_path):
+    """ConditionalGANRunner with cfg.data_hbm: LabeledDataset composed over
+    HBM-resident per-class datasets (device image + host label per batch)."""
+    from gan_class_transfer2_tpu.train.conditional_gan_loop import (
+        ConditionalGANRunner,
+    )
+
+    patterns = _png_class_dirs(tmp_path)
+    cfg = tiny_test_config(
+        steps_per_epoch=2, epochs=1, learning_rate=1e-4,
+        log_dir=str(tmp_path / "logs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        checkpoint_every=2, donate_state=False,
+        classes=patterns, num_classes=2, mesh_data=1,
+        data_hbm=20, fid_samples=0,
+    )
+    runner = ConditionalGANRunner(cfg)
+    batch = next(runner.data_iter)
+    assert set(batch) == {"image", "label"}
+    assert batch["image"].shape == (cfg.batch_size, cfg.size, cfg.size, 3)
+    runner.fit(epochs=1, steps_per_epoch=2, log_samples=False)
+    runner.close()

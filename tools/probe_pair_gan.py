@@ -53,6 +53,11 @@ def main():
                     "is weak against the pixel-global cycle/identity pulls")
     ap.add_argument("--tag", default="",
                     help="suffix for grid filenames (variant runs)")
+    ap.add_argument("--keep-best-dir", default="",
+                    help="enable Config.keep_best with this checkpoint dir "
+                    "and report best.json vs the final epoch — demonstrates "
+                    "best-checkpoint selection under the oscillation this "
+                    "probe reproduces")
     ap.add_argument("--grid-dir", default=os.path.join(REPO, "docs",
                                                        "baseline_grids"))
     args = ap.parse_args()
@@ -93,7 +98,10 @@ def main():
         compute_dtype="bfloat16" if on_tpu else "float32",
         fused_diffusion=False,
         classes=(f"synthetic-{args.class_a}", f"synthetic-{args.class_b}"),
-        checkpoint_dir=None, log_dir="/tmp/pair_gan_logs",
+        checkpoint_dir=args.keep_best_dir or None,
+        checkpoint_every=0,  # only best-improvement saves, no periodic ones
+        keep_best=bool(args.keep_best_dir),
+        log_dir="/tmp/pair_gan_logs",
         donate_state=False, fid_samples=args.eval_n, mesh_data=1,
         patch_discriminator=args.patch_d.lower() in ("1", "true", "yes"),
     ).validate()
@@ -154,6 +162,19 @@ def main():
         grids[d] = os.path.relpath(grid_png(fake, os.path.join(
             args.grid_dir,
             f"pair_{args.class_a}_{args.class_b}_{d}{suffix}.png")), REPO)
+    if args.keep_best_dir:
+        from gan_class_transfer2_tpu.utils import checkpoint as ckpt_lib
+
+        rec = ckpt_lib.read_best(args.keep_best_dir)
+        final_mean = (out["fid_ab_final"] + out["fid_ba_final"]) / 2
+        emit({
+            "which": "keep_best",
+            "best": rec,
+            "final_epoch_fid_mean": round(final_mean, 1),
+            "improvement_vs_final": (
+                None if rec is None
+                else round(final_mean / rec["value"], 2)),
+        })
     emit({
         "metric": "pair_gan_probe",
         "pair": f"{args.class_a}<->{args.class_b}",
