@@ -235,6 +235,14 @@ class Config:
     # HTTP frontends answer 503 + Retry-After (serve/server.ServerBusy).
     # 0 = unbounded (requests queue without limit under overload).
     serve_max_queue: int = 512
+    # Request-coalescing window (ms) for the serving batchers: how long the
+    # collector waits for more requests before launching a device batch.
+    # 10 ms suits open-loop traffic; closed-loop clients re-requesting
+    # after multi-second reverse diffusions need a window ≥ their arrival
+    # skew or stragglers miss the batch and pow2 padding wastes device
+    # time (tools/bench_serving.py r5: 10 → 250 ms recovered the gap
+    # between e2e and raw-sampler throughput at stride 1, b128).
+    serve_batch_wait_ms: float = 10.0
     # Max CONCURRENT /sample streams (each holds a full un-coalesced
     # reverse-diffusion trajectory behind the device lock — streams bypass
     # the batchers, so they need their own shed). 0 = unbounded.
@@ -285,6 +293,11 @@ class Config:
                 )
         if self.r1_weight < 0:
             raise ValueError(f"r1_weight must be >= 0, got {self.r1_weight}")
+        if self.serve_batch_wait_ms < 0:
+            raise ValueError(
+                f"serve_batch_wait_ms must be >= 0, "
+                f"got {self.serve_batch_wait_ms}"
+            )
         if self.serve_max_queue < 0:
             raise ValueError(
                 f"serve_max_queue must be >= 0 (0 = unbounded), "

@@ -32,6 +32,7 @@ from .server import (
     SampleSpec,
     ServerBusy,
     _decode_png,
+    _npy_bytes,
     _png_bytes,
 )
 
@@ -251,6 +252,9 @@ class AsyncServer:
 
             def run_sample():
                 images = service.sample(spec.num, class_idx=spec.class_idx)
+                if spec.npy:
+                    return _response(200, "application/octet-stream",
+                                     _npy_bytes(images))
                 if spec.b64:
                     return _json_response(200, {
                         "images": [base64.b64encode(_png_bytes(im)).decode()

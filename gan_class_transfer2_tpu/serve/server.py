@@ -10,8 +10,14 @@ Endpoints (JSON unless noted):
   GET  /metrics              → ops counters, Prometheus text format
   POST /reload               → hot-swap to the latest checkpoint (serve
                                while training keeps writing); → {"step": N}
-  POST /sample {"num": k}    → k reverse-diffusion samples, PNG (first) or
-                               base64 list (all) per the "format" field
+  POST /sample {"num": k}    → k reverse-diffusion samples; "format":
+                               "png" (first image, image/png), "base64"
+                               (JSON list of PNG b64), or "npy" (one .npy
+                               of the uint8 (k,H,W,3) batch — the raw
+                               service-to-service format; PNG encode costs
+                               tens of ms/image at 256² on a small host
+                               CPU and dominates e2e once the device is
+                               fast — tools/bench_serving.py)
   POST /transfer  body=PNG   → class-transferred image (GAN checkpoints),
                                query: direction=ab|ba (cycle-GAN) or
                                to=K (conditional-GAN, --model cgan)
@@ -239,7 +245,7 @@ class SampleSpec:
     """Validated /sample request — ONE definition of the bounds and error
     strings for both frontends (they had drifted-prone hand copies)."""
 
-    __slots__ = ("num", "class_idx", "stream", "segments", "b64")
+    __slots__ = ("num", "class_idx", "stream", "segments", "b64", "npy")
 
     def __init__(self, req):
         if not isinstance(req, dict):
@@ -254,7 +260,11 @@ class SampleSpec:
         if not 1 <= self.num <= 64:
             raise ValueError("num must be in [1, 64]")
         self.stream = bool(req.get("stream"))
-        self.b64 = req.get("format") == "base64"
+        fmt = req.get("format", "png")
+        if fmt not in ("png", "base64", "npy"):
+            raise ValueError("format must be png | base64 | npy")
+        self.b64 = fmt == "base64"
+        self.npy = fmt == "npy"
         if self.stream:
             # unvalidated segments would hand np.array_split an
             # attacker-sized count (host OOM); the stream wire format
@@ -268,12 +278,32 @@ class SampleSpec:
                 )
 
 
+def _to_uint8(images: np.ndarray) -> np.ndarray:
+    """[-1,1) floats → uint8, passing through batches a device program
+    already quantised (the /sample path casts on device to cut the
+    device→host fetch 4× — _sample_prog; streams/bundles still ship
+    floats)."""
+    if images.dtype == np.uint8:
+        return images
+    return np.clip((images * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
+
+
 def _png_bytes(img: np.ndarray) -> bytes:
     from PIL import Image
 
-    arr = np.clip((img * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
     buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, format="PNG")
+    Image.fromarray(_to_uint8(img)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _npy_bytes(images: np.ndarray) -> bytes:
+    """(N,H,W,3) batch → ``.npy`` bytes of the uint8 batch — the raw-tensor
+    response format (``"format": "npy"``) for service-to-service clients:
+    one memcpy, vs tens of ms/image for PNG at 256² on a small host CPU.
+    tools/bench_serving.py measured host-side encode as the e2e serving
+    bottleneck once the device is fast (stride 8)."""
+    buf = io.BytesIO()
+    np.save(buf, _to_uint8(images))
     return buf.getvalue()
 
 
@@ -382,18 +412,30 @@ class ModelService:
         # load shedding: queued-image cap per batcher (Config.serve_max_queue;
         # 0 = unbounded). The frontends answer 503 instead of queueing past it.
         self._max_queue = getattr(cfg, "serve_max_queue", 0)
+        # coalescing window, per Config.serve_batch_wait_ms
+        self._max_wait = getattr(cfg, "serve_batch_wait_ms", 10.0) / 1000.0
 
         if state is not None:
             params = state.ema_params if state.ema_params is not None else state.params
             self._params = self._place_params(params)
 
             def _sample_prog(p, b, c):
+                import jax.numpy as jnp
+
                 from ..parallel import mesh as mesh_lib
 
                 b, n = mesh_lib.shard_sample_batch(b, self.mesh)
-                return sampler.sample(
+                images = sampler.sample(
                     cfg, p, b, class_idx=c, snapshots=False
                 ).images[:n]
+                # quantise to uint8 ON DEVICE: the response encoders
+                # (_png_bytes/_npy_bytes) need uint8 anyway, and fetching
+                # fp32 costs 4x the device->host bytes — 100 MB/batch at
+                # b128/256², the measured e2e bottleneck on a tunneled
+                # host once coalescing is right (tools/bench_serving.py)
+                return jnp.clip(
+                    (images * 0.5 + 0.5) * 255.0, 0, 255
+                ).astype(jnp.uint8)
 
             self._sample = jax.jit(_sample_prog)
             from ..parallel import mesh as mesh_lib
@@ -405,10 +447,10 @@ class ModelService:
             )
             self._segment = sampler.make_segment_fn(cfg, mesh=self.mesh)
             self._batcher = SampleBatcher(
-                self._run_sample, max_queue=self._max_queue
+                self._run_sample, max_wait_s=self._max_wait, max_queue=self._max_queue
             )
             self._denoise_batcher = ImageBatcher(
-                self._run_denoise, max_queue=self._max_queue
+                self._run_denoise, max_wait_s=self._max_wait, max_queue=self._max_queue
             )
             self._edit_fns = {}  # edits tuple -> jitted invert+edit+decode
             self._segment_by_class = {}  # (class, padded) -> segment fn
@@ -420,7 +462,7 @@ class ModelService:
             self._transfer_batchers = {
                 d: ImageBatcher(
                     lambda imgs, d=d: self._run_transfer(imgs, d),
-                    max_queue=self._max_queue,
+                    max_wait_s=self._max_wait, max_queue=self._max_queue,
                 )
                 for d in ("ab", "ba")
             }
@@ -430,7 +472,7 @@ class ModelService:
             self.cgan_state = self._place_params(cgan_state)
             self._cgan_transfer = cgan_lib.make_transfer_fn(cfg, self.mesh)
             self._cgan_batcher = TargetedImageBatcher(
-                self._run_cgan_transfer, max_queue=self._max_queue
+                self._run_cgan_transfer, max_wait_s=self._max_wait, max_queue=self._max_queue
             )
         if bundle is not None:
             # Serve a compiled bundle (utils/bundle.py): the artifact's
@@ -456,7 +498,7 @@ class ModelService:
 
                 self._sample = _bundle_sample
                 self._batcher = SampleBatcher(
-                    self._run_sample, max_queue=self._max_queue
+                    self._run_sample, max_wait_s=self._max_wait, max_queue=self._max_queue
                 )
             if "preview" in progs:
                 cond_preview = (
@@ -473,7 +515,7 @@ class ModelService:
 
                 self._preview = _bundle_preview
                 self._denoise_batcher = ImageBatcher(
-                    self._run_denoise, max_queue=self._max_queue
+                    self._run_denoise, max_wait_s=self._max_wait, max_queue=self._max_queue
                 )
             gan_dirs = [
                 d for d in ("ab", "ba") if f"transfer_{d}" in progs
@@ -482,13 +524,13 @@ class ModelService:
                 self._transfer_batchers = {
                     d: ImageBatcher(
                         lambda imgs, d=d: self._run_bundle_transfer(imgs, d),
-                        max_queue=self._max_queue,
+                        max_wait_s=self._max_wait, max_queue=self._max_queue,
                     )
                     for d in gan_dirs
                 }
             if "transfer" in progs:
                 self._cgan_batcher = TargetedImageBatcher(
-                    self._run_bundle_cgan_transfer, max_queue=self._max_queue
+                    self._run_bundle_cgan_transfer, max_wait_s=self._max_wait, max_queue=self._max_queue
                 )
 
     def _place_params(self, params):
@@ -932,9 +974,11 @@ def make_handler(service: ModelService):
             self.wfile.write(body)
 
         def _png(self, img: np.ndarray):
-            body = _png_bytes(img)
+            return self._raw("image/png", _png_bytes(img))
+
+        def _raw(self, ctype: str, body: bytes):
             self.send_response(200)
-            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -1011,6 +1055,10 @@ def make_handler(service: ModelService):
                             spec.num, spec.segments, spec.class_idx
                         )
                     images = service.sample(spec.num, class_idx=spec.class_idx)
+                    if spec.npy:
+                        return self._raw(
+                            "application/octet-stream", _npy_bytes(images)
+                        )
                     if spec.b64:
                         return self._json(
                             200,

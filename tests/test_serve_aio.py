@@ -345,3 +345,16 @@ def test_start_surfaces_bind_error():
             clash.start()
     finally:
         srv.stop()
+
+
+def test_sample_npy_batch(aserver):
+    import numpy as _np
+
+    srv, cfg = aserver
+    status, body = _post(
+        srv, "/sample", json.dumps({"num": 3, "format": "npy"}).encode()
+    )
+    assert status == 200
+    arr = _np.load(io.BytesIO(body))
+    assert arr.shape == (3, cfg.size, cfg.size, 3)
+    assert arr.dtype == _np.uint8

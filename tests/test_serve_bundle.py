@@ -68,9 +68,16 @@ def test_bundle_sample_matches_checkpoint_server(bundle_server):
         want = ref_service.sample(2)
     finally:
         ref_service.close()
-    # the HTTP body is the PNG of the first image; re-encode the reference
-    first = np.clip((want[0] * 0.5 + 0.5) * 255, 0, 255).astype(np.uint8)
-    np.testing.assert_array_equal(got, first)
+    # the HTTP body is the PNG of the first image; the checkpoint service
+    # quantises on device (uint8), the bundle ships floats — compare in
+    # uint8 with a ±1 quantisation-boundary tolerance (device vs host
+    # rounding of values straddling a bucket edge)
+    from gan_class_transfer2_tpu.serve.server import _to_uint8
+
+    first = _to_uint8(want[0])
+    np.testing.assert_allclose(
+        got.astype(np.int16), first.astype(np.int16), atol=1, rtol=0
+    )
 
 
 def test_bundle_denoise(bundle_server):
