@@ -31,8 +31,10 @@ from .server import (
     ModelService,
     SampleSpec,
     ServerBusy,
-    _decode_png,
+    _decode_image,
+    _image_format,
     _npy_bytes,
+    _npz_bytes,
     _png_bytes,
 )
 
@@ -267,23 +269,32 @@ class AsyncServer:
             step = await self._run_blocking(service.reload)
             return _json_response(200, {"step": step})
         if path == "/denoise":
+            fmt = _image_format(parse_qs(query))
+
             def run_denoise():
-                img = _decode_png(body, service.cfg.size)
+                img = _decode_image(body, service.cfg.size)
                 out = service.denoise(img)
+                if fmt == "npy":
+                    return _response(200, "application/octet-stream",
+                                     _npy_bytes(out))
                 return _response(200, "image/png", _png_bytes(out[0]))
 
             return await self._run_blocking(run_denoise)
         if path == "/edit":
             q = parse_qs(query)
+            fmt = _image_format(q)
             raw = q.get("edits", ["pixelate,shift,quantise"])
             edits = tuple(e for e in raw[0].split(",") if e)
             cls = q.get("class", [None])[0]
 
             def run_edit():
-                img = _decode_png(body, service.cfg.size)
+                img = _decode_image(body, service.cfg.size)
                 out = service.edit(
                     img, edits, None if cls is None else int(cls)
                 )
+                if fmt == "npy":  # keyed outputs → one .npz
+                    return _response(200, "application/octet-stream",
+                                     _npz_bytes(out))
                 return _json_response(200, {
                     k: base64.b64encode(_png_bytes(v[0])).decode()
                     for k, v in out.items()
@@ -292,16 +303,20 @@ class AsyncServer:
             return await self._run_blocking(run_edit)
         if path == "/transfer":
             q = parse_qs(query)
+            fmt = _image_format(q)
             direction = q.get("direction", ["ab"])[0]
             if "to" not in q and direction not in ("ab", "ba"):
                 return _json_response(400, {"error": "direction must be ab|ba"})
 
             def run_transfer():
-                img = _decode_png(body, service.cfg.size)
+                img = _decode_image(body, service.cfg.size)
                 if "to" in q:  # multi-class conditional transfer
                     out = service.transfer_to(img, int(q["to"][0]))
                 else:
                     out = service.transfer(img, direction)
+                if fmt == "npy":
+                    return _response(200, "application/octet-stream",
+                                     _npy_bytes(out))
                 return _response(200, "image/png", _png_bytes(out[0]))
 
             return await self._run_blocking(run_transfer)

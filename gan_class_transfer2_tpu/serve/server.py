@@ -18,14 +18,20 @@ Endpoints (JSON unless noted):
                                tens of ms/image at 256² on a small host
                                CPU and dominates e2e once the device is
                                fast — tools/bench_serving.py)
-  POST /transfer  body=PNG   → class-transferred image (GAN checkpoints),
+  POST /transfer  body=image → class-transferred image (GAN checkpoints),
                                query: direction=ab|ba (cycle-GAN) or
                                to=K (conditional-GAN, --model cgan)
-  POST /denoise   body=PNG   → single-step denoise preview of the input
-  POST /edit      body=PNG   → invert → edit-noise → decode (the reference's
+  POST /denoise   body=image → single-step denoise preview of the input
+  POST /edit      body=image → invert → edit-noise → decode (the reference's
                                signature workflow, train.py:364-496); query:
                                edits=pixelate,shift,quantise; returns JSON
                                {edit name: base64 PNG} incl. reconstruction
+
+The image-in endpoints accept a PNG/JPEG body (resampled to size²) or a raw
+``.npy`` uint8 (H,W,3)/(1,H,W,3) tensor at exactly size² (the no-PIL
+service-to-service path). Their ``format`` query param selects the response:
+``png`` (default) or ``npy`` (uint8 batch; for /edit, an ``.npz`` keyed by
+edit name).
 
 Built on http.server (stdlib) with a lock around device calls — throughput
 serving would swap in a real async frontend; the device-side batching path
@@ -319,6 +325,56 @@ def _decode_png(data: bytes, size: int) -> np.ndarray:
     if img.size != (size, size):
         img = img.resize((size, size))
     return np.asarray(img, np.float32)[None] / 128.0 - 1.0
+
+
+_NPY_MAGIC = b"\x93NUMPY"
+
+
+def _decode_image(data: bytes, size: int) -> np.ndarray:
+    """Request-body image for the image-in endpoints (denoise/edit/transfer):
+    a PNG/JPEG (PIL-decodable, resampled to size²), or a raw ``.npy`` uint8
+    tensor (H,W,3) / (1,H,W,3) — the service-to-service fast path that skips
+    PIL entirely (tools/bench_serving.py: encode/decode dominates e2e once
+    the device is fast). Raw tensors must already be size² — a silent
+    resample of service-produced tensors would hide a pipeline bug."""
+    if not data.startswith(_NPY_MAGIC):
+        return _decode_png(data, size)
+    try:
+        arr = np.load(io.BytesIO(data), allow_pickle=False)
+    except Exception as e:  # noqa: BLE001 — truncated/malformed header
+        raise ValueError(f"request body is not a valid .npy: {e}")
+    if arr.dtype != np.uint8:
+        raise ValueError(f".npy image must be uint8, got {arr.dtype}")
+    if arr.ndim == 3:
+        arr = arr[None]
+    if arr.ndim != 4 or arr.shape[0] != 1 or arr.shape[-1] != 3:
+        raise ValueError(
+            f".npy image must be (H,W,3) or (1,H,W,3), got {arr.shape}"
+        )
+    if arr.shape[1] != size or arr.shape[2] != size:
+        raise ValueError(
+            f".npy image must be {size}x{size} (got "
+            f"{arr.shape[1]}x{arr.shape[2]}); raw tensors are not resampled"
+        )
+    # same normalization as the PNG path / training pipeline (/128 − 1)
+    return arr.astype(np.float32) / 128.0 - 1.0
+
+
+def _image_format(q) -> str:
+    """``format`` query param for the image-in/image-out endpoints:
+    png (default) | npy. Shared by both frontends — unknown values are a
+    400, mirroring SampleSpec."""
+    fmt = q.get("format", ["png"])[0]
+    if fmt not in ("png", "npy"):
+        raise ValueError("format must be png | npy")
+    return fmt
+
+
+def _npz_bytes(named: dict) -> bytes:
+    """Keyed batches (the /edit response) → ``.npz`` of uint8 arrays."""
+    buf = io.BytesIO()
+    np.savez(buf, **{k: _to_uint8(v) for k, v in named.items()})
+    return buf.getvalue()
 
 
 class ImageBatcher(SampleBatcher):
@@ -1073,20 +1129,33 @@ def make_handler(service: ModelService):
                 if path == "/reload":
                     return self._json(200, {"step": service.reload()})
                 if path == "/denoise":
-                    img = _decode_png(self._body(), service.cfg.size)
-                    return self._png(service.denoise(img)[0])
+                    from urllib.parse import parse_qs
+
+                    fmt = _image_format(parse_qs(query))
+                    img = _decode_image(self._body(), service.cfg.size)
+                    out = service.denoise(img)
+                    if fmt == "npy":
+                        return self._raw(
+                            "application/octet-stream", _npy_bytes(out)
+                        )
+                    return self._png(out[0])
                 if path == "/edit":
                     from urllib.parse import parse_qs
 
                     q = parse_qs(query)
+                    fmt = _image_format(q)
                     raw = q.get("edits", ["pixelate,shift,quantise"])
                     edits = tuple(e for e in raw[0].split(",") if e)
                     cls = q.get("class", [None])[0]
-                    img = _decode_png(self._body(), service.cfg.size)
+                    img = _decode_image(self._body(), service.cfg.size)
                     out = service.edit(
                         img, edits,
                         class_idx=None if cls is None else int(cls),
                     )
+                    if fmt == "npy":  # keyed outputs → one .npz
+                        return self._raw(
+                            "application/octet-stream", _npz_bytes(out)
+                        )
                     return self._json(
                         200,
                         {
@@ -1098,15 +1167,23 @@ def make_handler(service: ModelService):
                     from urllib.parse import parse_qs
 
                     q = parse_qs(query)
+                    fmt = _image_format(q)
                     if "to" in q:  # multi-class conditional transfer
-                        img = _decode_png(self._body(), service.cfg.size)
+                        img = _decode_image(self._body(), service.cfg.size)
                         out = service.transfer_to(img, int(q["to"][0]))
-                        return self._png(out[0])
-                    direction = q.get("direction", ["ab"])[0]
-                    if direction not in ("ab", "ba"):
-                        return self._json(400, {"error": "direction must be ab|ba"})
-                    img = _decode_png(self._body(), service.cfg.size)
-                    return self._png(service.transfer(img, direction)[0])
+                    else:
+                        direction = q.get("direction", ["ab"])[0]
+                        if direction not in ("ab", "ba"):
+                            return self._json(
+                                400, {"error": "direction must be ab|ba"}
+                            )
+                        img = _decode_image(self._body(), service.cfg.size)
+                        out = service.transfer(img, direction)
+                    if fmt == "npy":
+                        return self._raw(
+                            "application/octet-stream", _npy_bytes(out)
+                        )
+                    return self._png(out[0])
                 return self._json(404, {"error": f"unknown path {path}"})
             except ServerBusy as e:
                 self.send_response(503)

@@ -640,3 +640,76 @@ def test_sample_unknown_format_rejected(server):
     )
     assert status == 400
     assert b"png | base64 | npy" in body
+
+
+def _npy_body(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+def test_image_endpoints_npy_roundtrip(server):
+    """Raw-tensor I/O on the image-in endpoints (r5): a ``.npy`` uint8 body
+    in, ``format=npy`` uint8 batch out — no PIL on either side, and
+    value-identical to the PNG path (PNG is lossless uint8)."""
+    srv, cfg = server
+    arr = np.random.default_rng(7).integers(
+        0, 256, (cfg.size, cfg.size, 3), dtype=np.uint8
+    )
+    status, body = _post(srv, "/denoise?format=npy", _npy_body(arr))
+    assert status == 200
+    out = np.load(io.BytesIO(body))
+    assert out.shape == (1, cfg.size, cfg.size, 3) and out.dtype == np.uint8
+    # PNG path vs raw path must see the SAME pixels — compare through the
+    # deterministic /transfer program (denoise draws fresh noise per call)
+    status, body = _post(srv, "/transfer?direction=ab&format=npy",
+                         _npy_body(arr[None]))  # (1,H,W,3) also accepted
+    assert status == 200
+    out = np.load(io.BytesIO(body))
+    assert out.shape == (1, cfg.size, cfg.size, 3) and out.dtype == np.uint8
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    status, png_body = _post(srv, "/transfer?direction=ab", buf.getvalue())
+    assert status == 200
+    png_out = np.asarray(Image.open(io.BytesIO(png_body)))
+    np.testing.assert_array_equal(out[0], png_out)
+
+
+def test_edit_npy_returns_keyed_npz(server):
+    srv, cfg = server
+    arr = np.random.default_rng(8).integers(
+        0, 256, (cfg.size, cfg.size, 3), dtype=np.uint8
+    )
+    status, body = _post(
+        srv, "/edit?edits=pixelate,shift&format=npy", _npy_body(arr)
+    )
+    assert status == 200
+    with np.load(io.BytesIO(body)) as z:
+        assert sorted(z.files) == ["pixelate", "reconstruction", "shift"]
+        assert z["shift"].shape == (1, cfg.size, cfg.size, 3)
+        assert z["shift"].dtype == np.uint8
+
+
+def test_npy_body_validation(server):
+    """Malformed raw-tensor bodies are client errors (400), and raw tensors
+    are never silently resampled."""
+    srv, cfg = server
+    # wrong dtype
+    bad = np.zeros((cfg.size, cfg.size, 3), np.float32)
+    status, body = _post(srv, "/denoise", _npy_body(bad))
+    assert status == 400 and b"uint8" in body
+    # wrong spatial size — must NOT be resampled
+    bad = np.zeros((cfg.size * 2, cfg.size * 2, 3), np.uint8)
+    status, body = _post(srv, "/denoise", _npy_body(bad))
+    assert status == 400 and b"not resampled" in body
+    # wrong rank/channels
+    bad = np.zeros((cfg.size, cfg.size), np.uint8)
+    status, _ = _post(srv, "/denoise", _npy_body(bad))
+    assert status == 400
+    # truncated .npy header
+    status, _ = _post(srv, "/denoise", b"\x93NUMPY garbage")
+    assert status == 400
+    # unknown response format on an image endpoint
+    arr = np.zeros((cfg.size, cfg.size, 3), np.uint8)
+    status, body = _post(srv, "/denoise?format=jpeg", _npy_body(arr))
+    assert status == 400 and b"png | npy" in body

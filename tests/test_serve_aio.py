@@ -358,3 +358,40 @@ def test_sample_npy_batch(aserver):
     arr = _np.load(io.BytesIO(body))
     assert arr.shape == (3, cfg.size, cfg.size, 3)
     assert arr.dtype == _np.uint8
+
+
+def test_image_endpoints_npy_roundtrip_aio(aserver):
+    """Raw-tensor I/O (r5) through the asyncio frontend: .npy uint8 body in,
+    format=npy uint8 batch out on /denoise and /transfer; /edit returns a
+    keyed .npz; malformed tensors and unknown formats are 400s."""
+    srv, cfg = aserver
+    arr = np.random.default_rng(7).integers(
+        0, 256, (cfg.size, cfg.size, 3), dtype=np.uint8
+    )
+
+    def npy(a):
+        buf = io.BytesIO()
+        np.save(buf, a)
+        return buf.getvalue()
+
+    status, body = _post(srv, "/denoise?format=npy", npy(arr))
+    assert status == 200
+    out = np.load(io.BytesIO(body))
+    assert out.shape == (1, cfg.size, cfg.size, 3) and out.dtype == np.uint8
+
+    status, body = _post(srv, "/transfer?direction=ba&format=npy", npy(arr))
+    assert status == 200
+    out = np.load(io.BytesIO(body))
+    assert out.shape == (1, cfg.size, cfg.size, 3) and out.dtype == np.uint8
+
+    status, body = _post(srv, "/edit?edits=shift&format=npy", npy(arr))
+    assert status == 200
+    with np.load(io.BytesIO(body)) as z:
+        assert sorted(z.files) == ["reconstruction", "shift"]
+
+    status, body = _post(
+        srv, "/denoise", npy(np.zeros((cfg.size, cfg.size, 3), np.float32))
+    )
+    assert status == 400 and b"uint8" in body
+    status, body = _post(srv, "/transfer?direction=ab&format=jpeg", npy(arr))
+    assert status == 400 and b"png | npy" in body
