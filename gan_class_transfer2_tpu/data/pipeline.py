@@ -505,24 +505,66 @@ def device_iterator(dataset, sharding=None) -> DeviceIterator:
     return DeviceIterator(dataset, sharding)
 
 
-def load_hbm_pool(files, stored: int) -> np.ndarray:
-    """Decode files ONCE to deterministic center crops at side ``stored``,
-    uint8 — the HBM-resident pool (Config.data_hbm). Skips undecodable or
-    too-small files with the same tolerance as the streaming pipeline."""
+def load_hbm_pool(files, stored: int, size: int = 0,
+                  workers: int = 1) -> np.ndarray:
+    """Decode files ONCE to deterministic center crops, uint8 — the
+    HBM-resident pool (Config.data_hbm).
+
+    Acceptance matches the streaming pipeline: every image with both sides
+    >= ``size`` (the training crop) participates. When the corpus cannot
+    support the requested pool side (some accepted image is smaller than
+    ``stored``), the side is CLAMPED to the corpus minimum — dropping those
+    files instead would train on a silently biased subset of the corpus,
+    while a smaller pool side only shrinks the on-device crop jitter.
+    Undecodable / sub-``size`` files are skipped with a printed notice
+    (same tolerance as streaming). Decodes run across ``workers`` threads
+    (PIL releases the GIL during decode) straight into the preallocated
+    pool, so the corpus is held in host RAM once, not twice."""
+    size = size or stored
     rng = np.random.default_rng(0)  # unused draws (center crop, no flip)
-    out = []
+    # Header-only pre-scan (PIL reads dimensions without decoding pixels):
+    # the pool side is what the smallest accepted image supports.
+    side = stored
     for f in files:
         try:
-            out.append(decode_image_uint8(
-                f, stored, rng, crop=True, flip=False, center=True))
+            with Image.open(f) as im:
+                w, h = im.size
+        except Exception:  # noqa: BLE001 — the decode below reports it
+            continue
+        m = min(h, w)
+        if m >= size:
+            side = min(side, m)
+    if side < stored:
+        print(
+            f"hbm pool: side clamped {stored} -> {side} (smallest accepted "
+            f"image in the corpus); on-device crop jitter shrinks accordingly"
+        )
+
+    out = np.empty((len(files), side, side, 3), np.uint8)
+    ok = np.zeros((len(files),), bool)
+
+    def _decode_one(i, f):
+        try:
+            out[i] = decode_image_uint8(
+                f, side, rng, crop=True, flip=False, center=True)
+            ok[i] = True
         except Exception as e:  # noqa: BLE001 — same tolerance as training
             print(f"hbm pool: skipped {f!r} ({type(e).__name__}: {e})")
-    if not out:
+
+    if workers > 1 and len(files) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(workers) as pool:
+            list(pool.map(lambda t: _decode_one(*t), enumerate(files)))
+    else:
+        for i, f in enumerate(files):
+            _decode_one(i, f)
+    if not ok.any():
         raise FileNotFoundError(
             f"hbm pool: none of the {len(files)} files decoded at "
             f"data_hbm={stored}"
         )
-    return np.stack(out, 0)
+    return out if ok.all() else out[ok]
 
 
 def make_datasets(cfg, files_per_class=None, sharding=None, **kw) -> list:
@@ -561,7 +603,8 @@ def make_datasets(cfg, files_per_class=None, sharding=None, **kw) -> list:
             HBMDataset(
                 load_hbm_pool(
                     list_files(src) if isinstance(src, str) else sorted(src),
-                    cfg.data_hbm,
+                    cfg.data_hbm, size=cfg.size,
+                    workers=getattr(cfg, "data_workers", 2),
                 ),
                 cfg.size, cfg.batch_size,
                 seed=cfg.seed + i, sharding=sharding,

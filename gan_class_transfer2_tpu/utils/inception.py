@@ -369,9 +369,17 @@ def pool3_features(params, x, variant: str = "fid"):
 
 
 @functools.lru_cache(maxsize=2)
-def _jitted(path: str, variant: str):
-    params = load_params(path)
-    return jax.jit(lambda x: pool3_features(params, x, variant))
+def _cached_params(path: str) -> dict:
+    return load_params(path)
+
+
+# Params are a jit ARGUMENT, not a closure capture: the ~21.8 M fp32
+# parameters (~87 MB) baked into the HLO as constants would be re-serialized
+# per batch shape and — on the axon-tunneled TPU this repo measures on —
+# rejected at compile time (remote compile caps requests at ~100 MB; see
+# data/device_augment.py's identical HBM-pool finding and
+# tests/test_hbm_dataset_pool_is_jit_argument_not_constant).
+_pool3_jit = jax.jit(pool3_features, static_argnums=2)
 
 
 def features_from_file(path: str, variant: str = "fid"):
@@ -384,9 +392,9 @@ def features_from_file(path: str, variant: str = "fid"):
             "torchvision's inception_v3_google weights and point "
             "--fid-extractor inception:<path> at the file"
         )
-    fn = _jitted(os.path.abspath(path), variant)
+    params = _cached_params(os.path.abspath(path))
 
     def extract(images):
-        return fn(jnp.asarray(images))
+        return _pool3_jit(params, jnp.asarray(images), variant)
 
     return extract

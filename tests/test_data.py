@@ -353,6 +353,26 @@ def test_load_hbm_pool_skips_small_files(image_dir, capsys):
     assert "skipped" in capsys.readouterr().out
 
 
+def test_load_hbm_pool_clamps_to_corpus_minimum(image_dir, capsys):
+    """Images accepted by the streaming pipeline (>= size) but smaller than
+    the requested pool side must CLAMP the side, not be dropped — dropping
+    would train on a silently biased subset of the corpus (r5 review)."""
+    rng = np.random.default_rng(1)
+    mid = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    Image.fromarray(mid).save(image_dir / "mid.png")
+    files = pipeline.list_files(str(image_dir / "*.png"))
+    pool = pipeline.load_hbm_pool(files, 20, size=12)
+    assert pool.shape == (7, 16, 16, 3)  # all 7 accepted at clamped side 16
+    assert "clamped 20 -> 16" in capsys.readouterr().out
+
+
+def test_load_hbm_pool_parallel_matches_serial(image_dir):
+    files = pipeline.list_files(str(image_dir / "*.png"))
+    serial = pipeline.load_hbm_pool(files, 20, workers=1)
+    threaded = pipeline.load_hbm_pool(files, 20, workers=4)
+    np.testing.assert_array_equal(serial, threaded)
+
+
 def test_load_hbm_pool_center_crop_content(image_dir):
     files = [str(image_dir / "img_0.png")]
     pool = pipeline.load_hbm_pool(files, 20)

@@ -184,6 +184,19 @@ def test_get_extractor_and_kid(npz_path):
     assert not np.allclose(np.asarray(ex_tv(jnp.asarray(a))), feats)
 
 
+def test_params_are_jit_argument_not_constant(npz_path):
+    """The ~87 MB of folded params must reach the jitted pool3 forward as
+    ARGUMENTS: closure capture bakes them into the HLO as literals, which
+    axon's remote-compile endpoint rejects (HTTP 413) — the same failure
+    mode tests/test_device_augment.py pins for the HBM pool (r5)."""
+    params = inception.load_params(npz_path)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    lowered = inception._pool3_jit.lower(params, x, "fid")
+    text = lowered.as_text()
+    # 94 conv layers × (kernel, bias) + the image → ≥ 100 runtime args
+    assert "%arg100" in text or "arg100" in text
+
+
 def test_config_accepts_inception_extractor():
     from gan_class_transfer2_tpu.config import Config
 
