@@ -110,7 +110,23 @@ class ResilientRunnerMixin:
         if prev is None:
             rec = ckpt_lib.read_best(cfg.checkpoint_dir)
             if rec is not None:
-                prev = float(rec["value"])
+                # best.json from a run under a different metric or feature
+                # extractor is incomparable — trusting it would silently
+                # gate every save (e.g. prev FID 3.2 in repo-local units vs
+                # new Inception-unit values starting near 280). A missing
+                # extractor field (pre-r5 record) is treated as matching.
+                cur_ex = getattr(cfg, "fid_extractor", None)
+                if (rec.get("metric") == metric
+                        and rec.get("fid_extractor", cur_ex) == cur_ex):
+                    prev = float(rec["value"])
+                else:
+                    print(
+                        "keep_best: ignoring best.json recorded under "
+                        f"metric={rec.get('metric')!r} extractor="
+                        f"{rec.get('fid_extractor')!r} (this run: "
+                        f"{metric!r}/{cur_ex!r}) — values incomparable, "
+                        "tracker restarts fresh"
+                    )
         if prev is not None and value >= prev:
             self._best_metric = prev
             return None

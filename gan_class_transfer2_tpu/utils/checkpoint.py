@@ -324,6 +324,9 @@ def save_best(ckpt_dir: str, state, cfg: Config, *, metric: str,
         "value": float(value),
         "step": int(state.step),
         "epoch": int(epoch),
+        # values are only comparable under the same feature extractor —
+        # a restarted run checks this before trusting the recorded value
+        "fid_extractor": getattr(cfg, "fid_extractor", None),
     }
     rec_path = os.path.join(best_dir, "best.json")
     with open(rec_path + ".tmp", "w") as f:

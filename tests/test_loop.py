@@ -3,6 +3,7 @@ reference __main__, train.py:498-523): tiny config, synthetic data, 1 epoch
 with sampling callback, TensorBoard artifacts, checkpoint, resume."""
 
 import glob
+import json
 import os
 
 import numpy as np
@@ -646,7 +647,8 @@ def test_keep_best_tracker_monotone(cfg, tmp_path):
     assert runner._maybe_keep_best(7.0, 1, "fid") is None   # worse
     assert runner._maybe_keep_best(3.0, 2, "fid") is not None
     rec = ckpt_lib.read_best(cfg.checkpoint_dir)
-    assert rec == {"metric": "fid", "value": 3.0, "step": 3, "epoch": 2}
+    assert rec == {"metric": "fid", "value": 3.0, "step": 3, "epoch": 2,
+                   "fid_extractor": cfg.fid_extractor}
     best_dir = os.path.join(cfg.checkpoint_dir, "best")
     # exactly one step dir + its config.json (self-contained consumer dir)
     assert ckpt_lib.all_steps(best_dir) == [3]
@@ -660,6 +662,48 @@ def test_keep_best_tracker_monotone(cfg, tmp_path):
     assert runner2._maybe_keep_best(2.0, 1, "fid") is not None
     assert ckpt_lib.read_best(cfg.checkpoint_dir)["value"] == 2.0
     runner2.close()
+
+
+def test_keep_best_ignores_incomparable_record(cfg, tmp_path, capsys):
+    """best.json written under a different metric or fid_extractor must NOT
+    gate the new run's saves — the values are incomparable (e.g. repo-local
+    FID 3.2 vs Inception units starting near 280); the tracker restarts
+    fresh and overwrites (r5 review)."""
+    from gan_class_transfer2_tpu.utils import checkpoint as ckpt_lib
+
+    cfg = cfg.replace(keep_best=True)
+    runner = Runner(cfg, dataset=_dataset(cfg))
+    runner.fit(epochs=1, steps_per_epoch=3, log_samples=False)
+    assert runner._maybe_keep_best(3.2, 0, "fid") is not None
+    runner.close()
+
+    # same dir reused by a GAN-style run with a different metric name:
+    # 280 >> 3.2, but the record is incomparable so it must still save
+    runner2 = Runner(cfg, dataset=_dataset(cfg))
+    assert runner2._maybe_keep_best(280.0, 0, "transfer_fid_mean") is not None
+    out = capsys.readouterr().out
+    assert "incomparable" in out
+    rec = ckpt_lib.read_best(cfg.checkpoint_dir)
+    assert rec["metric"] == "transfer_fid_mean" and rec["value"] == 280.0
+    runner2.close()
+
+    # different extractor, same metric name: also incomparable
+    runner3 = Runner(
+        cfg.replace(fid_extractor="random"), dataset=_dataset(cfg))
+    assert runner3._maybe_keep_best(500.0, 0, "transfer_fid_mean") is not None
+    runner3.close()
+
+    # a pre-r5 record without the extractor field is trusted (legacy)
+    best_json = os.path.join(cfg.checkpoint_dir, "best", "best.json")
+    with open(best_json) as f:
+        legacy = json.load(f)
+    legacy.pop("fid_extractor")
+    legacy.update(metric="fid", value=1.0)
+    with open(best_json, "w") as f:
+        json.dump(legacy, f)
+    runner4 = Runner(cfg, dataset=_dataset(cfg))
+    assert runner4._maybe_keep_best(2.0, 0, "fid") is None  # 2.0 >= 1.0
+    runner4.close()
 
 
 def test_keep_best_end_to_end_and_consumable(tmp_path):

@@ -53,9 +53,11 @@ def _measure_gan_step(cfg, steps: int, warmup: int) -> float:
     shape = (cfg.batch_size, cfg.size, cfg.size, 3)
     a = jnp.asarray(r.uniform(-1, 1, shape).astype(np.float32))
     b = jnp.asarray(r.uniform(-1, 1, shape).astype(np.float32))
+    steps = max(1, steps)
     for _ in range(warmup):
         state, m = step(state, a, b, rng)
-    float(m["g_loss"])  # value-fetch sync (axon rule)
+    if warmup > 0:
+        float(m["g_loss"])  # value-fetch sync (axon rule)
     t0 = time.perf_counter()
     for _ in range(steps):
         state, m = step(state, a, b, rng)
