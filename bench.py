@@ -37,6 +37,47 @@ LAST_TPU_MEASUREMENT = {
 }
 
 
+def _probe_tpu(budget: float, attempt_timeout: float = 20.0,
+               backoff: float = 10.0, *, run=None, monotonic=None,
+               sleep=None):
+    """Persistent TPU-reachability probe (VERDICT r4 #1).
+
+    Retries with backoff for up to ``budget`` seconds — but only TIMEOUTS
+    are treated as transient (the tunneled plugin BLOCKS when the tunnel
+    flaps); a non-zero probe exit is deterministic (no TPU runtime), so
+    two of those fall back immediately instead of burning the budget.
+    Returns (responsive, attempts). run/monotonic/sleep are injectable
+    for tests."""
+    import subprocess
+    import time as _time
+
+    run = run or subprocess.run
+    monotonic = monotonic or _time.monotonic
+    sleep = sleep or _time.sleep
+
+    attempts = 0
+    deadline = monotonic() + budget
+    hard_failures = 0
+    while True:
+        attempts += 1
+        try:
+            probe = run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                timeout=attempt_timeout,
+            )
+            if probe.returncode == 0:
+                return True, attempts
+            hard_failures += 1
+            if hard_failures >= 2:
+                return False, attempts
+        except subprocess.TimeoutExpired:
+            pass
+        if monotonic() + backoff >= deadline:
+            return False, attempts
+        sleep(backoff)
+
+
 def main():
     import os
 
@@ -59,40 +100,10 @@ def main():
     # single 15 s shot erases a round's TPU evidence even when the chip was
     # up all day. Retry with backoff until GCT2_BENCH_PROBE_BUDGET seconds
     # (default 180 — well under the driver's bench timeout) have elapsed.
-    import subprocess
-    import time as _time
-
     probe_attempts = 0
     probe_budget = float(os.environ.get("GCT2_BENCH_PROBE_BUDGET", "180"))
     if "cpu" not in str(os.environ.get("GCT2_BENCH_PLATFORM", "")):
-        responsive = False
-        deadline = _time.monotonic() + probe_budget
-        attempt_timeout, backoff = 20.0, 10.0
-        hard_failures = 0
-        while True:
-            probe_attempts += 1
-            try:
-                probe = subprocess.run(
-                    [sys.executable, "-c", "import jax; jax.devices()"],
-                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                    timeout=attempt_timeout,
-                )
-                if probe.returncode == 0:
-                    responsive = True
-                    break
-                # A non-zero exit is a deterministic failure (no TPU
-                # runtime / plugin error) — only tunnel flaps manifest as
-                # BLOCKED init, i.e. TimeoutExpired. Allow one retry for
-                # races, then fall back instead of burning the full budget
-                # on a condition that cannot heal (r5 review).
-                hard_failures += 1
-                if hard_failures >= 2:
-                    break
-            except subprocess.TimeoutExpired:
-                pass
-            if _time.monotonic() + backoff >= deadline:
-                break
-            _time.sleep(backoff)
+        responsive, probe_attempts = _probe_tpu(probe_budget)
     else:
         responsive = False  # explicit CPU request
 
