@@ -28,12 +28,12 @@ REFERENCE_TF_MEASURED_IPS_CPU = 0.333
 # TPU run of bench.py lands (see BASELINE_MEASURED.md).
 LAST_TPU_MEASUREMENT = {
     "metric": "train_images_per_sec_per_chip",
-    "value": 1241.868,
-    "vs_baseline": 17.982,
-    "mfu": 0.8115,
+    "value": 1241.128,
+    "vs_baseline": 17.972,
+    "mfu": 0.811,
     "date": "2026-08-19",
     "config": "256x256 b256 bf16 fused-diffusion lax-conv, TPU v5 lite, 1 chip",
-    "evidence": "docs/bench_evidence/bench_tpu_20260819T200359+0000.json",
+    "evidence": "docs/bench_evidence/bench_tpu_20260819T233553+0000.json",
 }
 
 
