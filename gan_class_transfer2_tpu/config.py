@@ -159,6 +159,18 @@ class Config:
     # and fake batches are augmented inside the D and G adversarial terms,
     # so no augmentation leaks into the generator outputs themselves.
     diffaug: str = ""
+    # Linear annealing of the cycle/identity weights: each ramps from its
+    # base value to *_final over the first loss_anneal_steps optimizer
+    # steps, then holds (-1 final = that term stays constant; 0 steps =
+    # feature off, the parity default). Mechanism-targeted knob: the
+    # config-5 analysis (BASELINE_MEASURED "Config 5 at 60 epochs") pinned
+    # a persistent identity-map attractor — both pulls are pixel-global
+    # and keep the identity basin attractive long after the adversarial
+    # signal has found genuine transfer; decaying them after warm-up is
+    # the standard CycleGAN counter-move, here measurable on-chip.
+    cycle_weight_final: float = -1.0
+    identity_weight_final: float = -1.0
+    loss_anneal_steps: int = 0
 
     # ----------------------------------------------------- TPU / performance
     conv_impl: str = "auto"  # lax | shuffle | pallas | auto (see ops/conv.py)
@@ -293,6 +305,23 @@ class Config:
                 )
         if self.r1_weight < 0:
             raise ValueError(f"r1_weight must be >= 0, got {self.r1_weight}")
+        if self.loss_anneal_steps < 0:
+            raise ValueError(
+                f"loss_anneal_steps must be >= 0, got {self.loss_anneal_steps}"
+            )
+        for name, final in (
+            ("cycle_weight_final", self.cycle_weight_final),
+            ("identity_weight_final", self.identity_weight_final),
+        ):
+            if final < 0 and final != -1.0:
+                raise ValueError(
+                    f"{name} must be -1 (no anneal) or >= 0, got {final}"
+                )
+            if final >= 0 and self.loss_anneal_steps == 0:
+                raise ValueError(
+                    f"{name}={final} needs loss_anneal_steps > 0 "
+                    "(the ramp length)"
+                )
         if self.serve_batch_wait_ms < 0:
             raise ValueError(
                 f"serve_batch_wait_ms must be >= 0, "
@@ -383,6 +412,22 @@ class Config:
         return self
 
     # --------------------------------------------------------- serialization
+    @property
+    def cycle_term_active(self) -> bool:
+        """Whether the cycle term is part of the compiled program: nonzero
+        at SOME point of training (base now, or annealing toward a nonzero
+        final). Gates the two extra generator forwards in train/gan.py and
+        the planner's GAN step-cost model."""
+        return self.cycle_weight > 0 or (
+            self.loss_anneal_steps > 0 and self.cycle_weight_final > 0
+        )
+
+    @property
+    def identity_term_active(self) -> bool:
+        return self.identity_weight > 0 or (
+            self.loss_anneal_steps > 0 and self.identity_weight_final > 0
+        )
+
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
 

@@ -93,8 +93,8 @@ def gan_step_cost_ratio(cfg) -> float:
     """Cycle-GAN step time ÷ diffusion step time at equal (size, batch)."""
     return (
         GAN_STEP_COST["base"]
-        + (GAN_STEP_COST["cycle"] if cfg.cycle_weight > 0 else 0.0)
-        + (GAN_STEP_COST["identity"] if cfg.identity_weight > 0 else 0.0)
+        + (GAN_STEP_COST["cycle"] if cfg.cycle_term_active else 0.0)
+        + (GAN_STEP_COST["identity"] if cfg.identity_term_active else 0.0)
     )
 
 
@@ -426,8 +426,8 @@ def _gan_generator_passes(cfg, model: str) -> int:
     zero-weight loss terms are elided from the compiled program, so the
     pass count is config-dependent. The discriminator's activations are
     excluded (measured small next to the U-Net's)."""
-    extra = (1 if cfg.cycle_weight > 0 else 0) + (
-        1 if cfg.identity_weight > 0 else 0
+    extra = (1 if cfg.cycle_term_active else 0) + (
+        1 if cfg.identity_term_active else 0
     )
     per_direction = 1 + extra
     return 2 * per_direction if model == "gan" else per_direction

@@ -27,7 +27,7 @@ from ..models import conditional as cond_lib
 from ..models import discriminator as d_lib
 from ..ops import diffaug
 from . import trainer as trainer_lib
-from .gan import _d_optimizer, adversarial_loss, _l1, r1_penalty
+from .gan import _d_optimizer, adversarial_loss, annealed_weight, _l1, r1_penalty
 from .trainer import make_optimizer
 
 
@@ -75,6 +75,12 @@ def conditional_gan_train_step(
     # every discriminator input goes through the diffaug policy (no-op
     # when cfg.diffaug is ""), exactly as in gan.gan_train_step
     aug = lambda k, x: diffaug.augment(cfg, k, x)
+    w_cycle = annealed_weight(
+        cfg, cfg.cycle_weight, cfg.cycle_weight_final, state.step
+    )
+    w_ident = annealed_weight(
+        cfg, cfg.identity_weight, cfg.identity_weight_final, state.step
+    )
 
     def g_loss_fn(g_params, d_params):
         fake = cond_lib.conditional_unet_apply(cfg, g_params, images, targets)
@@ -89,7 +95,7 @@ def conditional_gan_train_step(
         zero = jnp.zeros((), jnp.float32)
         cycle = (
             _l1(cond_lib.conditional_unet_apply(cfg, g_params, fake, labels), images)
-            if cfg.cycle_weight > 0
+            if cfg.cycle_term_active
             else zero
         )
         ident = (
@@ -97,7 +103,7 @@ def conditional_gan_train_step(
                 cond_lib.conditional_unet_apply(cfg, g_params, images, labels),
                 images,
             )
-            if cfg.identity_weight > 0
+            if cfg.identity_term_active
             else zero
         )
         # reconstruction anchors the transfer to its INPUT (unpaired data),
@@ -108,8 +114,8 @@ def conditional_gan_train_step(
         )
         total = (
             cfg.adversarial_weight * adv
-            + cfg.cycle_weight * cycle
-            + cfg.identity_weight * ident
+            + w_cycle * cycle
+            + w_ident * ident
             + cfg.reconstruction_weight * recon
         )
         return total, (fake, adv, cycle, ident)
@@ -161,6 +167,10 @@ def conditional_gan_train_step(
     }
     if cfg.r1_weight > 0:
         metrics["r1"] = r1
+    if cfg.loss_anneal_steps > 0:
+        # current effective weights, so the anneal is visible in TensorBoard
+        metrics["cycle_weight"] = jnp.asarray(w_cycle, jnp.float32)
+        metrics["identity_weight"] = jnp.asarray(w_ident, jnp.float32)
     return new_state, metrics
 
 

@@ -94,6 +94,21 @@ def _l1(a, b):
     return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
 
 
+def annealed_weight(cfg, base: float, final: float, step):
+    """Current loss weight at optimizer ``step``: linear ramp base→final
+    over cfg.loss_anneal_steps, then hold. Returns the static python float
+    when the anneal is off for this term (final < 0 or no ramp length), so
+    the compiled program is unchanged unless the feature is used; a traced
+    fp32 scalar otherwise. ``step`` never needs a gradient — the weight is
+    constant w.r.t. params inside value_and_grad."""
+    if final < 0 or cfg.loss_anneal_steps <= 0:
+        return base
+    frac = jnp.minimum(
+        jnp.asarray(step, jnp.float32) / float(cfg.loss_anneal_steps), 1.0
+    )
+    return base + (final - base) * frac
+
+
 def _generate(cfg, g_params, x):
     return unet.unet_apply(cfg, g_params, x)
 
@@ -140,6 +155,12 @@ def gan_train_step(
     batch_a = trainer_lib.augment_if_uint8(cfg, batch_a, k_aug_a)
     batch_b = trainer_lib.augment_if_uint8(cfg, batch_b, k_aug_b)
     aug = lambda k, x: diffaug.augment(cfg, k, x)
+    w_cycle = annealed_weight(
+        cfg, cfg.cycle_weight, cfg.cycle_weight_final, state.step
+    )
+    w_ident = annealed_weight(
+        cfg, cfg.identity_weight, cfg.identity_weight_final, state.step
+    )
 
     def d_loss_fn(d_params, fakes):
         fake_a, fake_b = fakes
@@ -202,13 +223,13 @@ def gan_train_step(
         cycle = (
             _l1(_generate(cfg, g_params["ba"], fake_b), batch_a)
             + _l1(_generate(cfg, g_params["ab"], fake_a), batch_b)
-            if cfg.cycle_weight > 0
+            if cfg.cycle_term_active
             else zero
         )
         ident = (
             _l1(_generate(cfg, g_params["ab"], batch_b), batch_b)
             + _l1(_generate(cfg, g_params["ba"], batch_a), batch_a)
-            if cfg.identity_weight > 0
+            if cfg.identity_term_active
             else zero
         )
         # reconstruction anchors the transfer to its *input* (the data is
@@ -221,8 +242,8 @@ def gan_train_step(
         )
         total = (
             cfg.adversarial_weight * adv
-            + cfg.cycle_weight * cycle
-            + cfg.identity_weight * ident
+            + w_cycle * cycle
+            + w_ident * ident
             + cfg.reconstruction_weight * recon
         )
         return total, (fake_a, fake_b, adv, cycle, ident)
@@ -271,6 +292,10 @@ def gan_train_step(
     }
     if cfg.r1_weight > 0:
         metrics["r1"] = r1
+    if cfg.loss_anneal_steps > 0:
+        # current effective weights, so the anneal is visible in TensorBoard
+        metrics["cycle_weight"] = jnp.asarray(w_cycle, jnp.float32)
+        metrics["identity_weight"] = jnp.asarray(w_ident, jnp.float32)
     return new_state, metrics
 
 

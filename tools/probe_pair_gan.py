@@ -60,6 +60,12 @@ def main():
                     "probe reproduces")
     ap.add_argument("--grid-dir", default=os.path.join(REPO, "docs",
                                                        "baseline_grids"))
+    ap.add_argument("--override", action="append", default=[],
+                    help="Config field override key=value (repeatable), "
+                    "e.g. --override identity_weight_final=0 "
+                    "--override loss_anneal_steps=2000 — the r5 anneal "
+                    "probe flips the identity/cycle pulls this tool's "
+                    "baseline runs showed feeding the relapse")
     args = ap.parse_args()
 
     import jax
@@ -105,6 +111,16 @@ def main():
         donate_state=False, fid_samples=args.eval_n, mesh_data=1,
         patch_discriminator=args.patch_d.lower() in ("1", "true", "yes"),
     ).validate()
+    if args.override:
+        kw = {}
+        for ov in args.override:
+            k, v = ov.split("=", 1)
+            try:
+                kw[k] = json.loads(v)  # floats/ints/bools; strings fall back
+            except json.JSONDecodeError:
+                kw[k] = v
+        cfg = cfg.replace(**kw).validate()
+        emit({"which": "overrides", "overrides": kw})
 
     make_a = getattr(synthetic, args.class_a)
     make_b = getattr(synthetic, args.class_b)
