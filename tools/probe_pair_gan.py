@@ -120,7 +120,7 @@ def main():
             except json.JSONDecodeError:
                 kw[k] = v
         cfg = cfg.replace(**kw).validate()
-        emit({"which": "overrides", "overrides": kw})
+        print(json.dumps({"which": "overrides", "overrides": kw}), flush=True)
 
     make_a = getattr(synthetic, args.class_a)
     make_b = getattr(synthetic, args.class_b)
