@@ -160,9 +160,9 @@ class Config:
     # so no augmentation leaks into the generator outputs themselves.
     diffaug: str = ""
     # Linear annealing of the cycle/identity weights: each ramps from its
-    # base value to *_final over the first loss_anneal_steps optimizer
-    # steps, then holds (-1 final = that term stays constant; 0 steps =
-    # feature off, the parity default). Mechanism-targeted knob: the
+    # base value to *_final over the first loss_anneal_steps train-step
+    # calls (micro-steps when grad_accum > 1), then holds (-1 final = that
+    # term stays constant; 0 steps = feature off, the parity default). Mechanism-targeted knob: the
     # config-5 analysis (BASELINE_MEASURED "Config 5 at 60 epochs") pinned
     # a persistent identity-map attractor — both pulls are pixel-global
     # and keep the identity basin attractive long after the adversarial
